@@ -1,0 +1,63 @@
+"""SparkSession construction and runtime configuration.
+
+The driver owns the SparkSession for verification (``__spark_entry__.py``),
+so everything here must also be applicable to an *existing* session at
+runtime — ``configure()`` sets only runtime-settable SQL confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to every session we touch.  All of these
+#: are safe to set after session start (SQLConf, not SparkConf).
+RUNTIME_CONFS = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive/UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning, partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Local-mode-right shuffle width; AQE coalesces below this as needed.
+    # On a real cluster this would be ~2-3x total cores instead.
+    "spark.sql.shuffle.partitions": "32",
+    # Arrow transfer for toPandas / pandas UDFs (vectorized Python boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: TPC-H-ish fixtures contain no edge cases that need it and
+    # non-ANSI matches DuckDB's permissive casts more closely.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver- or test-owned)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this Spark build — skip.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "spark_ml_optimization_spark") -> SparkSession:
+    """Build (or get) a local session sized for this container.
+
+    local[N] with N from SPARK_GRAFT_CPUS (default: all cores).  Single-JVM
+    local mode: driver memory is the only knob.  Cluster deployments would
+    configure executors instead; the SQL confs in RUNTIME_CONFS apply to
+    both deployment shapes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

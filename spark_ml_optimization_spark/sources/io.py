@@ -1,0 +1,61 @@
+"""Parquet sources: table loading + temp-view registration.
+
+The data model (FIXTURES.md) is ten parquet relations per scale-factor
+directory.  ``load_table`` is the single scan entry point — schema-on-read
+from parquet footers, no inference — so Catalyst's parquet pushdown
+(filters, column pruning, row-group skipping) applies to every operator
+built on top.
+
+100 TB posture: at cluster scale these would be date/key-partitioned
+parquet datasets (or Iceberg/Delta tables); ``load_table`` would point at a
+partitioned root and partition pruning would kick in unchanged, because
+every downstream operator expresses filters declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure
+
+#: The ten relations of the data model (FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast in joins
+#: (region=5, nation=25 rows at every scale factor; supplier stays small).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one relation.  Lazy: nothing executes until an action."""
+    configure(spark)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every relation as a temp view under its bare name.
+
+    Mirrors the DuckDB oracle's pre-registered views
+    (__spark_entry__.py:33-35) so ``spark.sql`` text and the oracle SQL
+    read the same catalog names.
+    """
+    configure(spark)
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
