@@ -1,0 +1,226 @@
+"""Aggregation operators: stats, distinct aggs, percentiles, rollup/cube/
+grouping sets, collect aggs, pivot.
+
+SURVEY.md §2.4.  All group-bys are hash aggregations with automatic
+partial (map-side) aggregation — the 100 TB-relevant property is that
+every one of these shuffles only the partially-aggregated keyspace, never
+raw rows.  Collected lists are always array_sort-ed (FIXTURES.md gotcha 3:
+the driver's hash is order-insensitive across rows, not within a cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table, register_views
+
+
+@register(
+    "q20_agg_stats",
+    oracle="""
+        SELECT
+            l_returnflag,
+            round(stddev_samp(l_extendedprice), 4) AS std_price,
+            round(var_samp(l_quantity), 4)         AS var_qty,
+            round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+            round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty,
+            round(min(l_extendedprice), 2) AS min_price,
+            round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+)
+def q20_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q21_distinct_agg",
+    oracle="""
+        SELECT
+            l_returnflag,
+            count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supps,
+            round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregates — Spark plans these as expand + two-phase agg.",
+)
+def q21_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "q22_percentiles",
+    oracle="""
+        SELECT
+            l_returnflag,
+            round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+            round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+            round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+            round(median(l_extendedprice), 4) AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (continuous interpolation) — matches DuckDB "
+    "quantile_cont; the approx_percentile scale path is q28 (rows-only).",
+)
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+@register(
+    "q23_rollup",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag, flag×status, grand total).",
+)
+def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q24_cube",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_extendedprice), 2) AS sum_price,
+            grouping(l_returnflag) AS g_flag,
+            grouping(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE with grouping() indicator columns distinguishing real NULLs "
+    "from subtotal rows.",
+)
+def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "q25_grouping_sets",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            count(*) AS n,
+            round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL surface (same Catalyst Expand "
+    "operator as rollup/cube).",
+)
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            count(*) AS n,
+            round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q26_collect_aggs",
+    oracle="""
+        SELECT
+            n_regionkey AS regionkey,
+            list_sort(list(n_name)) AS nations,
+            list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="collect_list / collect_set wrapped in array_sort for deterministic "
+    "cell contents (FIXTURES.md gotcha 3).",
+)
+def q26_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+    )
+
+
+@register(
+    "q27_pivot",
+    oracle="""
+        SELECT
+            l_returnflag,
+            round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+            round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pivot on l_linestatus with explicit value list (no discovery scan; "
+    "at 100 TB pass values explicitly to keep pivot single-pass).",
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "q28_approx_aggs",
+    oracle=None,  # HLL++/GK sketches are engine-specific — rows-only check;
+    # the exact twins (q21/q22) carry the hash-verified semantics.
+    doc="Approximate aggregates for the 100 TB path: approx_count_distinct "
+    "(HLL++) and approx_percentile (GK) — sketch-based, single-pass, "
+    "mergeable across partitions.",
+)
+def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median_qty"),
+    )

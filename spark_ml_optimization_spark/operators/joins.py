@@ -1,0 +1,235 @@
+"""Join operators: inner/outer/semi/anti/cross/theta + broadcast strategy.
+
+SURVEY.md §2.3.  Strategy posture for 100 TB (SURVEY.md §4):
+- dimension tables (region/nation/supplier) are broadcast explicitly —
+  at cluster scale they stay far under autoBroadcastJoinThreshold, and the
+  hint removes the planner's dependence on size stats;
+- fact⋈fact joins (lineitem⋈orders) are left to Catalyst: sort-merge with
+  AQE deciding partition coalescing and skew-splitting at runtime;
+- semi/anti joins are expressed as join types (never IN-subquery collect),
+  so they stay distributed and Catalyst can pick broadcast variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q10_star_join_revenue",
+    oracle="""
+        SELECT
+            r.r_name AS region_name,
+            n.n_name AS nation_name,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+            count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation n    ON c.c_nationkey = n.n_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc="TPC-H-Q5-style star join: fact⋈fact sort-merge (lineitem⋈orders) "
+    "then broadcast-hash against customer/nation/region dims.",
+)
+def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q11_left_outer_join",
+    oracle="""
+        SELECT
+            c.c_custkey,
+            c.c_name,
+            count(o.o_orderkey) AS n_orders,
+            round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Left outer join preserving customers with zero orders; "
+    "count(col) skips nulls on both engines.",
+)
+def q11_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q12_right_outer_join",
+    oracle="""
+        SELECT
+            n.n_name AS nation_name,
+            count(s.s_suppkey) AS n_suppliers
+        FROM supplier s
+        RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="Right outer join: every nation kept even with no suppliers.",
+)
+def q12_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "q13_full_outer_join",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS nationkey, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        ), supp AS (
+            SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT
+            coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+            coalesce(n_customers, 0) AS n_customers,
+            coalesce(n_suppliers, 0) AS n_suppliers
+        FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    doc="Full outer join of two aggregates (customer vs supplier presence "
+    "per nation).",
+)
+def q13_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = cust.join(supp, "nationkey", "full")
+    return joined.select(
+        F.col("nationkey").cast("int").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "q14_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    doc="Left semi join (EXISTS): customers with at least one urgent order.",
+)
+def q14_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q15_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+    """,
+    doc="Left anti join (NOT EXISTS): customers with no finished order "
+    "(non-empty at every fixture scale).",
+)
+def q15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q16_theta_self_join",
+    oracle="""
+        SELECT
+            n1.n_name AS nation_a,
+            n2.n_name AS nation_b,
+            n1.n_regionkey AS regionkey
+        FROM nation n1
+        JOIN nation n2
+          ON n1.n_regionkey = n2.n_regionkey
+         AND n1.n_nationkey < n2.n_nationkey
+    """,
+    doc="Self join with theta predicate: unordered nation pairs sharing a "
+    "region (equi part hash-joins; inequality applied as post-filter).",
+)
+def q16_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )
+
+
+@register(
+    "q17_cross_join",
+    oracle="""
+        SELECT r.r_name AS region_name, s.seg AS segment
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    """,
+    doc="Cross join of two tiny relations (5 regions × 5 segments) — the "
+    "only sanctioned cartesian in the engine; guarded to dim-sized inputs.",
+)
+def q17_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    segs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    return r.crossJoin(segs).select(
+        F.col("r_name").alias("region_name"), F.col("seg").alias("segment")
+    )

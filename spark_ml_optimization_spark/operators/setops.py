@@ -1,0 +1,141 @@
+"""Sort / limit / offset and set operations.
+
+SURVEY.md §2.6.  Ordered-limit queries always carry a unique tiebreaker so
+the selected row *set* is deterministic (the driver hashes the set, not
+the order).  Spark plans orderBy+limit as TakeOrderedAndProject — a
+distributed per-partition top-k followed by a driver-side merge of k-sized
+heaps, which is exactly the 100 TB-safe global top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q30_sort_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100 OFFSET 10
+    """,
+    doc="Total order with unique tiebreak + LIMIT/OFFSET pagination.",
+)
+def q30_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(100)
+    )
+
+
+@register(
+    "q31_union_all",
+    oracle="""
+        SELECT o_orderkey AS keyval, 'urgent' AS tag FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey AS keyval, 'big' AS tag FROM orders
+        WHERE o_totalprice > 400000
+    """,
+    doc="UNION ALL of two branches (bag semantics: an order can appear "
+    "under both tags).",
+)
+def q31_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("keyval"), F.lit("urgent").alias("tag")
+    )
+    big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("keyval"), F.lit("big").alias("tag")
+    )
+    return urgent.unionByName(big)
+
+
+@register(
+    "q32_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION with set semantics (union all + hash distinct).",
+)
+def q32_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q33_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics) — nations with both customers and "
+    "suppliers.",
+)
+def q33_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q34_except",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="EXCEPT (distinct semantics, DataFrame.subtract) — customers with "
+    "orders but none urgent.",
+)
+def q34_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    all_cust = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_cust.subtract(urgent)
+
+
+@register(
+    "q35_intersect_all",
+    oracle="""
+        SELECT l_suppkey AS keyval FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_suppkey AS keyval FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="INTERSECT ALL (bag semantics, min-multiplicity matching).",
+)
+def q35_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("keyval"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("keyval"))
+    return a.intersectAll(r)
+
+
+@register(
+    "q36_except_all",
+    oracle="""
+        SELECT l_suppkey AS keyval FROM lineitem WHERE l_linestatus = 'F'
+        EXCEPT ALL
+        SELECT l_suppkey AS keyval FROM lineitem WHERE l_linestatus = 'O'
+    """,
+    doc="EXCEPT ALL (bag semantics, multiplicity subtraction).",
+)
+def q36_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("keyval"))
+    o = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("keyval"))
+    return f.exceptAll(o)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import configure
 
@@ -44,8 +45,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one relation.  Lazy: nothing executes until an action."""
+    """Scan one relation.  Lazy: nothing executes until an action.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark
+    4.x's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).  The
+    Spark-native path is the legacy conf that surfaces nanos as a raw
+    LongType, which we floor-divide to microseconds — the same truncation
+    DuckDB applies on CAST(ts AS TIMESTAMP) — and expose as timestamp_ntz
+    to match the naive ms-precision timestamps of the other tables.
+    """
     configure(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 
