@@ -1,0 +1,290 @@
+"""Scalar function families: string, regex, date/time, math, array
+(higher-order), JSON, hash, explode/lateral.
+
+SURVEY.md §2.7.  Everything here is a built-in Column expression — JVM-
+side, whole-stage-codegen'd, never a Python UDF — so these all run at
+scan speed and keep predicate pushdown intact.  Dialect deltas vs the
+DuckDB oracle are resolved in the oracle SQL (list_* function names,
+epoch_us integer division, CASE-equivalent semantics), never by weakening
+the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q50_string_funcs",
+    oracle="""
+        SELECT
+            doc_id,
+            lower(substr(text, 1, 20)) AS head_lower,
+            upper(lang) AS lang_upper,
+            length(text) AS text_len,
+            concat_ws('|', lang, source) AS lang_src,
+            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+            translate(lang, 'aeiou', 'AEIOU') AS lang_vowels,
+            trim(concat(' ', source, ' ')) AS source_trim,
+            instr(text, 'spark') AS spark_pos,
+            levenshtein(lang, 'en') AS lev_en
+        FROM documents
+    """,
+    doc="String function suite over documents: case, substring, length, "
+    "concat_ws, padding, translate, trim, instr, levenshtein.",
+)
+def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels"),
+        F.trim(F.concat(F.lit(" "), F.col("source"), F.lit(" "))).alias("source_trim"),
+        F.instr(F.col("text"), "spark").cast("long").alias("spark_pos"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lev_en"),
+    )
+
+
+@register(
+    "q51_regexp_funcs",
+    oracle="""
+        SELECT
+            doc_id,
+            regexp_extract(text, '([a-z]+tion)', 1) AS first_tion,
+            regexp_replace(text, '\\d+', '#', 'g') AS digits_masked,
+            regexp_matches(text, 'spark') AS mentions_spark,
+            len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+        WHERE doc_id < 200
+    """,
+    doc="Regex suite: extract group, global replace, boolean match, "
+    "split-count.  Spark regexp_replace is global by default = DuckDB 'g'.",
+)
+def q51_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+tion)", 1).alias("first_tion"),
+        F.regexp_replace("text", r"\d+", "#").alias("digits_masked"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q52_date_funcs",
+    oracle="""
+        SELECT
+            o_orderkey,
+            year(o_orderdate)  AS order_year,
+            month(o_orderdate) AS order_month,
+            day(o_orderdate)   AS order_day,
+            date_trunc('month', o_orderdate) AS month_start,
+            CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS days_since_epoch_start,
+            strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+            strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        FROM orders
+        WHERE o_orderkey < 5000
+    """,
+    doc="Date/time suite: year/month/day extraction, truncation, date "
+    "arithmetic, last_day.",
+)
+def q52_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        # date outputs as ISO strings: engines disagree on DATE's arrow
+        # representation (date32 vs midnight-timestamp), so the portable
+        # wire form for date values is the ISO string.
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "q53_math_funcs",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            round(l_extendedprice, 1) AS price_r1,
+            floor(l_extendedprice) AS price_floor,
+            ceil(l_extendedprice) AS price_ceil,
+            abs(l_discount - 0.05) AS disc_dev,
+            round(sqrt(l_extendedprice), 6) AS price_sqrt,
+            round(ln(l_extendedprice + 1), 6) AS price_ln,
+            round(log10(l_extendedprice + 1), 6) AS price_log10,
+            round(pow(l_quantity, 2), 2) AS qty_sq,
+            CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+            greatest(l_quantity, 25.0) AS qty_hi,
+            least(l_tax, 0.04) AS tax_lo
+        FROM lineitem
+        WHERE l_orderkey < 3000
+    """,
+    doc="Math suite: rounding family, abs, sqrt/ln/log10/pow (rounded — "
+    "libm last-ulp differences), sign, greatest/least.",
+)
+def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_tax", F.lit(0.04)).alias("tax_lo"),
+    )
+
+
+@register(
+    "q54_array_funcs",
+    oracle="""
+        SELECT
+            doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            list_contains(string_split(text, ' '), 'spark') AS has_spark,
+            list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
+            list_sort(list_distinct(string_split(lang, ''))) AS lang_chars,
+            len(list_filter(string_split(text, ' '), t -> length(t) > 6)) AS n_long_tokens,
+            CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_token_len
+        FROM documents
+        WHERE doc_id < 300
+    """,
+    doc="Array + higher-order functions over tokenized text: size, "
+    "contains, sort+slice, distinct chars, lambda filter, "
+    "transform+aggregate (all JVM-side HOFs, no UDFs).",
+)
+def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
+        F.array_sort(F.array_distinct(F.split("lang", ""))).alias("lang_chars"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long").alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+    )
+
+
+@register(
+    "q55_json_funcs",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k_get,
+            CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k_from,
+            regexp_matches(props, '"k"') AS has_k
+        FROM events
+    """,
+    doc="JSON extraction from events.props ({\"k\": int}): "
+    "get_json_object path and from_json struct field (schema'd parse). "
+    "Oracle uses regex equivalence to avoid DuckDB JSON-extension "
+    "dependence.",
+)
+def q55_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        F.from_json("props", "k INT").getField("k").alias("k_from"),
+        F.col("props").contains('"k"').alias("has_k"),
+    )
+
+
+@register(
+    "q56_hash_funcs",
+    oracle="""
+        SELECT
+            doc_id,
+            md5(text) AS text_md5,
+            sha256(lang) AS lang_sha256,
+            md5(concat(lang, '|', source)) AS combo_md5
+        FROM documents
+        WHERE doc_id < 200
+    """,
+    doc="Cryptographic hash parity: md5 / sha2-256 produce identical "
+    "lowercase hex on both engines (dedup fingerprint primitives).",
+)
+def q56_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("lang", 256).alias("lang_sha256"),
+        F.md5(F.concat_ws("|", "lang", "source")).alias("combo_md5"),
+    )
+
+
+@register(
+    "q57_explode_tokens",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE length(word) > 3
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 20
+    """,
+    doc="explode (generator/UDTF surface) → token frequency top-20 with "
+    "word tiebreak.  At scale: explode fuses into the scan stage; the "
+    "groupBy shuffles only (word, partial-count) pairs.",
+)
+def q57_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 3)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q58_posexplode",
+    oracle="""
+        SELECT
+            doc_id,
+            generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+            unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE doc_id < 50
+    """,
+    doc="posexplode: position-preserving flatten (0-based to match Spark).",
+)
+def q58_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )

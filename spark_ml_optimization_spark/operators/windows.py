@@ -1,0 +1,263 @@
+"""Window-function operators: ranking, analytic, frames, top-k.
+
+SURVEY.md §2.5.  Every window carries a total order (unique tiebreaker
+column) so ranked selections are deterministic sets — required for the
+driver's value-hash.  Scale posture: window partitioning shuffles once on
+the partition key; all frames here are bounded or running (no whole-
+partition buffering except first/last with explicit full frame on small
+partitions).  Global top-k goes through orderBy+limit, which Spark plans
+as TakeOrderedAndProject (per-partition heaps, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q40_topk_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                o_custkey,
+                o_orderkey,
+                o_totalprice,
+                row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer: rank-over-window + filter. At scale "
+    "this shuffles once on the partition key and never materializes a "
+    "global sort.",
+)
+def q40_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q41_ranking_suite",
+    oracle="""
+        SELECT
+            c_nationkey,
+            c_custkey,
+            rank()         OVER w AS rnk,
+            dense_rank()   OVER w AS drnk,
+            ntile(4)       OVER w AS quartile,
+            round(percent_rank() OVER w, 6) AS pct_rank,
+            round(cume_dist()    OVER w, 6) AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="Full ranking suite over one shared window definition.",
+)
+def q41_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q42_lag_lead",
+    oracle="""
+        SELECT
+            event_id,
+            user_id,
+            value,
+            lag(value)  OVER w AS prev_value,
+            lead(value) OVER w AS next_value,
+            round(epoch(ts) - epoch(lag(ts) OVER w), 6) AS gap_sec
+        FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="lag/lead analytics per user ordered by event time (unique "
+    "event_id tiebreak); inter-event gap in seconds.",
+)
+def q42_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ntz → ltz (identity under UTC session) → double epoch seconds; the
+    # same correctly-rounded micros/1e6 division DuckDB's epoch() performs.
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(ts_sec - F.lag(ts_sec).over(w), 6).alias("gap_sec"),
+    )
+
+
+@register(
+    "q43_running_sum",
+    oracle="""
+        SELECT
+            l_suppkey,
+            l_orderkey,
+            l_linenumber,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) / 100.0 AS running_revenue
+        FROM lineitem
+        WHERE l_suppkey < 20
+    """,
+    doc="Running (cumulative) revenue per supplier with a totally-ordered "
+    "ROWS frame.  Terms are cent-quantized to integers before summation: "
+    "windowed float sums are association-order-dependent (Spark "
+    "accumulates sequentially, other engines use segment trees), so exact "
+    "integer accumulation is the only distributed-deterministic form.",
+)
+def q43_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(rev_cents).over(w) / 100.0).alias("running_revenue"),
+    )
+
+
+@register(
+    "q44_moving_avg",
+    oracle="""
+        SELECT
+            event_id,
+            user_id,
+            sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                / count(*) OVER w / 1000000.0 AS mavg4
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="4-row moving average per user (bounded ROWS frame — O(1) state "
+    "per row at any scale).",
+)
+def q44_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, W.currentRow)
+    )
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(micros).over(w) / F.count("*").over(w) / 1000000.0).alias("mavg4"),
+    )
+
+
+@register(
+    "q45_range_frame",
+    oracle="""
+        SELECT
+            event_id,
+            event_type,
+            count(*) OVER w AS n_in_10min,
+            sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0 AS sum_in_10min
+        FROM (SELECT event_id, event_type, value,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec FROM events)
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY ts_sec
+            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Time-range frame (10-minute trailing window keyed on epoch "
+    "seconds) — value-bounded, so tie order is irrelevant.",
+)
+def q45_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("ts_sec", F.col("ts").cast("timestamp").cast("long"))
+    w = W.partitionBy("event_type").orderBy("ts_sec").rangeBetween(-600, W.currentRow)
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_in_10min"),
+        (F.sum(micros).over(w) / 1000000.0).alias("sum_in_10min"),
+    )
+
+
+@register(
+    "q46_global_topk",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 50
+    """,
+    doc="Global top-k via orderBy+limit → TakeOrderedAndProject (per-"
+    "partition heaps merged on the driver; no full shuffle-sort).",
+)
+def q46_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "q47_first_last",
+    oracle="""
+        SELECT DISTINCT
+            c_nationkey,
+            first_value(c_name) OVER w AS richest,
+            last_value(c_name)  OVER w AS poorest,
+            round(max(c_acctbal) OVER w, 2) AS max_bal
+        FROM customer
+        WINDOW w AS (
+            PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc="first/last over an explicit full frame, reduced with DISTINCT to "
+    "one row per nation.",
+)
+def q47_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return c.select(
+        "c_nationkey",
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w).alias("poorest"),
+        F.round(F.max("c_acctbal").over(w), 2).alias("max_bal"),
+    ).distinct()
