@@ -1,0 +1,311 @@
+"""Event-stream operators executed in batch with Structured-Streaming-
+equivalent semantics: tumbling/sliding/session windows, watermark
+late-data filtering, windowed dedup, as-of join, range self-join.
+
+SURVEY.md §2.9 + §2.3 (as-of/range).  The ``streaming`` package holds the
+readStream twins of these (same groupBy(window(...)) code paths).
+
+Time arithmetic is done in integer microseconds (unix_micros /
+epoch_us) on both engines — float epoch seconds round differently at
+microsecond resolution and silently flip boundary membership.
+
+Scale posture: every operator here partitions by user_id or event_type
+(the natural stream keys); session windows are one window pass + one
+grouped agg (no self-joins); the range join is bounded (±5 min) so AQE
+can split skewed users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+#: value quantization for deterministic distributed sums (see windows.py).
+_MICRO = 1000000
+
+
+def _micro_sum(col: str):
+    return F.sum(F.round(F.col(col) * _MICRO, 0).cast("long")) / float(_MICRO)
+
+
+@register(
+    "q60_tumbling_window",
+    oracle="""
+        SELECT
+            time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+            time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) + INTERVAL '1 day' AS window_end,
+            event_type,
+            count(*) AS n_events,
+            sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value,
+            count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1-day window aggregation — identical code runs under "
+    "readStream (streaming.stream_ops.st01).",
+)
+def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _micro_sum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q61_sliding_window",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM e
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start,
+                   event_type, value FROM e
+        )
+        SELECT
+            window_start,
+            window_start + INTERVAL '1 hour' AS window_end,
+            event_type,
+            count(*) AS n_events,
+            sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+        FROM assigned
+        GROUP BY 1, 2, 3
+    """,
+    doc="Sliding window (1 h width, 30 min slide): each event lands in "
+    "width/slide = 2 windows.  Spark expands via the window() generator; "
+    "the oracle mirrors with a 2-way UNION ALL of shifted time_buckets.",
+)
+def q61_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _micro_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q62_session_window",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        ), sess AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            session_id,
+            min(us) AS session_start_us,
+            max(us) AS session_end_us,
+            count(*) AS n_events,
+            sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-min inactivity gap) in batch via gap-and-"
+    "island: lag-gap flag → running-sum session id → grouped agg.  "
+    "Semantics match session_window(ts, '30 minutes'); the streaming twin "
+    "is streaming.stream_ops.st03.",
+)
+def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    gap_us = 30 * 60 * _MICRO
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        _micro_sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "q63_watermark_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE epoch_us(CAST(ts AS TIMESTAMP)) >=
+              (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events) - 86400000000
+    """,
+    doc="Watermark semantics in batch: drop events older than "
+    "max(event time) - 1 day — the same late-data cutoff "
+    "withWatermark('ts','1 day') enforces in streaming.  The global "
+    "max is a broadcast scalar, not a driver collect.",
+)
+def q63_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    wm = e.agg((F.max("us") - 86400 * _MICRO).alias("wm_us"))
+    return e.join(F.broadcast(wm), F.col("us") >= F.col("wm_us"), "inner").select(
+        "event_id", "user_id", "event_type", "us"
+    )
+
+
+@register(
+    "q64_windowed_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Keyed dedup keeping the earliest event per (user, type) — the "
+    "deterministic form of dropDuplicates / dropDuplicatesWithinWatermark "
+    "(which keep an arbitrary row; row_number pins the choice).",
+)
+def q64_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")).asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "q65_asof_join",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+                   CASE WHEN event_type = 'click' THEN value END AS click_value
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+        ), tagged AS (
+            SELECT *,
+                   last_value(click_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us ASC, is_purchase ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_click_value
+            FROM e
+        )
+        SELECT event_id, user_id, value AS purchase_value, last_click_value
+        FROM tagged
+        WHERE is_purchase = 1
+    """,
+    doc="As-of join: for every purchase, the user's most recent click "
+    "value at-or-before the purchase time (clicks sort before purchases "
+    "on ties).  Spark lacks native ASOF; the Spark-first form is a "
+    "union-ordered window with last(ignorenulls) — one shuffle on "
+    "user_id, no join at all, robust to 100 TB (vs merge_asof per group).",
+)
+def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+            F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_purchase").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", F.col("value").alias("purchase_value"), "last_click_value")
+    )
+
+
+@register(
+    "q66_range_self_join",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        )
+        SELECT e1.user_id, count(*) AS n_pairs
+        FROM e e1
+        JOIN e e2
+          ON e1.user_id = e2.user_id
+         AND e2.event_id > e1.event_id
+         AND abs(e2.us - e1.us) <= 300000000
+        GROUP BY e1.user_id
+    """,
+    doc="Bounded range self-join: unordered event pairs of the same user "
+    "within ±5 min.  Equi-key on user_id keeps it a hash join with a "
+    "range post-filter; AQE splits skewed users at scale.",
+)
+def q66_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.event_id") > F.col("e1.event_id"))
+            & (F.abs(F.col("e2.us") - F.col("e1.us")) <= 300 * _MICRO),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -1,0 +1,188 @@
+"""Structured Streaming twins of the batch event operators.
+
+SURVEY.md §2.9 (streaming column).  Each twin runs a real readStream →
+transform → writeStream(memory sink) pipeline to completion
+(processAllAvailable over the static fixture directory) and returns the
+materialized result as a DataFrame.  The transformations are the same
+groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
+that equivalence is the point: one declarative plan, two execution modes.
+
+These are rows-only checks (no DuckDB oracle): the driver verifies
+execution + schema stability; the batch twins carry the hash-verified
+semantics.
+
+Scale posture: in production these would read Kafka/cloud storage with
+watermarks bounding state; memory sink is test-only — a real deployment
+uses foreachBatch → parquet/Delta (st05 demonstrates exactly that).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..session import configure
+
+#: Explicit read schema — streaming sources never infer.  ts is the raw
+#: nanosecond int64 (see sources/io.py on PARQUET_TYPE_ILLEGAL).
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """File stream sources require a *directory*; stage the fixture file
+    (hardlink — same bytes, no copy cost) into a scratch dir once."""
+    if sf_dir not in _STAGE_CACHE:
+        src = os.path.join(sf_dir, "events.parquet")
+        dst_dir = tempfile.mkdtemp(prefix="events_stream_")
+        dst = os.path.join(dst_dir, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, dst)
+        _STAGE_CACHE[sf_dir] = dst_dir
+    return _STAGE_CACHE[sf_dir]
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stage_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming query over the static fixture to completion and
+    return the memory-sink table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = df.sparkSession
+    # Materialize: the memory table dies with the query's lifecycle in
+    # some modes; snapshot into a local temp view for stable reads.
+    out = spark.table(name)
+    out.createOrReplaceTempView(f"{name}_snap")
+    return spark.table(f"{name}_snap")
+
+
+@register(
+    "st01_stream_tumbling",
+    oracle=None,
+    doc="readStream twin of q60: tumbling 1-day window counts per "
+    "event_type, complete-mode memory sink.",
+)
+def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "st02_stream_watermark_sliding",
+    oracle=None,
+    doc="readStream twin of q61 with a real watermark: 1h/30min sliding "
+    "windows, 10-minute watermark bounding state, update mode.",
+)
+def st02_stream_watermark_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "update")
+
+
+@register(
+    "st03_stream_session_window",
+    oracle=None,
+    doc="readStream twin of q62 using the native session_window operator "
+    "(30-min gap) with watermark, complete mode.",
+)
+def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "st04_stream_dedup",
+    oracle=None,
+    doc="readStream twin of q64: streaming dropDuplicates on "
+    "(user_id, event_type) with watermark-bounded state, append mode.",
+)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "st05_stream_foreach_batch_sink",
+    oracle=None,
+    doc="Exactly-once sink pattern: foreachBatch writing parquet epochs "
+    "to a scratch dir, then reading the materialized result back — the "
+    "production sink shape (vs the test-only memory sink).",
+)
+def st05_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    out_dir = os.path.join(tempfile.gettempdir(), f"st05_{uuid.uuid4().hex[:12]}")
+    enriched = events.select(
+        "event_id", "user_id", "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = enriched.writeStream.foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
