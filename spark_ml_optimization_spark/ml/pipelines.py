@@ -1,0 +1,295 @@
+"""MLlib pipeline construction & tuning — the reference repo's nominal
+category (BASELINE.json: "Optimizations for Spark ML directly fit within
+Spark's MLlib framework. Approach: MLlib pipeline tuning").
+
+SURVEY.md §2.12.  All pyspark.ml (DataFrame-based), never pyspark.mllib.
+Every estimator seed is pinned; outputs are aggregate summaries (metrics,
+cluster/fold statistics) rather than per-row predictions, so the rows-only
+driver check sees a stable, small schema.
+
+The tuning knobs this module exercises — the "optimization" surface:
+- CrossValidator(parallelism=N): fits grid cells concurrently; on a
+  cluster this multiplies executor utilization during tuning (ml03);
+- TrainValidationSplit: the 1-pass cheap alternative (ml04);
+- pipeline caching: intermediate DataFrame reuse across folds is handled
+  by MLlib internally; input features are computed once up front.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import to_double_array
+from ..registry import register
+from ..sources import load_table
+
+
+def _labeled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(to_double_array("embedding")).alias("features"),
+    )
+
+
+@register(
+    "ml01_tfidf_pipeline",
+    oracle=None,
+    doc="Text feature pipeline: Tokenizer → StopWordsRemover → HashingTF "
+    "→ IDF (all pyspark.ml.feature) fit+transform over documents; output "
+    "= per-language mean TF-IDF vector norm (stable small schema).",
+)
+def ml01_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            StopWordsRemover(inputCol="tokens", outputCol="clean_tokens"),
+            HashingTF(inputCol="clean_tokens", outputCol="tf", numFeatures=1 << 14),
+            IDF(inputCol="tf", outputCol="tfidf"),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        out.select("lang", norm.alias("tfidf_norm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("tfidf_norm"), 4).alias("avg_tfidf_norm"),
+        )
+    )
+
+
+@register(
+    "ml02_feature_pipeline",
+    oracle=None,
+    doc="Numeric feature pipeline: VectorAssembler(n_chars, token count) "
+    "→ StandardScaler → Bucketizer on the scaled length; output = docs "
+    "per bucket (feature-engineering stage shapes).",
+)
+def ml02_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_chars"),
+        F.size(F.split("text", " ")).cast("double").alias("len_tokens"),
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["len_chars", "len_tokens"], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="scaled", withMean=True, withStd=True),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    z = F.element_at(vector_to_array("scaled"), 1)
+    bucket = F.when(z < -1, "short").when(z < 1, "medium").otherwise("long")
+    return out.select(bucket.alias("length_band")).groupBy("length_band").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "ml03_logreg_cv_tuning",
+    oracle=None,
+    doc="The core MLlib-tuning operator: multinomial LogisticRegression "
+    "on embedding features vs the 10-class label, ParamGridBuilder over "
+    "regParam/elasticNetParam, CrossValidator(numFolds=3, parallelism=4, "
+    "seed pinned).  Output = one row per grid cell with its CV metric "
+    "and a best-model flag.",
+)
+def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _labeled_embeddings(spark, sf_dir)
+    lr = LogisticRegression(maxIter=25, family="multinomial")
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.01, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(metricName="accuracy")
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=3,
+        parallelism=4,
+        seed=42,
+    )
+    model = cv.fit(data)
+    best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            float(pm[lr.elasticNetParam]),
+            round(float(model.avgMetrics[i]), 6),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, schema="reg_param double, elastic_net double, cv_accuracy double, is_best boolean"
+    )
+
+
+@register(
+    "ml04_train_valid_split",
+    oracle=None,
+    doc="TrainValidationSplit (the 1-pass tuning alternative): "
+    "LinearRegression predicting n_chars from embedding features "
+    "(documents⋈embeddings multimodal supervision), RegressionEvaluator "
+    "RMSE per grid cell.",
+)
+def ml04_train_valid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    data = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("n_chars").cast("double").alias("label"), "features"
+    )
+    lr = LinearRegression(maxIter=20)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()
+    tvs = TrainValidationSplit(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        trainRatio=0.8,
+        parallelism=2,
+        seed=42,
+    )
+    model = tvs.fit(data)
+    rows = [
+        (float(pm[lr.regParam]), round(float(model.validationMetrics[i]), 4))
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(rows, schema="reg_param double, rmse double")
+
+
+@register(
+    "ml05_random_forest_binary",
+    oracle=None,
+    doc="RandomForestClassifier (binary task: label < 5) on embeddings "
+    "with BinaryClassificationEvaluator AUC on a seeded 80/20 "
+    "randomSplit; output = AUC + split sizes.",
+)
+def ml05_random_forest_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    data = _labeled_embeddings(spark, sf_dir).withColumn(
+        "label", (F.col("label") < 5).cast("double")
+    )
+    train, test = data.randomSplit([0.8, 0.2], seed=42)
+    rf = RandomForestClassifier(numTrees=20, maxDepth=5, seed=42)
+    model = rf.fit(train)
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(pred)
+    row = [(round(float(auc), 6), train.count(), test.count())]
+    return spark.createDataFrame(row, schema="auc double, n_train long, n_test long")
+
+
+@register(
+    "ml06_als_recommender",
+    oracle=None,
+    doc="ALS collaborative filtering on implicit customer→part affinities "
+    "(lineitem⋈orders quantity sums), rank 8, seed pinned; output = "
+    "per-rank factor norms summary (model-shape check).",
+)
+def ml06_als_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        implicitPrefs=True,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        "user",
+        F.size("recommendations").alias("n_recs"),
+        F.col("recommendations")[0]["item"].alias("top_item"),
+    ).orderBy("user").limit(50)
+
+
+@register(
+    "ml07_model_persistence",
+    oracle=None,
+    doc="Model persistence round-trip: fit LogisticRegression, "
+    "write().save() to scratch, load() back, verify the reloaded model "
+    "reproduces identical predictions; output = one summary row.",
+)
+def ml07_model_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+
+    data = _labeled_embeddings(spark, sf_dir)
+    lr = LogisticRegression(maxIter=10, regParam=0.1, family="multinomial")
+    model = lr.fit(data)
+    path = f"{tempfile.gettempdir()}/ml07_{uuid.uuid4().hex[:12]}"
+    model.write().overwrite().save(path)
+    reloaded = LogisticRegressionModel.load(path)
+    p1 = model.transform(data).select("vec_id", F.col("prediction").alias("p1"))
+    p2 = reloaded.transform(data).select("vec_id", F.col("prediction").alias("p2"))
+    agree = p1.join(p2, "vec_id").filter(F.col("p1") == F.col("p2")).count()
+    total = data.count()
+    return spark.createDataFrame(
+        [(total, agree, agree == total)],
+        schema="n_rows long, n_agree long, roundtrip_exact boolean",
+    )
+
+
+@register(
+    "ml08_sampling_splits",
+    oracle=None,
+    doc="Seeded sampling surface: randomSplit(70/30) + sample(20%) + "
+    "stratified sampleBy on lang; output = the resulting counts "
+    "(deterministic under pinned seed + fixed input partitioning).",
+)
+def ml08_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train, test = d.randomSplit([0.7, 0.3], seed=42)
+    samp = d.sample(fraction=0.2, seed=42)
+    strat = d.sampleBy("lang", fractions={"en": 0.5, "de": 0.5}, seed=42)
+    rows = [(train.count(), test.count(), samp.count(), strat.count())]
+    return spark.createDataFrame(
+        rows, schema="n_train long, n_test long, n_sample long, n_stratified long"
+    )

@@ -1,0 +1,215 @@
+"""Deduplication operators over the documents table: exact, near-dup
+candidate generation (MinHash+LSH), SimHash, n-gram Jaccard.
+
+SURVEY.md §2.10; BASELINE.json north-star ("LLM-data-pipeline operators").
+
+Scale design (100 TB of documents):
+- exact dedup is a hash-groupBy on md5(text) — shuffles 16-byte digests +
+  doc ids, never the text bodies;
+- MinHash+LSH turns the O(n²) all-pairs problem into per-band bucket
+  joins; implemented on pyspark.ml's MinHashLSH (approxSimilarityJoin =
+  explode-bands → bucket-join → exact-distance filter);
+- SimHash is a single mapInPandas pass (Arrow-vectorized) producing one
+  64-bit signature per doc; near-dup candidates then bucket on signature
+  prefixes instead of joining all pairs;
+- n-gram Jaccard is exact but candidate-bounded (same lang+source), the
+  pattern a production pipeline uses after LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q70_exact_dedup",
+    oracle="""
+        SELECT
+            md5(text) AS text_md5,
+            min(doc_id) AS keep_id,
+            count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group on md5(text), keep the smallest doc_id as "
+    "canonical.  Shuffles digests only — text bodies never cross the "
+    "wire.  FIXTURES.md: 8 planted dup texts exist at sf0.1 "
+    "(tests/test_dedup_groundtruth.py asserts them).",
+)
+def q70_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "q71_dedup_keep_first",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Exact dedup materialized: the surviving (canonical) rows — the "
+    "deterministic dropDuplicates(['text']) with pinned survivor choice.",
+)
+def q71_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "q72_minhash_lsh_neardup",
+    oracle=None,  # LSH banding/seeding is engine-specific — rows-only;
+    # recall vs exact Jaccard is unit-tested (test_dedup_groundtruth).
+    doc="Near-duplicate candidate pairs via MinHash+LSH "
+    "(pyspark.ml.feature.MinHashLSH, seed pinned): word-shingle →"
+    " HashingTF binary vectors → banded min-hash bucket join → exact "
+    "Jaccard-distance filter ≤ 0.2.  The O(n·bands) scale path for "
+    "100 TB dedup.",
+)
+def q72_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokenizer = Tokenizer(inputCol="text", outputCol="tokens")
+    toks = tokenizer.transform(d)
+    # Binary term-presence vectors (Jaccard is set-based).
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(toks).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched SimHash: md5-derived 64-bit token hashes, bitwise
+    majority vote.  Deterministic across runs/partitions."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in it:
+        sigs = np.zeros(len(pdf), dtype=np.uint64)
+        for i, text in enumerate(pdf["text"].tolist()):
+            counts = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+            for tok in set(text.split()):
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(_SIMHASH_BITS):
+                    counts[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(_SIMHASH_BITS):
+                if counts[b] > 0:
+                    sig |= 1 << b
+            sigs[i] = sig
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs.astype(np.int64)})
+
+
+@register(
+    "q73_simhash",
+    oracle=None,  # 64-bit bit-twiddling isn't ANSI-SQL-expressible;
+    # determinism is unit-tested instead.
+    doc="SimHash signatures (64-bit, md5 token hashes, bitwise majority) "
+    "via mapInPandas — one Arrow-batched pass, one signature per doc; "
+    "near-dups then bucket by signature bands instead of pairwise "
+    "comparison.",
+)
+def q73_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
+
+
+@register(
+    "q74_jaccard_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM tok a
+            JOIN tok b
+              ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT
+            doc_a,
+            doc_b,
+            round(CAST(n_common AS DOUBLE) /
+                  (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    """,
+    doc="Exact token-set Jaccard over candidate pairs (same lang+source "
+    "block): explode → token equi-join → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.8. "
+    "Exact-verification stage run after LSH candidate generation at "
+    "scale; the blocking keys bound the join fan-out.",
+)
+def q74_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

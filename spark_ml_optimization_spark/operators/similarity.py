@@ -1,0 +1,282 @@
+"""Similarity search over the embeddings table (64-d L2-normalized
+vectors → cosine ≡ dot product, FIXTURES.md).
+
+SURVEY.md §2.11; BASELINE.json north-star ("similarity search").
+
+Tiering for scale:
+- q85/q86: exact brute-force top-k via Catalyst higher-order functions —
+  the baseline and the hash-verified anchor.  Scale shape: broadcast the
+  query vector(s), one scan, TakeOrderedAndProject — no shuffle of the
+  corpus at all.  Fine to ~10⁸ vectors × few queries.
+- q87: BucketedRandomProjectionLSH ANN — the 100 TB path: banded random
+  projections prune the corpus to hash-colliding candidates before exact
+  re-scoring (recall unit-tested against q85).
+- q91: the same cosine as an Arrow-vectorized pandas UDF — the escape
+  hatch shape for metrics Catalyst can't express (numeric parity with
+  q85 is unit-tested; numpy pairwise summation ≠ sequential, so this
+  stays rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot, to_double_array
+from ..registry import register
+from ..sources import load_table
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    """The query vector as a 1-row broadcastable relation (no collect)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select(to_double_array("embedding").alias("qvec"))
+    )
+
+
+@register(
+    "q85_topk_cosine",
+    oracle="""
+        SELECT
+            e.vec_id,
+            e.label,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="Brute-force top-10 cosine (≡ dot on L2-normalized vectors) for "
+    "query vec_id=0: broadcast 1-row query ⨯ corpus scan → sequential-"
+    "order double dot product (zip_with+aggregate HOFs, no UDF) → "
+    "TakeOrderedAndProject.  The exact-similarity anchor.",
+)
+def q85_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    score = dot(to_double_array("embedding"), F.col("qvec"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "q86_knn_join",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+            FROM embeddings WHERE vec_id < 20
+        ), scored AS (
+            SELECT
+                p.probe_id,
+                e.vec_id AS neighbor_id,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) AS score,
+                row_number() OVER (
+                    PARTITION BY p.probe_id
+                    ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) DESC,
+                             e.vec_id ASC
+                ) AS rn
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.probe_id
+        )
+        SELECT probe_id, neighbor_id, round(score, 6) AS score, rn
+        FROM scored WHERE rn <= 3
+    """,
+    doc="k-NN join: top-3 neighbors for each of 20 probe vectors — "
+    "broadcast probes ⨯ corpus, rank-over-window per probe.  The exact "
+    "all-pairs form; the LSH variant (q87) replaces the cartesian at "
+    "scale.",
+)
+def q86_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("probe_id"), to_double_array("embedding").alias("pvec"))
+    )
+    score = dot(to_double_array("embedding"), F.col("pvec"))
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), score.alias("score"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@register(
+    "q87_ann_lsh",
+    oracle=None,  # random-projection bucketing is engine-specific;
+    # recall vs the exact q86 is unit-tested (test_similarity.py).
+    doc="ANN via BucketedRandomProjectionLSH (seed pinned): random-"
+    "projection bucket join on L2 distance ≤ 0.9, exact re-score of "
+    "surviving candidates, top-3 per probe.  The 100 TB path: candidate "
+    "generation is O(n·bands) bucket joins instead of O(n²).",
+)
+def q87_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    probes = e.filter(F.col("vec_id") < 20)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    # L2 distance on unit vectors: d² = 2 - 2·cos → d ≤ 1.25 ⇔ cos ≥ 0.22
+    pairs = model.approxSimilarityJoin(probes, e, 1.25, distCol="l2_dist")
+    cand = (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            (1 - F.pow("l2_dist", 2) / 2).alias("cos_score"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos_score").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos_score", 6).alias("cos_score"), "rn")
+    )
+
+
+@register(
+    "q88_embedding_stats",
+    oracle="""
+        SELECT
+            label,
+            count(*) AS n_vecs,
+            sum(CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])) * 1000000)
+                AS BIGINT)) / count(*) / 1000000.0 AS avg_sq_norm,
+            sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+                / count(*) / 1000000.0 AS avg_dim0
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc="Embedding column statistics per label: count, mean squared norm "
+    "(≡1.0 — normalization check), mean first component.  Micro-quantized "
+    "integer sums for cross-engine determinism.",
+)
+def q88_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dvec = to_double_array("embedding")
+    sq_norm = dot(dvec, dvec)
+    dim0 = F.element_at(dvec, 1)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.round(sq_norm * 1000000, 0).cast("long")) / F.count("*") / 1000000.0).alias(
+            "avg_sq_norm"
+        ),
+        (F.sum(F.round(dim0 * 1000000, 0).cast("long")) / F.count("*") / 1000000.0).alias(
+            "avg_dim0"
+        ),
+    )
+
+
+@register(
+    "q89_multimodal_join",
+    oracle="""
+        SELECT
+            d.doc_id,
+            d.lang,
+            d.n_chars,
+            e.vec_id IS NOT NULL AS has_embedding,
+            coalesce(e.label, -1) AS label
+        FROM documents d
+        LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Multimodal row model: text entity ⟕ vector entity on "
+    "doc_id = vec_id (partial coverage at sf0.1 — FIXTURES.md).  The "
+    "canonical text+embedding join every downstream multimodal operator "
+    "builds on.",
+)
+def q89_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id, "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("vec_id").isNotNull().alias("has_embedding"),
+        F.coalesce("label", F.lit(-1)).cast("int").alias("label"),
+    )
+
+
+@register(
+    "q90_kmeans_clusters",
+    oracle=None,  # iterative algorithm — rows-only; cluster quality vs
+    # the 10-class ground truth is unit-tested.
+    doc="KMeans (k=10, seed pinned) over the embedding column via "
+    "pyspark.ml.clustering; output = cluster sizes + dominant true label "
+    "per cluster (clustering-vs-ground-truth evaluation shape).",
+)
+def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    km = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster")
+    model = km.fit(e)
+    pred = model.transform(e)
+    return pred.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.mode("label").alias("dominant_label"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+def _cosine_udf_batches(qvec: list[float]):
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            scores = mat @ q
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "score": scores})
+
+    return fn
+
+
+@register(
+    "q91_cosine_pandas_udf",
+    oracle=None,  # numpy BLAS/pairwise summation ≠ sequential-order sums;
+    # parity with q85 within 1e-9 is unit-tested instead.
+    doc="The q85 cosine as an Arrow-batched mapInPandas kernel (numpy "
+    "matrix-vector product per batch) — the vectorized-Python escape "
+    "hatch for similarity metrics Catalyst can't express.",
+)
+def q91_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    fn = _cosine_udf_batches(list(qrow[0]))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(fn, schema="vec_id long, score double")
+    )

@@ -1,0 +1,263 @@
+"""Text-analysis operators: language/source stats, quality scoring,
+token counting, fingerprinting, heuristic language-ID, pure-SQL TF-IDF.
+
+SURVEY.md §2.10 + BASELINE.json north-star ("text analysis").
+
+Everything here is built-in-expression only (no UDFs): tokenization is
+split(), counting is regexp_count / size(), scoring is arithmetic — all
+codegen'd, all safe at 100 TB because each is a scan + one hash-agg at
+most.  The MLlib TF-IDF/classification path lives in ml/pipelines.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q76_lang_source_stats",
+    oracle="""
+        SELECT
+            lang,
+            count(*) AS n_docs,
+            count(DISTINCT source) AS n_sources,
+            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+            min(n_chars) AS min_chars,
+            max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Corpus profile per language: doc counts, source coverage, length "
+    "distribution (integer-sum average — exact).",
+)
+def q76_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q77_text_quality",
+    oracle="""
+        WITH scored AS (
+            SELECT
+                doc_id,
+                n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','for'], t)))
+                    AS n_stopwords
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            n_tokens,
+            round(avg_token_len, 6) AS avg_token_len,
+            n_stopwords,
+            round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+            (n_tokens >= 10 AND avg_token_len BETWEEN 3 AND 12) AS passes_quality
+        FROM scored
+    """,
+    doc="Per-document quality signals: token count, mean token length, "
+    "stopword ratio, and a composite quality gate — the filter stage of "
+    "a training-data pipeline.",
+)
+def q77_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is", "for"]])
+    n_tokens = F.size(toks).cast("long")
+    avg_len = F.col("n_chars").cast("double") / n_tokens
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        ((n_tokens >= 10) & avg_len.between(3, 12)).alias("passes_quality"),
+    )
+
+
+@register(
+    "q78_token_count",
+    oracle="""
+        SELECT
+            lang,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+            CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+                AS bpe_ish_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Token accounting per language: whitespace tokens vs a BPE-ish "
+    "regex lexer ([a-z]+ | digits | single punctuation) — the token-"
+    "budget estimator of a training pipeline (regexp_count stays "
+    "JVM-side; no UDF).",
+)
+def q78_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q79_fingerprint",
+    oracle="""
+        SELECT
+            doc_id,
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+            substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8) AS bucket8
+        FROM documents
+    """,
+    doc="Canonical document fingerprint: whitespace-normalized lowercase "
+    "md5 (plus an 8-hex-char bucket prefix for sharded dedup indexes).",
+)
+def q79_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.select(
+        "doc_id",
+        canon.alias("fingerprint"),
+        F.substring(canon, 1, 8).alias("bucket8"),
+    )
+
+
+#: Tiny per-language marker vocabularies for the heuristic classifier.
+#: The fixture text is synthetic Spark-vocabulary soup, so real-language
+#: markers barely fire — the operator still demonstrates the mechanism
+#: (vocabulary-overlap scoring) with fully deterministic output.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+@register(
+    "q80_langid",
+    oracle="""
+        WITH scored AS (
+            SELECT
+                doc_id,
+                lang,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','and','of','to','is'], t))) AS score_en,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['der','die','und','ist','nicht'], t))) AS score_de,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['el','la','de','que','es'], t))) AS score_es,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['le','la','et','est','les'], t))) AS score_fr,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['de','shi','le','bu','wo'], t))) AS score_zh
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            lang,
+            CASE
+                WHEN score_en >= score_de AND score_en >= score_es
+                     AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr
+                     AND score_de >= score_zh THEN 'de'
+                WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                WHEN score_fr >= score_zh THEN 'fr'
+                ELSE 'zh'
+            END AS predicted_lang,
+            score_en + score_de + score_es + score_fr + score_zh AS marker_hits
+        FROM scored
+    """,
+    doc="Heuristic language ID: marker-vocabulary overlap scores with a "
+    "deterministic argmax (ties break by fixed language priority).",
+)
+def q80_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def marker_score(markers: list[str]):
+        arr = F.array([F.lit(m) for m in markers])
+        # single-parameter lambda: PySpark passes (element, index) to
+        # two-parameter lambdas, so the array must be closed over.
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    order = ["en", "de", "es", "fr", "zh"]
+    pred = F.lit("zh")
+    # Build the argmax back-to-front so earlier languages win ties.
+    for lang in reversed(order[:-1]):
+        later = order[order.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    total = None
+    for lang in order:
+        total = scores[lang] if total is None else (total + scores[lang])
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"), total.alias("marker_hits"))
+
+
+@register(
+    "q81_tfidf_sql",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+            FROM documents
+        ), tf AS (
+            SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT
+                tf.lang,
+                tf.term,
+                round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT lang, term, tfidf FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY tfidf DESC, term ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """,
+    doc="Pure-SQL TF-IDF: document-frequency-weighted term scores, top-10 "
+    "terms per language.  tf = docs-in-lang containing term, "
+    "idf = ln(N/df).  The MLlib HashingTF+IDF twin is ml01.",
+)
+def q81_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension (document count), broadcast as literal
+    tok = d.select("doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "lang",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
+        "lang", "term", "tfidf"
+    )

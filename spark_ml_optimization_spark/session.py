@@ -8,6 +8,9 @@ runtime — ``configure()`` sets only runtime-settable SQL confs.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +34,41 @@ RUNTIME_CONFS = {
 }
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile.
+
+    Python workers unpickle module-level UDF kernels (mapInPandas etc.) by
+    importing their defining module — which only works if the package is on
+    every worker's path.  This is the same mechanism that deploys the
+    library to a real cluster; in local mode it also makes the engine
+    importable regardless of the driver process's cwd.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_root = Path(__file__).resolve().parent
+    import hashlib
+
+    files = sorted(pkg_root.rglob("*.py"))
+    digest = hashlib.md5(
+        "".join(f"{p}:{p.stat().st_mtime_ns}:{p.stat().st_size}" for p in files).encode()
+    ).hexdigest()[:12]
+    zip_path = Path(tempfile.gettempdir()) / f"spark_ml_optimization_spark_{digest}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in files:
+                zf.write(py, Path(pkg_root.name) / py.relative_to(pkg_root))
+    try:
+        sc.addPyFile(str(zip_path))
+    except Exception:
+        pass  # already registered with this context
+    _SHIPPED.add(key)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver- or test-owned)."""
     for k, v in RUNTIME_CONFS.items():
@@ -39,6 +77,7 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not settable at runtime in this Spark build — skip.
             pass
+    _ship_package(spark)
     return spark
 
 

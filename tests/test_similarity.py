@@ -1,0 +1,42 @@
+"""Property tests for the similarity tier: LSH recall vs exact k-NN,
+pandas-UDF numeric parity vs the Catalyst dot product."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_optimization_spark.registry import all_queries
+
+from .conftest import SF_CORRECT
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """LSH top-3 must recover ≥60% of the exact top-3 neighbor pairs
+    across the 20 probes (recall of banded random projections)."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q86_knn_join"].fn(spark, SF_CORRECT).collect()
+    }
+    ann = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q87_ann_lsh"].fn(spark, SF_CORRECT).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_pandas_udf_cosine_matches_catalyst(spark):
+    """numpy kernel and Catalyst HOF dot product agree within 1e-9."""
+    hof = (
+        all_queries()["q85_topk_cosine"].fn(spark, SF_CORRECT).select("vec_id", "score").toPandas()
+    )
+    udf = all_queries()["q91_cosine_pandas_udf"].fn(spark, SF_CORRECT).toPandas()
+    merged = hof.merge(udf, on="vec_id", suffixes=("_hof", "_udf"))
+    assert len(merged) == len(hof)
+    assert (merged.score_hof - merged.score_udf).abs().max() < 1e-6
+
+
+def test_kmeans_covers_all_vectors(spark):
+    df = all_queries()["q90_kmeans_clusters"].fn(spark, SF_CORRECT)
+    total = df.agg(F.sum("n")).collect()[0][0]
+    assert total == 500
