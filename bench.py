@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query suite at the bench scale
+factor and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Env knobs (driver contract):
+    SPARK_GRAFT_SF_DIR  input dir   (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N]    (default all cores)
+    BENCH_QUERIES       comma-separated subset (default: all registered)
+    BENCH_REPEAT        repetitions per query, best-of (default 1)
+
+Each query is timed end-to-end (plan → execute → collect), matching how
+the verify driver consumes results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_ml_optimization_spark import registry  # noqa: E402
+from spark_ml_optimization_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    queries = registry.all_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = [n.strip() for n in subset.split(",")] if subset else sorted(queries)
+
+    # Warm the JVM/scan path once so query 1 doesn't pay session startup.
+    queries["q01_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        q = queries[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                q.fn(spark, sf_dir).collect()
+            except Exception as ex:  # pragma: no cover - surfaced in JSON
+                failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            timings[name] = round(best, 3)
+
+    out = {
+        "metric": "declared-suite wall clock (collect), best-of-%d" % repeat,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""Secondary sources & sinks: CSV / JSON readers (explicit schema, no
+inference) and the partitioned parquet sink + partition-pruned re-read.
+
+SURVEY.md §2.1.  Roundtrips are verified against the DuckDB oracle on the
+*original* table — a hash-match proves the sink+source pair is lossless.
+
+100 TB posture: the parquet sink partitions by a low-cardinality derived
+key (order year) — the layout that makes downstream partition pruning
+(and dynamic partition pruning on joins) effective; CSV/JSON exist for
+interchange only and always carry explicit schemas.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch(key: str) -> str:
+    if key not in _SCRATCH:
+        _SCRATCH[key] = os.path.join(tempfile.gettempdir(), f"{key}_{uuid.uuid4().hex[:10]}")
+    return _SCRATCH[key]
+
+
+@register(
+    "src01_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV sink + source roundtrip of the nation dim with an explicit "
+    "read schema (never inferSchema); hash-match vs the original proves "
+    "losslessness.",
+)
+def src01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    path = _scratch(f"csv_nation_{sf_dir.replace('/', '_')}")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register(
+    "src02_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    doc="JSON-lines sink + source roundtrip (supplier key columns) with "
+    "explicit schema.",
+)
+def src02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    path = _scratch(f"json_supplier_{sf_dir.replace('/', '_')}")
+    s.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "src03_partitioned_parquet_sink",
+    oracle="""
+        SELECT
+            year(o_orderdate) AS order_year,
+            o_orderstatus,
+            count(*) AS n,
+            round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY 1, 2
+    """,
+    doc="Partitioned parquet sink (partitionBy order_year) + re-read with "
+    "a partition filter: the filter prunes to the single 1997 directory "
+    "(PartitionFilters in the scan), then aggregates.  The layout/prune "
+    "pattern that carries the engine to 100 TB.",
+)
+def src03_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    path = _scratch(f"pq_orders_{sf_dir.replace('/', '_')}")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy(F.col("order_year").cast("long").alias("order_year"), "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

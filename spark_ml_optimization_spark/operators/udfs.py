@@ -1,0 +1,156 @@
+"""Python-boundary operator surface: vectorized pandas UDFs (scalar +
+grouped-agg), applyInPandas grouped-map, and a Python UDTF.
+
+SURVEY.md §2.8.  Rules of engagement (SNIPPETS.md retrieved idioms):
+- every Python crossing is Arrow-batched (pandas_udf / applyInPandas /
+  mapInPandas / udtf) — never row-at-a-time F.udf;
+- Python kernels are the slow path by construction, so each operator here
+  also names its pure-Catalyst twin where one exists (q94 ↔ q95), and
+  unit tests assert numeric agreement;
+- outputs are rows-only checked (float reductions in numpy use pairwise
+  summation — deliberately not hash-matched against sequential-order SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q94_zscore_window",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_nationkey,
+            round((c_acctbal - avg(c_acctbal) OVER w)
+                  / stddev_samp(c_acctbal) OVER w, 5) AS zscore
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+    doc="Per-nation z-score via window aggregates — the pure-Catalyst "
+    "twin of q95's pandas kernel (shared semantics, hash-verified here).",
+)
+def q94_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp("c_acctbal").over(w)
+    return c.select("c_custkey", "c_nationkey", F.round(z, 5).alias("zscore"))
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mean = pdf["c_acctbal"].mean()
+    std = pdf["c_acctbal"].std(ddof=1)
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "zscore": (pdf["c_acctbal"] - mean) / std,
+        }
+    )
+
+
+@register(
+    "q95_zscore_apply_in_pandas",
+    oracle=None,  # numpy mean/std reduction order ≠ SQL sequential sums;
+    # parity with q94 within 1e-6 is unit-tested (test_udfs.py).
+    doc="Per-nation z-score via groupBy().applyInPandas: each nation's "
+    "rows arrive as one pandas DataFrame (Arrow), the kernel returns the "
+    "normalized frame.  The grouped-map escape hatch for per-group logic "
+    "Catalyst can't express (per-group model fits etc.).",
+)
+def q95_zscore_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(
+        _zscore_group, schema="c_custkey long, c_nationkey int, zscore double"
+    )
+
+
+@register(
+    "q96_grouped_agg_pandas_udf",
+    oracle=None,  # trimmed mean has no built-in SQL twin; determinism
+    # within floats only — rows-only.
+    doc="Custom UDAF via a GROUPED_AGG pandas UDF: 10%-trimmed mean of "
+    "event value per event_type (robust-statistics aggregate Spark "
+    "lacks natively).",
+)
+def q96_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        clipped = v[(v >= lo) & (v <= hi)]
+        return float(clipped.mean()) if len(clipped) else float("nan")
+
+    e = load_table(spark, sf_dir, "events")
+    # GROUPED_AGG pandas UDFs can't mix with built-in aggregates in one
+    # agg() — compute each and join on the group key.
+    trimmed = e.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 4).alias("trimmed_mean_value")
+    )
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return trimmed.join(counts, "event_type")
+
+
+@register(
+    "q97_scalar_pandas_udf",
+    oracle="""
+        SELECT
+            doc_id,
+            round(1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 300.0) / 100.0)), 6)
+                AS length_sigmoid
+        FROM documents
+    """,
+    doc="Scalar vectorized pandas UDF (Series→Series sigmoid): element-"
+    "wise float math is order-independent, so this one IS hash-matched — "
+    "demonstrating pandas-UDF numeric parity with SQL engines.",
+)
+def q97_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def length_sigmoid(n_chars: pd.Series) -> pd.Series:
+        x = (n_chars.astype("float64") - 300.0) / 100.0
+        return 1.0 / (1.0 + np.exp(-x))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(length_sigmoid("n_chars"), 6).alias("length_sigmoid"))
+
+
+@register(
+    "q98_python_udtf",
+    oracle=None,  # generator UDTF — rows-only (chunk semantics unit-
+    # tested in test_udfs.py).
+    doc="Python UDTF (Spark ≥3.5): chunk each document into ≤40-token "
+    "windows, one output row per chunk, via LATERAL join in SQL — the "
+    "table-function surface (tokenizer/chunker shape for LLM pipelines).",
+)
+def q98_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, head string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(0, len(toks), 40):
+                chunk = toks[i : i + 40]
+                yield i // 40, len(chunk), " ".join(chunk[:3])
+
+    spark.udtf.register("doc_chunker", Chunker)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.head
+        FROM documents d, LATERAL doc_chunker(d.text) AS c
+        """
+    )

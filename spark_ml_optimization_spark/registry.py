@@ -24,6 +24,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Operator modules that register queries on import.
 _MODULES = (
     "spark_ml_optimization_spark.operators.relational",
+    "spark_ml_optimization_spark.operators.subqueries",
+    "spark_ml_optimization_spark.operators.io_ops",
+    "spark_ml_optimization_spark.operators.udfs",
     "spark_ml_optimization_spark.operators.joins",
     "spark_ml_optimization_spark.operators.aggregates",
     "spark_ml_optimization_spark.operators.windows",

@@ -1,0 +1,89 @@
+"""Plan-shape assertions: the properties that decide 100 TB viability.
+
+A query that silently loses pushdown, pruning, or its broadcast strategy
+still passes value checks at fixture scale — these tests are the guard
+rail that the *plan*, not just the answer, stays right.
+"""
+
+from __future__ import annotations
+
+from spark_ml_optimization_spark.plans import (  # noqa: F401
+    explain_formatted,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from spark_ml_optimization_spark.registry import all_queries
+
+from .conftest import SF_CORRECT
+
+
+def _df(spark, name):
+    return all_queries()[name].fn(spark, SF_CORRECT)
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    df = _df(spark, "q01_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    scans = read_schema_columns(df)
+    assert scans, "no parquet scan found"
+    # Q1 needs exactly 7 of lineitem's 11 columns.
+    assert sorted(scans[0]) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_linestatus",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        "l_tax",
+    ]
+
+
+def test_filter_mix_fully_pushed(spark):
+    df = _df(spark, "q03_filter_predicates")
+    fs = " ".join(pushed_filters(df))
+    for col in ("l_quantity", "l_returnflag", "l_discount", "l_shipdate"):
+        assert col in fs, f"{col} not pushed: {fs}"
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = _df(spark, "q10_star_join_revenue")
+    assert has_broadcast_join(df)
+    plan = explain_formatted(df)
+    # the fact⋈fact edge must NOT be a nested-loop cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = explain_formatted(_df(spark, "q46_global_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_path_vectorized_and_partial_agg(spark):
+    """AQE formatted plans hide WholeStageCodegen markers pre-execution;
+    the load-bearing properties are visible instead: vectorized parquet
+    batches feeding the scan, and partial (map-side) aggregation before
+    the exchange, so shuffles carry the aggregated keyspace only."""
+    plan = explain_formatted(_df(spark, "q01_pricing_summary"))
+    assert "Batched: true" in plan
+    assert "partial_sum" in plan
+    assert "Exchange" in plan
+    plan_join = explain_formatted(_df(spark, "q10_star_join_revenue"))
+    assert "partial_sum" in plan_join
+
+
+def test_similarity_broadcasts_query_vector(spark):
+    df = _df(spark, "q85_topk_cosine")
+    plan = explain_formatted(df)
+    assert "Broadcast" in plan  # 1-row query side broadcast, corpus streamed
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_payload_pruned_from_agg(spark):
+    """mm04 aggregates metadata only — the payload (text) column must
+    still be read (it feeds byte length) but doc-level media stats must
+    not shuffle raw text: the agg is partial before exchange."""
+    plan = explain_formatted(_df(spark, "mm04_media_stats"))
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or "partial" in plan.lower()
