@@ -278,6 +278,116 @@ def ml07_model_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml09_categorical_pca_stages",
+    oracle=None,
+    doc="Remaining feature stages: StringIndexer(lang) → OneHotEncoder, "
+    "Bucketizer on n_chars, PCA(8) on embeddings; output = explained-"
+    "variance mass + bucket histogram (stage-shape check).",
+)
+def ml09_categorical_pca_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, Bucketizer, OneHotEncoder, StringIndexer
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("len_d")
+    )
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="lang", outputCol="lang_idx", stringOrderType="alphabetAsc"),
+            OneHotEncoder(inputCol="lang_idx", outputCol="lang_onehot"),
+            Bucketizer(
+                splits=[0.0, 100.0, 200.0, 300.0, 400.0, float("inf")],
+                inputCol="len_d",
+                outputCol="len_bucket",
+            ),
+        ]
+    )
+    cat = pipe.fit(d).transform(d)
+    emb = _labeled_embeddings(spark, sf_dir)
+    pca = PCA(k=8, inputCol="features", outputCol="pca")
+    pca_model = pca.fit(emb)
+    var8 = float(sum(pca_model.explainedVariance))
+    hist = (
+        cat.groupBy(F.col("len_bucket").cast("int").alias("len_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("lang_idx").alias("n_langs"))
+        .withColumn("pca8_explained_var", F.round(F.lit(var8), 6))
+    )
+    return hist
+
+
+@register(
+    "ml10_gbt_regressor",
+    oracle=None,
+    doc="GBTRegressor (20 trees, depth 4, seed pinned) predicting order "
+    "totalprice from order-date features + priority index; output = "
+    "train/test RMSE (regression tree-ensemble surface).",
+)
+def ml10_gbt_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("yr"),
+        F.month("o_orderdate").cast("double").alias("mo"),
+        "o_orderpriority",
+    )
+    idx = StringIndexer(
+        inputCol="o_orderpriority", outputCol="prio_idx", stringOrderType="alphabetAsc"
+    )
+    asm = VectorAssembler(inputCols=["yr", "mo", "prio_idx"], outputCol="features")
+    feats = asm.transform(idx.fit(o).transform(o))
+    train, test = feats.randomSplit([0.8, 0.2], seed=42)
+    gbt = GBTRegressor(maxIter=20, maxDepth=4, seed=42)
+    model = gbt.fit(train)
+    ev = RegressionEvaluator(metricName="rmse")
+    rows = [
+        (
+            round(float(ev.evaluate(model.transform(train))), 2),
+            round(float(ev.evaluate(model.transform(test))), 2),
+            model.getNumTrees,
+        )
+    ]
+    return spark.createDataFrame(rows, schema="rmse_train double, rmse_test double, n_trees int")
+
+
+@register(
+    "ml11_naive_bayes_text",
+    oracle=None,
+    doc="NaiveBayes text classifier: HashingTF counts over document "
+    "tokens vs the embedding labels (multimodal supervision), "
+    "MulticlassClassificationEvaluator accuracy on a seeded split — the "
+    "classic sentiment/classification pipeline shape.",
+)
+def ml11_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("double").alias("label")
+    )
+    data = d.join(e, d.doc_id == e.vec_id).select("text", "label")
+    train, test = data.randomSplit([0.8, 0.2], seed=42)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 12),
+            NaiveBayes(smoothing=1.0),
+        ]
+    )
+    model = pipe.fit(train)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        model.transform(test)
+    )
+    rows = [(round(float(acc), 6), train.count(), test.count())]
+    return spark.createDataFrame(rows, schema="accuracy double, n_train long, n_test long")
+
+
+@register(
     "ml08_sampling_splits",
     oracle=None,
     doc="Seeded sampling surface: randomSplit(70/30) + sample(20%) + "

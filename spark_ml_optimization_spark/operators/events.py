@@ -168,6 +168,54 @@ def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62b_session_window_native",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)
+        ), sess AS (
+            SELECT *,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            min(us) AS session_start_us,
+            max(us) + 1800000000 AS session_end_us,
+            count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="Native session_window(ts, '30 minutes') in BATCH — Spark's "
+    "built-in session operator works outside streaming too.  The oracle "
+    "mirrors with gap-and-island SQL (window end = last event + gap, "
+    "Spark's session_window semantics), proving the native operator ≡ "
+    "the relational decomposition (q62).",
+)
+def q62b_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "q63_watermark_filter",
     oracle="""
         SELECT event_id, user_id, event_type,

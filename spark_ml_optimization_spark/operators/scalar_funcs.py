@@ -244,6 +244,54 @@ def q56_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55b_map_funcs",
+    oracle="""
+        SELECT
+            event_id,
+            'k' AS first_key,
+            CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS first_val,
+            1 AS n_entries,
+            concat('{"k":', regexp_extract(props, '(\\d+)', 1), '}') AS rebuilt_json
+        FROM events
+        WHERE event_id < 3000
+    """,
+    doc="Map-typed surface: from_json to map<string,int>, map_keys/"
+    "map_values/size, and to_json(struct) rebuild.  Oracle mirrors via "
+    "regex on the fixed {\"k\": int} shape (no DuckDB JSON-extension "
+    "dependence).",
+)
+def q55b_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).alias("n_entries"),
+        F.to_json(F.from_json("props", "k INT")).alias("rebuilt_json"),
+    )
+
+
+@register(
+    "q56b_fast_hashes",
+    oracle=None,  # xxhash64 / Murmur3 / crc32 values are engine-specific
+    # — rows-only; md5/sha256 carry the hash-verified parity (q56).
+    doc="Non-cryptographic hash family for shuffle/bucket keys: "
+    "xxhash64, Murmur3 (F.hash), crc32 — the cheap partitioners used "
+    "for salting and band bucketing at scale.",
+)
+def q56b_fast_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("xx64"),
+        F.hash("text").alias("murmur3"),
+        F.crc32(F.encode("text", "UTF-8")).alias("crc"),
+        (F.pmod(F.xxhash64("text"), F.lit(64))).alias("salt_bucket"),
+    )
+
+
+@register(
     "q57_explode_tokens",
     oracle="""
         SELECT word, count(*) AS n

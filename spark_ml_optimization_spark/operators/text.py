@@ -198,8 +198,16 @@ def q80_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-parameter lambdas, so the array must be closed over.
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
-    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
     order = ["en", "de", "es", "fr", "zh"]
+    # Materialize the 5 scores once: the argmax below references each
+    # score many times, and rebuilding the filter-HOF per reference would
+    # re-tokenize the text for every comparison.
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[marker_score(_LANG_MARKERS[lang]).alias(f"score_{lang}") for lang in order],
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in order}
     pred = F.lit("zh")
     # Build the argmax back-to-front so earlier languages win ties.
     for lang in reversed(order[:-1]):
@@ -212,7 +220,7 @@ def q80_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     for lang in order:
         total = scores[lang] if total is None else (total + scores[lang])
-    return d.select("doc_id", "lang", pred.alias("predicted_lang"), total.alias("marker_hits"))
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"), total.alias("marker_hits"))
 
 
 @register(

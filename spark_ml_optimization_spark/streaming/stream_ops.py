@@ -164,6 +164,46 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st06_stateful_apply_in_pandas",
+    oracle=None,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running event count + running value sum carried in "
+    "GroupState across micro-batches (flatMapGroupsWithState twin).  "
+    "Append mode; state schema (count long, total double).",
+)
+def st06_stateful_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _read_events_stream(spark, sf_dir)
+
+    def running_totals(key, pdfs, state: GroupState):
+        (user_id,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        import pandas as pd_local
+
+        yield pd_local.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "total_value": [round(total, 4)]}
+        )
+
+    out = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="count long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "append")
+
+
+@register(
     "st05_stream_foreach_batch_sink",
     oracle=None,
     doc="Exactly-once sink pattern: foreachBatch writing parquet epochs "
