@@ -1,0 +1,391 @@
+"""Composite analytics queries — TPC-H-shaped workloads adapted to the
+simplified fixture schema (no commitdate/shipmode/partsupp columns; see
+FIXTURES.md for the deltas).
+
+These exercise operator *composition*: multi-join star chains + filtered
+aggregation + having-style post-filters + top-k, the plans a warehouse
+workload actually produces.  Each is SQL-oracle hash-verified and sized
+so Catalyst's choices (broadcast vs SMJ, partial agg, AQE coalesce) are
+the interesting part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+def _rev():
+    # built lazily: Column arithmetic with literals needs a live SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "qa1_shipping_priority",
+    oracle="""
+        SELECT
+            l.l_orderkey,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+            o.o_orderdate,
+            o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem, "
+    "revenue per order for orders taken before / shipped after a date, "
+    "top-10.  Dim filter reaches the customer scan; orders⋈lineitem is "
+    "the only big join.",
+)
+def qa1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "qa2_late_shipment_priority",
+    oracle="""
+        SELECT
+            o.o_orderpriority,
+            count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted: late = shipped >90 days after order): "
+    "correlated EXISTS → semi-join, priority histogram.",
+)
+def qa2_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "qa3_revenue_effect",
+    oracle="""
+        SELECT
+            round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
+            count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-scan filtered aggregate — the pure "
+    "pushdown/codegen speed test (no joins, no shuffle beyond 1 agg).",
+)
+def qa3_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_effect"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "qa4_volume_shipping",
+    oracle="""
+        SELECT
+            n1.n_name AS supp_nation,
+            n2.n_name AS cust_nation,
+            year(l.l_shipdate) AS ship_year,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('FRANCE', 'GERMANY')
+          AND n2.n_name IN ('FRANCE', 'GERMANY')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "year — 5-way join with two roles of the nation dim (aliased "
+    "broadcasts).",
+)
+def qa4_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nations = ("FRANCE", "GERMANY")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("volume"))
+    )
+
+
+@register(
+    "qa5_market_share",
+    oracle="""
+        WITH region_rev AS (
+            SELECT
+                year(l.l_shipdate) AS ship_year,
+                r.r_name AS region_name,
+                sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT
+            ship_year,
+            region_name,
+            round(rev, 2) AS revenue,
+            round(rev / sum(rev) OVER (PARTITION BY ship_year), 6) AS market_share
+        FROM region_rev
+    """,
+    doc="TPC-H Q8 shape: per-region revenue share of each year — star "
+    "join + window-normalized fractions (agg → window over agg).",
+)
+def qa5_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.col("r_name").alias("region_name"),
+        )
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    w = W.partitionBy("ship_year")
+    return rev.select(
+        "ship_year",
+        "region_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("market_share"),
+    )
+
+
+@register(
+    "qa6_profit_by_nation",
+    oracle="""
+        SELECT
+            n.n_name AS nation_name,
+            year(l.l_shipdate) AS ship_year,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%green%'
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (adapted: cost = 0.5·retailprice·qty — no "
+    "partsupp table in the fixtures): profit by supplier nation and "
+    "year for green parts.",
+)
+def qa6_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "qa7_returned_items",
+    oracle="""
+        SELECT
+            c.c_custkey,
+            c.c_name,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+            n.n_name AS nation_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue "
+    "since a date.",
+)
+def qa7_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(_rev()), 2).alias("lost_revenue"))
+        .select("c_custkey", "c_name", "lost_revenue", "nation_name")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "qa8_promo_share",
+    oracle="""
+        SELECT
+            round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0.0 END)
+                  / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+            count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share in a quarter — conditional "
+    "aggregation ratio over a broadcast part join.",
+)
+def qa8_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "qa9_big_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        SELECT
+            c.c_custkey,
+            o.o_orderkey,
+            o.o_orderdate,
+            round(o.o_totalprice, 2) AS total_price,
+            round(big.total_qty, 2) AS total_qty
+        FROM big
+        JOIN orders o   ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape: large-quantity orders via HAVING on a grouped "
+    "fact, re-joined to orders+customer.",
+)
+def qa9_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Micro unit tests on hand-built DataFrames with known answers —
+boundary semantics the oracle diff can't isolate (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def test_session_gap_boundary_exactly_30min(spark):
+    """An event exactly 30:00 after the previous one stays in the SAME
+    session (gap must EXCEED the threshold to split) — matches both the
+    gap-and-island SQL and session_window semantics."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly the gap → same session
+        (1, "2024-01-01 01:00:01"),  # 30:01 after → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us")
+    gap_us = 30 * 60 * 1000000
+    flagged = df.withColumn(
+        "is_new",
+        F.when(F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    sids = [r.sid for r in sess.orderBy("us").collect()]
+    assert sids == [1, 1, 2]
+
+
+def test_asof_tie_click_at_same_instant_counts(spark):
+    """A click at exactly the purchase timestamp is visible to the
+    purchase (ASOF <= semantics via sort-order is_purchase tiebreak)."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (1, 100, "click", 10.0),
+        (1, 100, "purchase", 99.0),  # same ts as click → click counts
+        (1, 50, "click", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, event_type string, value double")
+    e = df.select(
+        "user_id",
+        "us",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_purchase").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        e.withColumn("last_click", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .collect()
+    )
+    assert len(out) == 1 and out[0].last_click == 10.0
+
+
+def test_jaccard_known_sets(spark):
+    """J({a,b,c},{b,c,d}) = 2/4 = 0.5 through the q74 expression chain."""
+    rows = [(1, "a b c", "x", "s"), (2, "b c d", "x", "s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    tok = d.select("doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert len(inter) == 1 and inter[0].c == 2
+    ns = {r.doc_id: r.n for r in sizes.collect()}
+    j = inter[0].c / (ns[1] + ns[2] - inter[0].c)
+    assert j == 0.5
+
+
+def test_dot_product_hof_known_vectors(spark):
+    from spark_ml_optimization_spark.functions.vector import dot, to_double_array
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    out = df.select(dot(to_double_array("a"), to_double_array("b")).alias("d")).collect()
+    assert out[0].d == 32.0
+
+
+def test_simhash_identical_texts_equal(spark):
+    from spark_ml_optimization_spark.operators.dedup import _simhash_batch
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["spark sql engine", "spark sql engine", "totally different words here"]})
+    out = next(_simhash_batch(iter([pdf])))
+    assert out.simhash[0] == out.simhash[1]
+    assert out.simhash[0] != out.simhash[2]
+
+
+def test_tumbling_window_boundary_inclusive_start(spark):
+    """Event exactly at a window boundary belongs to the window it
+    starts (start-inclusive, end-exclusive)."""
+    df = spark.createDataFrame([("2024-01-02 00:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = df.groupBy(F.window("ts", "1 day").alias("w")).count().collect()[0]
+    assert w.w.start.isoformat().startswith("2024-01-02T00:00:00")
