@@ -81,7 +81,7 @@ def ml01_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml02_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml import Pipeline
-    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.feature import MinMaxScaler, StandardScaler, VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -93,13 +93,17 @@ def ml02_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=[
             VectorAssembler(inputCols=["len_chars", "len_tokens"], outputCol="raw"),
             StandardScaler(inputCol="raw", outputCol="scaled", withMean=True, withStd=True),
+            MinMaxScaler(inputCol="raw", outputCol="minmaxed"),
         ]
     )
     out = pipe.fit(d).transform(d)
     z = F.element_at(vector_to_array("scaled"), 1)
+    mm = F.element_at(vector_to_array("minmaxed"), 1)
     bucket = F.when(z < -1, "short").when(z < 1, "medium").otherwise("long")
-    return out.select(bucket.alias("length_band")).groupBy("length_band").agg(
-        F.count("*").alias("n_docs")
+    return (
+        out.select(bucket.alias("length_band"), mm.alias("mm"))
+        .groupBy("length_band")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("mm"), 4).alias("avg_minmax"))
     )
 
 

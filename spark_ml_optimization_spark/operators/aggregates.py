@@ -210,6 +210,33 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q29_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, amount
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+            FROM lineitem WHERE l_orderkey < 2000
+        )
+        UNPIVOT (amount FOR metric IN (price, discount, tax))
+    """,
+    doc="Unpivot (wide→long) via stack(): three measure columns become "
+    "(metric, amount) rows — the melt operator, fused into the scan "
+    "projection (no shuffle).",
+)
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'price', l_extendedprice, 'discount', l_discount, 'tax', l_tax) "
+            "AS (metric, amount)"
+        ),
+    )
+
+
+@register(
     "q28_approx_aggs",
     oracle=None,  # HLL++/GK sketches are engine-specific — rows-only check;
     # the exact twins (q21/q22) carry the hash-verified semantics.

@@ -155,6 +155,48 @@ def q73_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_embedding_neardup",
+    oracle="""
+        SELECT
+            a.vec_id AS vec_a,
+            b.vec_id AS vec_b,
+            round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs: same-label blocking "
+    "(labels ≈ cluster ids, the semantic blocking key) → pairwise dot "
+    "(≡ cosine on unit vectors) ≥ 0.35 (p99.9 of the same-label cosine distribution — the fixture vectors are near-orthogonal even within labels).  At 100 TB, blocking comes from "
+    "KMeans cluster assignment (q90) or LSH buckets (q87) instead of a "
+    "given label — the join shape is identical.",
+)
+def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        to_double_array("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        to_double_array("embedding").alias("vb"),
+    )
+    sim = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(sim >= 0.35)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@register(
     "q74_jaccard_pairs",
     oracle="""
         WITH tok AS (

@@ -117,6 +117,66 @@ def q52_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q52b_date_funcs2",
+    oracle="""
+        SELECT
+            o_orderkey,
+            dayofweek(o_orderdate) AS dow_sun0,
+            dayofyear(o_orderdate) AS doy,
+            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+            weekofyear(o_orderdate) AS woy,
+            strftime(make_date(CAST(year(o_orderdate) AS INT), 1, 1), '%Y-%m-%d') AS year_start,
+            epoch_us(o_orderdate) // 1000000 AS unix_sec,
+            round(CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE), 1)
+                AS months_since
+        FROM orders
+        WHERE o_orderkey < 3000
+    """,
+    doc="Second date/time suite: dayofweek (normalized to Sunday=0 on "
+    "both engines), dayofyear, quarter, ISO week, make_date, epoch "
+    "seconds, whole-month difference.",
+)
+def q52b_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)), "yyyy-MM-dd"
+        ).alias("year_start"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .alias("unix_sec"),
+        # whole-month difference: months_between on month-truncated dates
+        F.round(
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ),
+            1,
+        ).alias("months_since"),
+    )
+
+
+@register(
+    "q55c_map_explode",
+    oracle="""
+        SELECT event_id, 'k' AS key, CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS val
+        FROM events
+        WHERE event_id < 2000
+    """,
+    doc="explode over a map column: one row per map entry (generator on "
+    "map type; fixture maps have the single key 'k').",
+)
+def q55c_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    return e.select("event_id", F.explode(m).alias("key", "val"))
+
+
+@register(
     "q53_math_funcs",
     oracle="""
         SELECT

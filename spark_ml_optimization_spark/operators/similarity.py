@@ -162,6 +162,63 @@ def q87_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q92_ann_ivf",
+    oracle=None,  # KMeans routing is iterative/seeded — rows-only;
+    # recall vs exact q86 is unit-tested (test_similarity.py).
+    doc="IVF-style ANN: KMeans(16) coarse quantizer over the corpus, "
+    "probes route to their nProbe=4 nearest centroids, exact re-score "
+    "only within routed cells, top-3 per probe.  The partition-layout "
+    "scale path: at 100 TB the corpus is *written* partitioned by "
+    "cluster id, so a probe reads nProbe/16 of the data (partition "
+    "pruning does the candidate cut).",
+)
+def q92_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
+    )
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select(
+        "vec_id", "cell", vector_to_array("features").alias("vec")
+    )
+    # Centroids as a tiny relation: (cell, centroid vector).
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, cvec array<double>",
+    )
+    probes = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    # Route each probe to its 4 closest centroids (16 × 20 tiny cross).
+    routed = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select("probe_id", "pvec", "cell", dot(F.col("pvec"), F.col("cvec")).alias("cscore"))
+    )
+    w_route = W.partitionBy("probe_id").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    top_cells = routed.withColumn("crn", F.row_number().over(w_route)).filter(F.col("crn") <= 4)
+    # Exact re-score only inside routed cells.
+    cand = (
+        top_cells.select("probe_id", "pvec", "cell")
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("pvec"), F.col("vec")).alias("score"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@register(
     "q88_embedding_stats",
     oracle="""
         SELECT
@@ -239,14 +296,19 @@ def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", array_to_vector(to_double_array("embedding")).alias("features")
     )
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
     km = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster")
     model = km.fit(e)
     pred = model.transform(e)
+    silhouette = ClusteringEvaluator(
+        predictionCol="cluster", featuresCol="features", metricName="silhouette"
+    ).evaluate(pred)
     return pred.groupBy("cluster").agg(
         F.count("*").alias("n"),
         F.mode("label").alias("dominant_label"),
         F.countDistinct("label").alias("n_labels"),
-    )
+    ).withColumn("silhouette", F.round(F.lit(float(silhouette)), 6))
 
 
 def _cosine_udf_batches(qvec: list[float]):

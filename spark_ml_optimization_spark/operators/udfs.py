@@ -126,6 +126,33 @@ def q97_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q99_registered_sql_udf",
+    oracle="""
+        SELECT doc_id, n_chars * 2 + length(lang) AS score
+        FROM documents WHERE doc_id < 200
+    """,
+    doc="spark.udf.register surface: a Python UDF callable from SQL "
+    "text.  Deliberately trivial and integer-only (hash-matchable), and "
+    "deliberately the LAST-resort shape — Catalyst can't see through it "
+    "(no pushdown/codegen), which is why the engine keeps registered "
+    "UDFs off every hot path.",
+)
+def q99_registered_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    def doc_score(n_chars: int, lang: str) -> int:
+        return n_chars * 2 + len(lang)
+
+    spark.udf.register("doc_score", doc_score, T.LongType())
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, doc_score(n_chars, lang) AS score FROM documents WHERE doc_id < 200"
+    )
+
+
+@register(
     "q98_python_udtf",
     oracle=None,  # generator UDTF — rows-only (chunk semantics unit-
     # tested in test_udfs.py).

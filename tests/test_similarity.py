@@ -36,6 +36,21 @@ def test_pandas_udf_cosine_matches_catalyst(spark):
     assert (merged.score_hof - merged.score_udf).abs().max() < 1e-6
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nProbe=4/16 must recover ≥50% of exact top-3 pairs
+    (coarse quantization trades recall for the partition-pruning read)."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q86_knn_join"].fn(spark, SF_CORRECT).collect()
+    }
+    ivf = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q92_ann_ivf"].fn(spark, SF_CORRECT).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_kmeans_covers_all_vectors(spark):
     df = all_queries()["q90_kmeans_clusters"].fn(spark, SF_CORRECT)
     total = df.agg(F.sum("n")).collect()[0][0]
