@@ -210,6 +210,36 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_salted_agg",
+    oracle="""
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation — the hot-key recipe spelled out: "
+    "phase 1 groups on (key, xxhash64(row)%16) so a skewed key spreads "
+    "over 16 reducers; phase 2 merges the partials per key.  Result is "
+    "hash-identical to the plain groupBy (integer-quantized sums make "
+    "the re-aggregation associativity-safe).  Fixture keys are uniform "
+    "(FIXTURES.md) — this exists as the verified pattern for skewed "
+    "deployments.",
+)
+def q48_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    partial = (
+        li.select("l_returnflag", salt, qty_cents.alias("qty_c"))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("qty_c").alias("part_qty"), F.count("*").alias("part_n"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("part_qty") / 100.0).alias("sum_qty"),
+        F.sum("part_n").alias("n"),
+    )
+
+
+@register(
     "q29_unpivot",
     oracle="""
         SELECT l_orderkey, l_linenumber, metric, amount
