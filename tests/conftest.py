@@ -21,6 +21,13 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    """Function-scope alias usable inside @given tests (hypothesis
+    forbids function-scoped fixtures; session scope is fine)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the ten fixture views registered at sf0.01,
     mirroring the driver's oracle setup (__spark_entry__.py:33-35)."""
