@@ -110,6 +110,44 @@ def q34_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q37_scd2_merge",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, round(o_totalprice, 2) + 500.0 AS new_price
+            FROM orders WHERE o_orderstatus = 'P'
+        )
+        SELECT
+            o.o_orderkey,
+            CASE WHEN u.o_orderkey IS NOT NULL THEN u.new_price
+                 ELSE round(o.o_totalprice, 2) END AS current_price,
+            u.o_orderkey IS NOT NULL AS was_updated
+        FROM orders o
+        LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+    doc="MERGE/upsert emulation (no Delta in this image): updates table "
+    "⟕ current table → matched rows take the new (+500.00 surcharge) value, unmatched keep "
+    "the old — the anti-join+union decomposition every CDC pipeline "
+    "uses before a transactional table format is available.  At 100 TB "
+    "the same plan runs as MERGE INTO on Delta/Iceberg with file-level "
+    "pruning; semantics are identical.",
+)
+def q37_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("u_key"),
+        (F.round("o_totalprice", 2) + 500.0).alias("new_price"),
+    )
+    merged = o.join(updates, o.o_orderkey == F.col("u_key"), "left")
+    return merged.select(
+        "o_orderkey",
+        F.when(F.col("u_key").isNotNull(), F.col("new_price"))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("current_price"),
+        F.col("u_key").isNotNull().alias("was_updated"),
+    )
+
+
+@register(
     "q35_intersect_all",
     oracle="""
         SELECT l_suppkey AS keyval FROM lineitem WHERE l_returnflag = 'A'
