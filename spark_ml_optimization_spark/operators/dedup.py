@@ -114,6 +114,84 @@ def q72_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q72b banding geometry: 16 min-hashes = 4 bands × 4 rows.
+_MH_K = 16
+_MH_BANDS = 4
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+@register(
+    "q72b_minhash_banded_custom",
+    oracle=None,  # xxhash64 signatures are Spark-specific — rows-only;
+    # planted-dup recall is unit-tested (test_dedup_groundtruth).
+    doc="Banded MinHash built from first principles as a pure DataFrame "
+    "composition (no MLlib): 3-gram shingles → 16 xxhash64 min-hashes "
+    "per doc (one grouped agg) → 4-row band signatures → band-bucket "
+    "self-join for candidates → signature-estimated Jaccard ≥ 0.5.  "
+    "Demonstrates the custom-operator path: everything is exploded "
+    "rows + groupBy + join, so Catalyst plans, AQE balances, and no "
+    "stage leaves the JVM.  Candidate cost is O(docs·bands), the "
+    "textbook AND-OR amplification (P(candidate) = 1-(1-J⁴)⁴).",
+)
+def q72b_minhash_banded_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    # 16 min-hashes in ONE grouped aggregation (no per-seed passes).
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(_MH_K)]
+    )
+    sig = sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_MH_K)]).alias("sig")
+    )
+    # Band signatures: hash each 4-row slice; explode to (band, band_sig).
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.element_at("sig", b * _MH_ROWS + r + 1) for r in range(_MH_ROWS)]).alias("band_sig"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est_j = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / float(_MH_K)
+    )
+    return cand.select("doc_a", "doc_b", F.round(est_j, 4).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
 _SIMHASH_BITS = 64
 
 

@@ -164,6 +164,67 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st07_stream_static_join",
+    oracle=None,
+    doc="Stream-static join: the live event stream enriched against a "
+    "static per-user profile computed in batch (historical event counts)."
+    "  The static side is re-read per micro-batch by Structured "
+    "Streaming; at scale it's a broadcast dim.",
+)
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    static_profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("hist_events"))
+    )
+    stream = _read_events_stream(spark, sf_dir)
+    joined = (
+        stream.join(static_profile, "user_id")
+        .select("event_id", "user_id", "event_type", "hist_events")
+    )
+    return _run_to_memory(joined, "append")
+
+
+@register(
+    "st08_stream_stream_join",
+    oracle=None,
+    doc="Stream-stream inner join with watermarks on both sides and a "
+    "time-range condition: purchases joined to the same user's clicks "
+    "within the preceding hour — state on both sides is bounded by the "
+    "watermark + range (the canonical funnel/attribution join).",
+)
+def st08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "p_user")
+    return _run_to_memory(joined, "append")
+
+
+@register(
     "st06_stateful_apply_in_pandas",
     oracle=None,
     doc="Custom stateful streaming operator via applyInPandasWithState: "

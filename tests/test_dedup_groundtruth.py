@@ -38,6 +38,28 @@ def test_minhash_recall_on_planted_dups(spark):
     assert exact >= 8
 
 
+def test_custom_banded_minhash_recalls_planted_dups(spark):
+    """q72b (pure-DataFrame banded MinHash) must contain every planted
+    exact-dup pair — identical texts share all 16 min-hashes, so every
+    band collides and est_jaccard = 1.0."""
+    from spark_ml_optimization_spark.sources import load_table
+
+    docs = load_table(spark, SF_BENCH, "documents")
+    dup_pairs = {
+        (r.a, r.b)
+        for r in docs.alias("x")
+        .join(docs.alias("y"), (F.col("x.text") == F.col("y.text")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    assert len(dup_pairs) == 8
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["q72b_minhash_banded_custom"].fn(spark, SF_BENCH).collect()
+    }
+    assert dup_pairs <= got
+
+
 def test_simhash_deterministic_and_dup_invariant(spark):
     """Identical texts → identical simhash; two runs → identical output."""
     sim = all_queries()["q73_simhash"].fn(spark, SF_CORRECT).toPandas()
