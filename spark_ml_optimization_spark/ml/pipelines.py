@@ -247,12 +247,15 @@ def ml06_als_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         coldStartStrategy="drop",
     )
     model = als.fit(ratings)
-    recs = model.recommendForAllUsers(3)
+    # score only the users we report — recommendForAllUsers would run the
+    # full user×item factor product for a 50-row answer.
+    subset = ratings.select("user").distinct().orderBy("user").limit(50)
+    recs = model.recommendForUserSubset(subset, 3)
     return recs.select(
         "user",
         F.size("recommendations").alias("n_recs"),
         F.col("recommendations")[0]["item"].alias("top_item"),
-    ).orderBy("user").limit(50)
+    )
 
 
 @register(
@@ -343,7 +346,7 @@ def ml10_gbt_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     asm = VectorAssembler(inputCols=["yr", "mo", "prio_idx"], outputCol="features")
     feats = asm.transform(idx.fit(o).transform(o))
     train, test = feats.randomSplit([0.8, 0.2], seed=42)
-    gbt = GBTRegressor(maxIter=20, maxDepth=4, seed=42)
+    gbt = GBTRegressor(maxIter=10, maxDepth=4, seed=42)
     model = gbt.fit(train)
     ev = RegressionEvaluator(metricName="rmse")
     rows = [

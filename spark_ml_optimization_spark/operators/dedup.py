@@ -197,24 +197,36 @@ _SIMHASH_BITS = 64
 
 def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched SimHash: md5-derived 64-bit token hashes, bitwise
-    majority vote.  Deterministic across runs/partitions."""
+    majority vote.  Deterministic across runs/partitions.
+
+    Vectorized: per doc, all token hashes become an (n_tokens × 64) bit
+    matrix via np.unpackbits; the majority vote is one column sum.  Token
+    hashes are memoized per batch (the corpus vocabulary is tiny relative
+    to token occurrences)."""
     import hashlib
 
     import numpy as np
 
+    hash_cache: dict[str, np.ndarray] = {}
+
+    def token_bits(tok: str) -> np.ndarray:
+        bits = hash_cache.get(tok)
+        if bits is None:
+            digest8 = hashlib.md5(tok.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest8, dtype=np.uint8)).astype(np.int8)
+            hash_cache[tok] = bits
+        return bits
+
     for pdf in it:
         sigs = np.zeros(len(pdf), dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
         for i, text in enumerate(pdf["text"].tolist()):
-            counts = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-            for tok in set(text.split()):
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for b in range(_SIMHASH_BITS):
-                    counts[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(_SIMHASH_BITS):
-                if counts[b] > 0:
-                    sig |= 1 << b
-            sigs[i] = sig
+            toks = set(text.split())
+            if not toks:
+                continue
+            mat = np.stack([token_bits(t) for t in toks])  # n × 64 of {0,1}
+            votes = mat.sum(axis=0) * 2 - len(toks)  # ±1 majority per bit
+            sigs[i] = np.uint64((weights * (votes > 0)).sum())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs.astype(np.int64)})
 
 

@@ -30,6 +30,7 @@ _MODULES = (
     "spark_ml_optimization_spark.operators.joins",
     "spark_ml_optimization_spark.operators.analytics",
     "spark_ml_optimization_spark.operators.bucketing",
+    "spark_ml_optimization_spark.operators.pipeline_e2e",
     "spark_ml_optimization_spark.operators.aggregates",
     "spark_ml_optimization_spark.operators.windows",
     "spark_ml_optimization_spark.operators.setops",
