@@ -1,0 +1,37 @@
+"""Registry/documentation consistency guards."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from spark_ml_optimization_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_every_query_documented_in_coverage():
+    """COVERAGE.md must mention every registered query id (prefix match
+    for ranges like 'q33–q36' is resolved by explicit presence of the
+    family prefix)."""
+    coverage = (REPO / "COVERAGE.md").read_text()
+    mentioned = set(re.findall(r"\b(?:q[a-z]?\d+\w*|ml\d+\w*|mm\d+\w*|st\d+\w*|src\d+\w*|qp\d+\w*)\b", coverage))
+    missing = []
+    for name in registry.all_queries():
+        short = name.split("_")[0]
+        if name not in coverage and short not in mentioned:
+            missing.append(name)
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_oracle_sql_is_subset_and_nonempty():
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+
+def test_query_names_unique_and_wellformed():
+    for name in registry.all_queries():
+        assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
