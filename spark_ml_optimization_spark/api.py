@@ -1,0 +1,248 @@
+"""User-facing operator API: generic DataFrame-in → DataFrame-out
+functions, independent of the fixture tables.
+
+The registry queries (driver contract) are thin bindings of these onto
+the fixture schema; a user brings any DataFrame with the right columns.
+Every function returns a lazy DataFrame and follows the engine's scale
+rules (SCALE.md): no collect, broadcast where bounded, Python only in
+Arrow-batched kernels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .functions.vector import dot, to_double_array
+
+# ---------------------------------------------------------------- dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact text value."""
+    w = W.partitionBy(F.md5(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: digest, canonical id, multiplicity."""
+    return df.groupBy(F.md5(text_col).alias("text_md5")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingle array built with pure HOFs."""
+    toks = F.split(text_col, sep)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-MinHash near-duplicate candidate pairs (pure DataFrame ops).
+
+    Returns (doc_a, doc_b, est_jaccard).  Cost O(rows·bands) candidates;
+    P(candidate) = 1-(1-J^rows_per_band)^bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+    sig = (
+        sh.groupBy("__id")
+        .agg(*[F.min(F.xxhash64("__sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)])
+        .select("__id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("__id", "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / float(num_hashes)
+    )
+    return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked candidate pairs."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("__tok"),
+    )
+    sizes = tok.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    cond = (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("__common").cast("double") / (F.col("sa.__n") + F.col("sb.__n") - F.col("__common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.__id"))
+        .join(sb, F.col("doc_b") == F.col("sb.__id"))
+        .filter(jac >= min_jaccard)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+
+def topk_similar(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by dot product against a 1-row query relation with a
+    double-array column named 'qvec' (broadcast; no corpus shuffle)."""
+    score = dot(to_double_array(vec_col), F.col("qvec"))
+    return (
+        corpus.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-NN join: broadcast probes × corpus, rank per probe."""
+    score = dot(to_double_array(vec_col), to_double_array(probe_vec_col))
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            F.col(probe_id_col).alias("probe_id"),
+            F.col(id_col).alias("neighbor_id"),
+            score.alias("score"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------- events
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_micros_col: str,
+    order_col: str,
+    gap_micros: int,
+) -> DataFrame:
+    """Gap-and-island session ids (column 'session_id' appended)."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_micros_col).asc(), F.col(order_col).asc())
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_micros_col).over(w).isNull()
+            | ((F.col(ts_micros_col) - F.lag(ts_micros_col).over(w)) > gap_micros),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    ).drop("__new")
+
+
+def asof_join_latest(
+    df: DataFrame,
+    user_col: str,
+    ts_micros_col: str,
+    order_col: str,
+    event_flag_col: str,
+    value_col: str,
+    out_col: str = "last_value",
+) -> DataFrame:
+    """For rows where event_flag=1, the latest prior (<=) value from
+    rows where the value column is non-null — join-free ASOF."""
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col(ts_micros_col).asc(), F.col(event_flag_col).asc(), F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+# ------------------------------------------------------------------ text
+
+
+def quality_signals(df: DataFrame, text_col: str, n_chars_col: str) -> DataFrame:
+    """Append n_tokens / avg_token_len / passes_quality columns."""
+    toks = F.split(text_col, " ")
+    n_tokens = F.size(toks).cast("long")
+    avg_len = F.col(n_chars_col).cast("double") / n_tokens
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_len, 6))
+        .withColumn("passes_quality", (n_tokens >= 10) & avg_len.between(3, 12))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    canon = F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+    return df.withColumn(out_col, canon)

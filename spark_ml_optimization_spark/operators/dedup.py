@@ -45,11 +45,10 @@ from ..sources import load_table
     "(tests/test_dedup_groundtruth.py asserts them).",
 )
 def q70_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import dup_groups
+
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("text_md5")).agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count("*").alias("n_copies"),
-    )
+    return dup_groups(d, "text", "doc_id")
 
 
 @register(
@@ -68,15 +67,10 @@ def q70_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic dropDuplicates(['text']) with pinned survivor choice.",
 )
 def q71_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..api import exact_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
-    )
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
 @register(
@@ -114,82 +108,24 @@ def q72_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: q72b banding geometry: 16 min-hashes = 4 bands × 4 rows.
-_MH_K = 16
-_MH_BANDS = 4
-_MH_ROWS = _MH_K // _MH_BANDS
-
-
 @register(
     "q72b_minhash_banded_custom",
     oracle=None,  # xxhash64 signatures are Spark-specific — rows-only;
     # planted-dup recall is unit-tested (test_dedup_groundtruth).
     doc="Banded MinHash built from first principles as a pure DataFrame "
-    "composition (no MLlib): 3-gram shingles → 16 xxhash64 min-hashes "
-    "per doc (one grouped agg) → 4-row band signatures → band-bucket "
-    "self-join for candidates → signature-estimated Jaccard ≥ 0.5.  "
-    "Demonstrates the custom-operator path: everything is exploded "
-    "rows + groupBy + join, so Catalyst plans, AQE balances, and no "
-    "stage leaves the JVM.  Candidate cost is O(docs·bands), the "
-    "textbook AND-OR amplification (P(candidate) = 1-(1-J⁴)⁴).",
+    "composition (no MLlib; api.minhash_neardup_pairs): 3-gram shingles "
+    "→ 16 xxhash64 min-hashes per doc (one grouped agg) → 4-row band "
+    "signatures → band-bucket self-join for candidates → signature-"
+    "estimated Jaccard ≥ 0.5.  Demonstrates the custom-operator path: "
+    "everything is exploded rows + groupBy + join, so Catalyst plans, "
+    "AQE balances, and no stage leaves the JVM.  Candidate cost is "
+    "O(docs·bands), textbook AND-OR amplification (P = 1-(1-J⁴)⁴).",
 )
 def q72b_minhash_banded_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import minhash_neardup_pairs
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-        )
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
-    # 16 min-hashes in ONE grouped aggregation (no per-seed passes).
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(_MH_K)]
-    )
-    sig = sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_MH_K)]).alias("sig")
-    )
-    # Band signatures: hash each 4-row slice; explode to (band, band_sig).
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", b * _MH_ROWS + r + 1) for r in range(_MH_ROWS)]).alias("band_sig"),
-                    )
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est_j = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
-        / float(_MH_K)
-    )
-    return cand.select("doc_a", "doc_b", F.round(est_j, 4).alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= 0.5
-    )
+    return minhash_neardup_pairs(d, "doc_id", "text")
 
 
 _SIMHASH_BITS = 64
@@ -319,32 +255,7 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale; the blocking keys bound the join fan-out.",
 )
 def q74_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import jaccard_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_pairs(d, "doc_id", "text", ["lang", "source"], min_jaccard=0.8)

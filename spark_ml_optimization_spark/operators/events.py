@@ -144,21 +144,12 @@ def q61_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is streaming.stream_ops.st03.",
 )
 def q62_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import sessionize
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
-    w = W.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
-    gap_us = 30 * 60 * _MICRO
-    flagged = e.withColumn(
-        "is_new",
-        F.when(
-            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us), 1
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
-    )
+    sess = sessionize(e, "user_id", "us", "event_id", gap_micros=30 * 60 * _MICRO)
     return sess.groupBy("user_id", "session_id").agg(
         F.min("us").alias("session_start_us"),
         F.max("us").alias("session_end_us"),
@@ -311,13 +302,13 @@ def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
         )
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("us").asc(), F.col("is_purchase").asc(), F.col("event_id").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    from ..api import asof_join_latest
+
     return (
-        e.withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        asof_join_latest(
+            e, "user_id", "us", "event_id", "is_purchase", "click_value",
+            out_col="last_click_value",
+        )
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", F.col("value").alias("purchase_value"), "last_click_value")
     )

@@ -108,17 +108,10 @@ def q86_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("probe_id"), to_double_array("embedding").alias("pvec"))
     )
-    score = dot(to_double_array("embedding"), F.col("pvec"))
-    scored = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("neighbor_id"), score.alias("score"))
-    )
-    w = W.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    from ..api import knn_join
+
+    return knn_join(e, "vec_id", "embedding", probes, "probe_id", "pvec", k=3).select(
+        "probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rn"
     )
 
 

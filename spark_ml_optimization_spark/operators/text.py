@@ -130,12 +130,13 @@ def q78_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5 (plus an 8-hex-char bucket prefix for sharded dedup indexes).",
 )
 def q79_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import fingerprint
+
     d = load_table(spark, sf_dir, "documents")
-    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    return d.select(
+    return fingerprint(d, "text").select(
         "doc_id",
-        canon.alias("fingerprint"),
-        F.substring(canon, 1, 8).alias("bucket8"),
+        "fingerprint",
+        F.substring("fingerprint", 1, 8).alias("bucket8"),
     )
 
 

@@ -1,0 +1,65 @@
+"""The user-facing api module exercised on hand-built DataFrames —
+the 'switch to this engine' surface, independent of the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_optimization_spark import api
+
+
+def test_exact_dedup_and_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different text")],
+        "id long, body string",
+    )
+    surv = api.exact_dedup(df, "body", "id")
+    assert {r.id for r in surv.collect()} == {1, 3}
+    groups = api.dup_groups(df, "body", "id")
+    assert {(r.keep_id, r.n_copies) for r in groups.collect()} == {(1, 2), (3, 1)}
+
+
+def test_minhash_pairs_on_synthetic_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(3)] + [
+        (10, "completely unrelated words about spark sql engines and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, body string")
+    pairs = api.minhash_neardup_pairs(df, "id", "body")
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_sessionize_generic(spark):
+    df = spark.createDataFrame(
+        [(7, 1, 0), (7, 2, 50), (7, 3, 500)], "u long, eid long, t long"
+    )
+    out = api.sessionize(df, "u", "t", "eid", gap_micros=100)
+    sids = {r.eid: r.session_id for r in out.collect()}
+    assert sids == {1: 1, 2: 1, 3: 2}
+
+
+def test_topk_similar_generic(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "id long, v array<double>",
+    )
+    query = spark.createDataFrame([([1.0, 0.0],)], "qvec array<double>")
+    top = api.topk_similar(corpus, "id", "v", query, k=2).collect()
+    assert [r.id for r in top] == [1, 3]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven", 56)],
+        "id long, body string, n long",
+    )
+    q = api.quality_signals(df, "body", "n").collect()[0]
+    assert q.n_tokens == 11 and bool(q.passes_quality)
+    f1 = api.fingerprint(df, "body").collect()[0].fingerprint
+    df2 = spark.createDataFrame(
+        [(2, "  one two three four five six seven eight nine ten   eleven ", 60)],
+        "id long, body string, n long",
+    )
+    f2 = api.fingerprint(df2, "body").collect()[0].fingerprint
+    assert f1 == f2  # whitespace-normalized canonical form
