@@ -389,3 +389,173 @@ def qa9_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "qa10_national_account_share",
+    oracle="""
+        WITH tot AS (SELECT sum(s_acctbal) AS total FROM supplier WHERE s_acctbal > 0)
+        SELECT
+            n.n_name AS nation_name,
+            round(sum(s.s_acctbal), 2) AS nation_bal,
+            round(sum(s.s_acctbal) / (SELECT total FROM tot), 6) AS share
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal > 0
+        GROUP BY n.n_name
+        HAVING sum(s.s_acctbal) > 0.01 * (SELECT total FROM tot)
+    """,
+    doc="TPC-H Q11 shape (adapted to supplier balances — no partsupp): "
+    "per-nation share of positive account balance with a HAVING gate on "
+    "a scalar-subquery fraction.",
+)
+def qa10_national_account_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    n = load_table(spark, sf_dir, "nation")
+    tot = s.agg(F.sum("s_acctbal").alias("total"))
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum("s_acctbal").alias("bal"))
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(tot))
+        .filter(F.col("bal") > 0.01 * F.col("total"))
+        .select(
+            "nation_name",
+            F.round("bal", 2).alias("nation_bal"),
+            F.round(F.col("bal") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "qa11_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, round(rev.r, 2) AS total_revenue
+        FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.r = (SELECT max(r) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: revenue view + max-revenue supplier via scalar "
+    "subquery over the same derived relation (shared CTE both engines).",
+)
+def qa11_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("r", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "qa12_parts_supplier_counts",
+    oracle="""
+        SELECT
+            p.p_brand,
+            p.p_type,
+            p.p_size,
+            count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per brand/type/size "
+    "with negative predicates (<>, NOT IN) and an IN value list.",
+)
+def qa12_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "qa13_disjunctive_revenue",
+    oracle="""
+        SELECT
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+            count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 1 AND 15
+               AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#7' AND l.l_quantity BETWEEN 10 AND 25
+               AND p.p_size BETWEEN 5 AND 20)
+           OR (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 20 AND 35
+               AND p.p_size BETWEEN 10 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive band predicates "
+    "across the join — Catalyst pushes the common join key and applies "
+    "the OR-of-ANDs as one post-join filter.",
+)
+def qa13_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(1, 15) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#7") & F.col("l_quantity").between(10, 25) & F.col("p_size").between(5, 20))
+        | ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(20, 35) & F.col("p_size").between(10, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "qa16_inactive_rich_customers",
+    oracle="""
+        SELECT
+            substr(c_name, 10, 2) AS cust_group,
+            count(*) AS n_custs,
+            round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+    "orders — scalar subquery + anti join + grouped aggregate.",
+)
+def qa16_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy(F.substring("c_name", 10, 2).alias("cust_group")).agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -348,3 +348,66 @@ def q66_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("e1.user_id").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "q67_funnel",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        ), s AS (
+            SELECT user_id, min(us) AS us FROM e WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.us) AS us
+            FROM e JOIN s ON e.user_id = s.user_id AND e.us > s.us
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.us) AS us
+            FROM e JOIN c ON e.user_id = c.user_id AND e.us > c.us
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT 'signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT 'click_after_signup', count(*) FROM c
+        UNION ALL SELECT 'purchase_after_click', count(*) FROM p
+    """,
+    doc="Ordered funnel conversion: signup → first later click → first "
+    "later purchase, per user; counts per stage.  Each stage is a "
+    "min-aggregate over a time-constrained join on the previous stage — "
+    "no window state, scales linearly in events.",
+)
+def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_users")).select(F.lit("signup").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("click_after_signup").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
