@@ -281,3 +281,45 @@ def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median_qty"),
     )
+
+
+@register(
+    "q49_incremental_agg_merge",
+    oracle="""
+        SELECT
+            l_returnflag,
+            round(sum(l_quantity), 2) AS sum_qty,
+            count(*) AS n,
+            round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Incremental-aggregation pattern: the fact is split into two "
+    "halves (old/new), each partially aggregated to (sum, count, max) "
+    "state, then the states are MERGED — producing exactly the direct "
+    "aggregate (the oracle).  This mergeability is what lets 100 TB "
+    "pipelines maintain rollups incrementally instead of rescanning "
+    "history (integer-quantized sums make the merge associativity-safe).",
+)
+def q49_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.sum(qty_cents).alias("p_qty"),
+            F.count("*").alias("p_n"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+
+    old = partial(li.filter(F.col("l_orderkey") % 2 == 0))
+    new = partial(li.filter(F.col("l_orderkey") % 2 == 1))
+    return (
+        old.unionByName(new)
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum("p_qty") / 100.0).alias("sum_qty"),
+            F.sum("p_n").alias("n"),
+            F.round(F.max("p_max"), 2).alias("max_price"),
+        )
+    )

@@ -335,3 +335,47 @@ def q91_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .mapInPandas(fn, schema="vec_id long, score double")
     )
+
+
+@register(
+    "q93_embedding_quantization",
+    oracle="""
+        WITH q AS (
+            SELECT
+                vec_id,
+                label,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> round(x * 127) / 127.0) AS qvec,
+                CAST(embedding AS DOUBLE[]) AS dvec
+            FROM embeddings
+        )
+        SELECT
+            label,
+            count(*) AS n_vecs,
+            sum(CAST(round(list_dot_product(qvec, qvec) * 1000000) AS BIGINT))
+                / count(*) / 1000000.0 AS avg_q_sq_norm,
+            sum(CAST(round(list_dot_product(qvec, dvec) * 1000000) AS BIGINT))
+                / count(*) / 1000000.0 AS avg_fidelity
+        FROM q
+        GROUP BY label
+    """,
+    doc="Int8-grid scalar quantization of the embedding column (x → "
+    "round(127x)/127) with per-label fidelity stats (⟨q,v⟩ ≈ 1 on unit "
+    "vectors) — the storage-compression step a 100 TB vector corpus "
+    "applies before IVF layout; pure HOF expressions, no UDF.",
+)
+def q93_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dvec = to_double_array("embedding")
+    qvec = F.transform(dvec, lambda x: F.round(x * 127, 0) / 127.0)
+    q_sq = dot(qvec, qvec)
+    fid = dot(qvec, dvec)
+    return e.select("vec_id", "label", q_sq.alias("qq"), fid.alias("qd")).groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.round(F.col("qq") * 1000000, 0).cast("long")) / F.count("*") / 1000000.0).alias(
+            "avg_q_sq_norm"
+        ),
+        (F.sum(F.round(F.col("qd") * 1000000, 0).cast("long")) / F.count("*") / 1000000.0).alias(
+            "avg_fidelity"
+        ),
+    )

@@ -270,3 +270,34 @@ def q81_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
         "lang", "term", "tfidf"
     )
+
+
+@register(
+    "q82_stopword_filter",
+    oracle="""
+        SELECT
+            doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            len(list_filter(string_split(text, ' '),
+                t -> NOT list_contains(['the','a','of','and','to','in','is','for','on','with'], t)))
+                AS n_content_tokens
+        FROM documents
+        WHERE doc_id < 300
+    """,
+    doc="Stopword removal as a pure HOF expression (array filter against "
+    "a broadcast-literal stop list) — the codegen'd twin of MLlib's "
+    "StopWordsRemover (ml01).",
+)
+def q82_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    stop = F.array(
+        *[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]]
+    )
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: ~F.array_contains(stop, t))).cast("long").alias(
+            "n_content_tokens"
+        ),
+    )
