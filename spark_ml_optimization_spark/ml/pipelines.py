@@ -410,3 +410,99 @@ def ml08_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="n_train long, n_test long, n_sample long, n_stratified long"
     )
+
+
+@register(
+    "ml12_pipeline_cv",
+    oracle=None,
+    doc="Pipeline-level tuning — the canonical MLlib pattern: "
+    "CrossValidator wraps the WHOLE Pipeline (Tokenizer → HashingTF → "
+    "IDF → LogisticRegression), so the grid spans feature params "
+    "(numFeatures) and model params (regParam) jointly; output = one "
+    "row per grid cell with CV accuracy.",
+)
+def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("double").alias("label")
+    )
+    data = d.join(e, d.doc_id == e.vec_id).select("text", "label")
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    tf = HashingTF(inputCol="tokens", outputCol="tf")
+    idf = IDF(inputCol="tf", outputCol="features")
+    lr = LogisticRegression(maxIter=15, family="multinomial")
+    pipe = Pipeline(stages=[tok, tf, idf, lr])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(tf.numFeatures, [1 << 10, 1 << 13])
+        .addGrid(lr.regParam, [0.01, 0.1])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        numFolds=2,
+        parallelism=4,
+        seed=42,
+    )
+    model = cv.fit(data)
+    best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (
+            int(pm[tf.numFeatures]),
+            float(pm[lr.regParam]),
+            round(float(model.avgMetrics[i]), 6),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, schema="num_features int, reg_param double, cv_accuracy double, is_best boolean"
+    )
+
+
+@register(
+    "ml13_cv_parallelism_speedup",
+    oracle=None,
+    doc="The tuning knob measured: identical CrossValidator fit run with "
+    "parallelism=1 vs parallelism=4; output = both wall times and the "
+    "speedup.  This is the concrete 'optimization for Spark ML' the "
+    "reference category names — grid cells are independent, so tuning "
+    "throughput scales with cluster slack.",
+)
+def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _labeled_embeddings(spark, sf_dir).cache()
+    data.count()  # materialize once so both runs see identical input state
+    lr = LogisticRegression(maxIter=15, family="multinomial")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.005, 0.05, 0.5]).build()
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+
+    def fit_with(par: int) -> float:
+        cv = CrossValidator(
+            estimator=lr, estimatorParamMaps=grid, evaluator=ev,
+            numFolds=2, parallelism=par, seed=42,
+        )
+        t0 = time.perf_counter()
+        cv.fit(data)
+        return time.perf_counter() - t0
+
+    serial = fit_with(1)
+    parallel = fit_with(4)
+    data.unpersist()
+    rows = [(round(serial, 2), round(parallel, 2), round(serial / parallel, 2))]
+    return spark.createDataFrame(
+        rows, schema="serial_sec double, parallel_sec double, speedup double"
+    )

@@ -259,3 +259,96 @@ def q74_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text", ["lang", "source"], min_jaccard=0.8)
+
+@register(
+    "q74b_dup_components",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            WITH tok AS (
+                SELECT DISTINCT doc_id, lang, source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM tok a
+                JOIN tok b ON a.token = b.token AND a.lang = b.lang
+                          AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(node, root) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, min(root) AS component, count(DISTINCT root) AS component_size
+        FROM reach GROUP BY node
+    """,
+    doc="Near-duplicate CLUSTERS: connected components over the exact-"
+    "Jaccard pair graph (q74 edges) via iterative min-label propagation "
+    "on DataFrames — the GraphX-free CC: broadcast-join label exchange "
+    "per round until fixpoint (bounded rounds = graph diameter).  Oracle "
+    "mirrors with a recursive CTE.  This is how pair lists become "
+    "canonical keep/drop decisions in a real dedup pipeline.",
+)
+def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", ["lang", "source"], min_jaccard=0.8).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    # label propagation: label(node) = min(label(node), min label of neighbors)
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    )
+    edges = edges.cache()
+    labels = labels.cache()
+    for _ in range(20):  # ≥ graph diameter for any realistic dup cluster
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+    # component_size in the oracle counts distinct reachable roots per
+    # node, which for a converged min-labeling equals the number of
+    # distinct labels seen = 1..n; mirror with the count of component
+    # members' distinct roots reachable — for a fixpoint min-label CC the
+    # oracle's count(DISTINCT root) per node equals the number of label
+    # updates; simpler: both sides report the node's final component and
+    # the count of nodes sharing it.
+    return labels.join(sizes, "component").select(
+        "node", "component", F.col("sz").alias("component_size")
+    ).withColumnRenamed("node", "doc_id")

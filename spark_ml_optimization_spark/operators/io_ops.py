@@ -101,3 +101,33 @@ def src03_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "src05_pandas_on_spark",
+    oracle="""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="pandas-on-Spark API surface (pyspark.pandas): the same corpus "
+    "profile expressed with the pandas idiom (groupby/agg) — compiles to "
+    "the identical Catalyst plan as the DataFrame form and hash-matches "
+    "the SQL oracle; the migration on-ramp for pandas codebases.",
+)
+def src05_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    from ..session import configure
+
+    configure(spark)
+    psdf = ps.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = (
+        psdf.groupby("lang")
+        .agg(n_docs=("doc_id", "count"), total_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "lang", F.col("n_docs").cast("long"), F.col("total_chars").cast("long")
+    )
