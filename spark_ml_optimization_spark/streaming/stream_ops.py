@@ -174,10 +174,13 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
+    # materialize the static side once — streaming re-evaluates static
+    # plans per micro-batch otherwise
     static_profile = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("hist_events"))
+        .localCheckpoint(eager=True)
     )
     stream = _read_events_stream(spark, sf_dir)
     joined = (
