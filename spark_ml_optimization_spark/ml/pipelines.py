@@ -25,13 +25,16 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import to_double_array
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread
 
 
 def _labeled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
-    return load_table(spark, sf_dir, "embeddings").select(
+    # spread(8): iterative estimators schedule one task wave per iteration,
+    # so a single input split serializes every iteration onto one core
+    # (measured: GBT 8.4s → 5.0s, RF 2.1s → 1.1s at sf0.1 with 8 splits).
+    return spread(load_table(spark, sf_dir, "embeddings"), 8).select(
         "vec_id",
         F.col("label").cast("double").alias("label"),
         array_to_vector(to_double_array("embedding")).alias("features"),
@@ -46,30 +49,38 @@ def _labeled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "= per-language mean TF-IDF vector norm (stable small schema).",
 )
 def ml01_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml import Pipeline
     from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
-    d = load_table(spark, sf_dir, "documents")
-    pipe = Pipeline(
-        stages=[
-            Tokenizer(inputCol="text", outputCol="tokens"),
-            StopWordsRemover(inputCol="tokens", outputCol="clean_tokens"),
-            HashingTF(inputCol="clean_tokens", outputCol="tf", numFeatures=1 << 14),
-            IDF(inputCol="tf", outputCol="tfidf"),
-        ]
+    # The tokenize→hash prefix is all Transformers (no fit); applying it
+    # once and persisting means the corpus is tokenized a single time —
+    # Pipeline.fit(d).transform(d) re-runs the whole prefix for the
+    # transform pass.  spread() parallelizes the per-row 2^14-dim norm
+    # HOF (measured: 5-6s → 1.2-1.4s warm at sf0.1).
+    d = spread(load_table(spark, sf_dir, "documents"), 32)
+    tok = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    clean = StopWordsRemover(inputCol="tokens", outputCol="clean_tokens").transform(tok)
+    tf = (
+        HashingTF(inputCol="clean_tokens", outputCol="tf", numFeatures=1 << 14)
+        .transform(clean)
+        .select("lang", "tf")
+        .persist()
     )
-    out = pipe.fit(d).transform(d)
-    arr = vector_to_array("tfidf")
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        out.select("lang", norm.alias("tfidf_norm"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("tfidf_norm"), 4).alias("avg_tfidf_norm"),
+    try:
+        out = IDF(inputCol="tf", outputCol="tfidf").fit(tf).transform(tf)
+        arr = vector_to_array("tfidf")
+        norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+        return (
+            out.select("lang", norm.alias("tfidf_norm"))
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("tfidf_norm"), 4).alias("avg_tfidf_norm"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        tf.unpersist()
 
 
 @register(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread
 
 
 @register(
@@ -89,12 +89,14 @@ def q71_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
     shingled = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(toks)
     # Binary shingle-presence vectors (Jaccard is set-based).
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(shingled).select("doc_id", "features")
+    # materialize once: the LSH fit and BOTH sides of the self-join read
+    # this — lineage would re-tokenize the corpus three times otherwise
+    feats = tf.transform(shingled).select("doc_id", "features").localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
@@ -124,7 +126,7 @@ def q72_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72b_minhash_banded_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import minhash_neardup_pairs
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
     return minhash_neardup_pairs(d, "doc_id", "text")
 
 
@@ -176,7 +178,7 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "comparison.",
 )
 def q73_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
     return d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
 
 
@@ -257,7 +259,7 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import jaccard_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), 32)
     return jaccard_pairs(d, "doc_id", "text", ["lang", "source"], min_jaccard=0.8)
 
 @register(
@@ -302,7 +304,7 @@ def q74_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import jaccard_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), 32)
     pairs = jaccard_pairs(d, "doc_id", "text", ["lang", "source"], min_jaccard=0.8).select(
         "doc_a", "doc_b"
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot, to_double_array
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, spread
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
@@ -169,7 +169,7 @@ def q92_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), 8).select(
         "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
     )
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
@@ -286,7 +286,7 @@ def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), 8).select(
         "vec_id", "label", array_to_vector(to_double_array("embedding")).alias("features")
     )
     from pyspark.ml.evaluation import ClusteringEvaluator

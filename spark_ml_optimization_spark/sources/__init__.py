@@ -1,1 +1,1 @@
-from .io import TABLES, load_table, register_views  # noqa: F401
+from .io import TABLES, load_table, register_views, spread  # noqa: F401

@@ -64,6 +64,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen — never shrink — partitioning before CPU-heavy per-row work.
+
+    Small parquet fixtures arrive as a single input split, which serializes
+    hash/UDF/ML kernels onto one core.  ``spread`` round-robins the rows to
+    ``target`` partitions (default ``sc.defaultParallelism``) only when the
+    input has fewer — at cluster scale, where a 100 TB scan already yields
+    thousands of splits, it is a no-op and costs no shuffle.  Iterative ML
+    fits on small inputs want a modest ``target`` (~8): each training
+    iteration schedules one task wave, so per-task overhead dominates past
+    that.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every relation as a temp view under its bare name.
 
