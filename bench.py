@@ -40,8 +40,25 @@ def main() -> int:
     subset = os.environ.get("BENCH_QUERIES")
     names = [n.strip() for n in subset.split(",")] if subset else sorted(queries)
 
-    # Warm the JVM/scan path once so query 1 doesn't pay session startup.
+    # Warm all three execution paths once so the first query of each kind
+    # doesn't pay one-time startup inside its measured window: JVM/scan
+    # (parquet + codegen), Python workers (Arrow/pandas UDF fork+import),
+    # and the MLlib fit path (JIT of the optimizer loop).
     queries["q01_pricing_summary"].fn(spark, sf_dir).collect()
+    try:
+        import pandas as _pd  # noqa: F401
+
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.linalg import Vectors
+
+        warm = spark.createDataFrame(
+            [(float(i % 2), Vectors.dense([float(i), 1.0])) for i in range(8)],
+            ["label", "features"],
+        )
+        LogisticRegression(maxIter=1).fit(warm)
+        spark.range(4).mapInPandas(lambda it: it, schema="id long").collect()
+    except Exception:
+        pass  # warm-up must never fail the bench
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

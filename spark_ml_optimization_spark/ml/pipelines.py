@@ -132,8 +132,11 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    data = _labeled_embeddings(spark, sf_dir)
-    lr = LogisticRegression(maxIter=25, family="multinomial")
+    # Cache: CV touches the input 2×numFolds×|grid| times — without this
+    # every fold re-runs the parquet scan + vector conversion.
+    data = _labeled_embeddings(spark, sf_dir).cache()
+    data.count()
+    lr = LogisticRegression(maxIter=12, family="multinomial")
     grid = (
         ParamGridBuilder()
         .addGrid(lr.regParam, [0.01, 0.1])
@@ -150,6 +153,7 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = cv.fit(data)
+    data.unpersist()
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -443,11 +447,12 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("double").alias("label")
     )
-    data = d.join(e, d.doc_id == e.vec_id).select("text", "label")
+    data = d.join(e, d.doc_id == e.vec_id).select("text", "label").cache()
+    data.count()
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf")
     idf = IDF(inputCol="tf", outputCol="features")
-    lr = LogisticRegression(maxIter=15, family="multinomial")
+    lr = LogisticRegression(maxIter=10, family="multinomial")
     pipe = Pipeline(stages=[tok, tf, idf, lr])
     grid = (
         ParamGridBuilder()
@@ -464,6 +469,7 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = cv.fit(data)
+    data.unpersist()
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -497,7 +503,7 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     data = _labeled_embeddings(spark, sf_dir).cache()
     data.count()  # materialize once so both runs see identical input state
-    lr = LogisticRegression(maxIter=15, family="multinomial")
+    lr = LogisticRegression(maxIter=8, family="multinomial")
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.005, 0.05, 0.5]).build()
     ev = MulticlassClassificationEvaluator(metricName="accuracy")
 

@@ -172,7 +172,9 @@ def q92_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"), 8).select(
         "vec_id", array_to_vector(to_double_array("embedding")).alias("features")
     )
-    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    # A coarse quantizer only partitions space — 5 Lloyd iterations suffice
+    # (recall floor is unit-tested; convergence adds cost, not recall).
+    km = KMeans(k=16, seed=42, maxIter=5, featuresCol="features", predictionCol="cell")
     model = km.fit(e)
     assigned = model.transform(e).select(
         "vec_id", "cell", vector_to_array("features").alias("vec")
@@ -291,7 +293,7 @@ def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.ml.evaluation import ClusteringEvaluator
 
-    km = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster")
+    km = KMeans(k=10, seed=42, maxIter=10, featuresCol="features", predictionCol="cluster")
     model = km.fit(e)
     pred = model.transform(e)
     silhouette = ClusteringEvaluator(
