@@ -57,6 +57,13 @@ def main() -> int:
         )
         LogisticRegression(maxIter=1).fit(warm)
         spark.range(4).mapInPandas(lambda it: it, schema="id long").collect()
+        # Streaming engine init (state store, micro-batch scheduler) costs
+        # ~7 s once per session — warm it at the smallest fixture scale.
+        small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if "st01_stream_tumbling" in queries:
+            queries["st01_stream_tumbling"].fn(
+                spark, small if os.path.isdir(small) else sf_dir
+            ).collect()
     except Exception:
         pass  # warm-up must never fail the bench
 
