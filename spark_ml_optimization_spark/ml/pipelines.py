@@ -132,10 +132,10 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
-    # Cache: CV touches the input 2×numFolds×|grid| times — without this
-    # every fold re-runs the parquet scan + vector conversion.
-    data = _labeled_embeddings(spark, sf_dir).cache()
-    data.count()
+    # Not cached: the input is one parquet scan + vector conversion, and
+    # re-computing it per fold measures cheaper than cache-read + the
+    # materializing count (A/B'd at sf0.1: 6.4 s vs 7.1 s warm).
+    data = _labeled_embeddings(spark, sf_dir)
     lr = LogisticRegression(maxIter=12, family="multinomial")
     grid = (
         ParamGridBuilder()
@@ -153,7 +153,6 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = cv.fit(data)
-    data.unpersist()
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -447,8 +446,7 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("double").alias("label")
     )
-    data = d.join(e, d.doc_id == e.vec_id).select("text", "label").cache()
-    data.count()
+    data = d.join(e, d.doc_id == e.vec_id).select("text", "label")
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf")
     idf = IDF(inputCol="tf", outputCol="features")
@@ -469,7 +467,6 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = cv.fit(data)
-    data.unpersist()
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
