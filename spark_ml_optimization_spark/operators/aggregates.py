@@ -171,19 +171,24 @@ def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             n_regionkey AS regionkey,
-            list_sort(list(n_name)) AS nations,
-            list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+            array_to_string(list_sort(list(n_name)), ',') AS nations,
+            array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))), ',')
+                AS initials
         FROM nation
         GROUP BY n_regionkey
     """,
     doc="collect_list / collect_set wrapped in array_sort for deterministic "
-    "cell contents (FIXTURES.md gotcha 3).",
+    "cell contents (FIXTURES.md gotcha 3).  Wire format is a ','-joined "
+    "string, not array<string>: the driver's canonicalizer sorts result "
+    "frames in pandas and cannot hash ndarray cells (round-1 hard fail).",
 )
 def q26_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.substring("n_name", 1, 1))), ","
+        ).alias("initials"),
     )
 
 

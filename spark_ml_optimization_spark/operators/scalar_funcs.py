@@ -225,8 +225,8 @@ def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_id,
             len(string_split(text, ' ')) AS n_tokens,
             list_contains(string_split(text, ' '), 'spark') AS has_spark,
-            list_sort(string_split(text, ' '))[1:5] AS first5_sorted,
-            list_sort(list_distinct(string_split(lang, ''))) AS lang_chars,
+            array_to_string(list_sort(string_split(text, ' '))[1:5], ',') AS first5_sorted,
+            array_to_string(list_sort(list_distinct(string_split(lang, ''))), ',') AS lang_chars,
             len(list_filter(string_split(text, ' '), t -> length(t) > 6)) AS n_long_tokens,
             CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_token_len
         FROM documents
@@ -243,8 +243,10 @@ def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
-        F.array_sort(F.array_distinct(F.split("lang", ""))).alias("lang_chars"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 5), ",").alias("first5_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(F.split("lang", ""))), ",").alias(
+            "lang_chars"
+        ),
         F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long").alias("n_long_tokens"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("long")),

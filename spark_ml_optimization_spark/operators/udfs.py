@@ -57,27 +57,54 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "q95_zscore_apply_in_pandas",
-    oracle=None,  # numpy mean/std reduction order ≠ SQL sequential sums;
-    # parity with q94 within 1e-6 is unit-tested (test_udfs.py).
+    oracle="""
+        SELECT
+            c_custkey,
+            c_nationkey,
+            round((c_acctbal - avg(c_acctbal) OVER w)
+                  / stddev_samp(c_acctbal) OVER w, 5) AS zscore
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+    """,
     doc="Per-nation z-score via groupBy().applyInPandas: each nation's "
     "rows arrive as one pandas DataFrame (Arrow), the kernel returns the "
     "normalized frame.  The grouped-map escape hatch for per-group logic "
-    "Catalyst can't express (per-group model fits etc.).",
+    "Catalyst can't express (per-group model fits etc.).  Oracle is q94's "
+    "SQL: numpy's pairwise-summation mean/std agrees with sequential SQL "
+    "sums to ~1e-12 at fixture group sizes, and the final round-to-5 is "
+    "applied Spark-side (same F.round path q94 hash-verifies).",
 )
 def q95_zscore_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    return c.groupBy("c_nationkey").applyInPandas(
+    normalized = c.groupBy("c_nationkey").applyInPandas(
         _zscore_group, schema="c_custkey long, c_nationkey int, zscore double"
+    )
+    return normalized.select(
+        "c_custkey", "c_nationkey", F.round("zscore", 5).alias("zscore")
     )
 
 
 @register(
     "q96_grouped_agg_pandas_udf",
-    oracle=None,  # trimmed mean has no built-in SQL twin; determinism
-    # within floats only — rows-only.
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.1) AS lo,
+                   quantile_cont(value, 0.9) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(avg(e.value) FILTER (e.value BETWEEN b.lo AND b.hi), 4)
+                   AS trimmed_mean_value,
+               count(*) AS n_events
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type
+    """,
     doc="Custom UDAF via a GROUPED_AGG pandas UDF: 10%-trimmed mean of "
     "event value per event_type (robust-statistics aggregate Spark "
-    "lacks natively).",
+    "lacks natively).  Oracle: pandas Series.quantile and DuckDB "
+    "quantile_cont share the linear-interpolation definition, so the "
+    "trim bounds agree bitwise; the filtered mean is rounded to 4 dp.",
 )
 def q96_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
@@ -154,11 +181,26 @@ def q99_registered_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q98_python_udtf",
-    oracle=None,  # generator UDTF — rows-only (chunk semantics unit-
-    # tested in test_udfs.py).
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT
+            toks.doc_id,
+            CAST(g.chunk_idx AS INT) AS chunk_idx,
+            CAST(least(40, len(t) - g.chunk_idx * 40) AS INT) AS n_tokens,
+            array_to_string(t[g.chunk_idx * 40 + 1 : g.chunk_idx * 40 + 3], ' ')
+                AS head
+        FROM toks, LATERAL unnest(
+            generate_series(0, CAST(ceil(len(t) / 40.0) AS BIGINT) - 1)
+        ) AS g(chunk_idx)
+    """,
     doc="Python UDTF (Spark ≥3.5): chunk each document into ≤40-token "
     "windows, one output row per chunk, via LATERAL join in SQL — the "
-    "table-function surface (tokenizer/chunker shape for LLM pipelines).",
+    "table-function surface (tokenizer/chunker shape for LLM pipelines). "
+    "Oracle re-derives the chunk grid with generate_series over the "
+    "token-count (fixture text is single-space separated, verified — "
+    "Python str.split() ≡ string_split(text, ' ')).",
 )
 def q98_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
