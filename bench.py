@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the declared query suite at the bench scale
-factor and prints ONE JSON line:
+factor and prints ONE COMPACT JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {<headline queries only>}, "sf": 0.1,
+     "n_queries": N, "detail_file": "BENCH_DETAIL.json"}
+
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+file — round 1 showed the driver tail-captures stdout, and a 142-entry
+JSON line outgrew the capture window (`BENCH_r01.json` parsed: null).
+The printed line stays under ~1 KB so the driver can always parse it.
 
 Env knobs (driver contract):
     SPARK_GRAFT_SF_DIR  input dir   (default /root/testdata/sf0.1)
@@ -12,7 +18,9 @@ Env knobs (driver contract):
     BENCH_REPEAT        repetitions per query, best-of (default 1)
 
 Each query is timed end-to-end (plan → execute → collect), matching how
-the verify driver consumes results.
+the verify driver consumes results.  Timings are warm numbers: the JVM
+scan path, Python-worker fork, MLlib JIT, and streaming engine are warmed
+once before the timed loop (methodology recorded in the output JSON).
 """
 
 from __future__ import annotations
@@ -40,17 +48,23 @@ def main() -> int:
     subset = os.environ.get("BENCH_QUERIES")
     names = [n.strip() for n in subset.split(",")] if subset else sorted(queries)
 
-    # Warm all three execution paths once so the first query of each kind
+    # Warm all execution paths once so the first query of each kind
     # doesn't pay one-time startup inside its measured window: JVM/scan
     # (parquet + codegen), Python workers (Arrow/pandas UDF fork+import),
-    # and the MLlib fit path (JIT of the optimizer loop).
-    queries["q01_pricing_summary"].fn(spark, sf_dir).collect()
+    # and the MLlib fit path (JIT of the optimizer loop).  Warm-up at
+    # the SMALLEST fixture so it costs milliseconds, and never let a
+    # warm-up failure crash the bench — real failures surface per-query
+    # in the timed loop below.
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = small if os.path.isdir(small) else sf_dir
     try:
         import pandas as _pd  # noqa: F401
 
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.linalg import Vectors
 
+        if "q01_pricing_summary" in queries:
+            queries["q01_pricing_summary"].fn(spark, warm_dir).collect()
         warm = spark.createDataFrame(
             [(float(i % 2), Vectors.dense([float(i), 1.0])) for i in range(8)],
             ["label", "features"],
@@ -59,11 +73,8 @@ def main() -> int:
         spark.range(4).mapInPandas(lambda it: it, schema="id long").collect()
         # Streaming engine init (state store, micro-batch scheduler) costs
         # ~7 s once per session — warm it at the smallest fixture scale.
-        small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
         if "st01_stream_tumbling" in queries:
-            queries["st01_stream_tumbling"].fn(
-                spark, small if os.path.isdir(small) else sf_dir
-            ).collect()
+            queries["st01_stream_tumbling"].fn(spark, warm_dir).collect()
     except Exception:
         pass  # warm-up must never fail the bench
 
@@ -84,15 +95,52 @@ def main() -> int:
         if best is not None:
             timings[name] = round(best, 3)
 
-    out = {
-        "metric": "declared-suite wall clock (collect), best-of-%d" % repeat,
+    # Full per-query map → sidecar file; printed line stays compact
+    # (driver tail-capture safe, see module docstring).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {
+        "metric": "declared-suite wall clock (collect), best-of-%d, warm" % repeat,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+        "failures": failures,
     }
-    if failures:
-        out["failures"] = failures
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
+
+    HEADLINE = [
+        "q01_pricing_summary",
+        "q10_star_join_revenue",
+        "q40_topk_per_group",
+        "q60_tumbling_window",
+        "q70_exact_dedup",
+        "q72_minhash_lsh_neardup",
+        "q85_topk_cosine",
+        "q86_knn_join",
+        "q90_kmeans_clusters",
+        "q92_ann_ivf",
+        "ml03_logreg_cv_tuning",
+        "ml06_als_recommender",
+        "st08_stream_stream_join",
+        "qp1_training_data_pipeline",
+    ]
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "detail_file": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
     return 1 if failures else 0
 
