@@ -44,8 +44,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Inferred parquet schemas, keyed by absolute path.  Footer-based schema
+#: inference launches a (tiny) Spark job per un-cached path at plan-build
+#: time; memoizing it keeps repeat plan construction metadata-free — the
+#: same reason a 100 TB deployment reads schemas from a catalog
+#: (Hive/Iceberg/Delta) instead of re-inferring from files.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one relation.  Lazy: nothing executes until an action.
+    """Scan one relation.  Lazy: nothing executes until an action
+    (first-ever read of a path infers its schema once; later reads hit
+    the schema cache and launch zero jobs).
 
     ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark
     4.x's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).  The
@@ -55,13 +65,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to match the naive ms-precision timestamps of the other tables.
     """
     configure(spark)
+    path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    if name == "events":
+        df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    return df
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:

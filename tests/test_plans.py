@@ -89,6 +89,69 @@ def test_multimodal_payload_pruned_from_agg(spark):
     assert plan.index("HashAggregate") < plan.index("Exchange") or "partial" in plan.lower()
 
 
+def test_plan_construction_is_lazy(spark):
+    """§3.1 laziness contract: building a query's DataFrame must launch
+    zero Spark jobs (no .first()/.collect()/eager evaluate at plan-build).
+    ML fits (q87/q90/q92, ml*) are the documented exception — iterative
+    training is eager by nature.  Asserted via job-group tracking."""
+    sc = spark.sparkContext
+    names = (
+        "q85_topk_cosine",
+        "q91_cosine_pandas_udf",
+        "q86_knn_join",
+        "q26_collect_aggs",
+        "q74_jaccard_pairs",
+    )
+    for name in names:  # warm the schema cache (one inference job per path)
+        all_queries()[name].fn(spark, SF_CORRECT)
+    for name in names:
+        group = f"lazy-check-{name}"
+        sc.setJobGroup(group, "laziness assertion", False)
+        try:
+            all_queries()[name].fn(spark, SF_CORRECT)
+        finally:
+            sc.setJobGroup(None, None, False)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+        assert not jobs, f"{name} ran {len(jobs)} Spark job(s) during plan construction"
+
+
+def test_cbo_stats_inform_the_optimizer(spark):
+    """ANALYZE TABLE must surface exact rowCount/column stats to
+    Catalyst: the optimized plan of a scan over an analyzed catalog
+    table carries a defined rowCount equal to the true count, and with
+    CBO+joinReorder enabled a multi-join over analyzed tables plans
+    without a cartesian and with defined cost stats."""
+    from spark_ml_optimization_spark.sources.stats import analyze_tables
+
+    cats = analyze_tables(spark, SF_CORRECT, ("customer", "nation", "orders"))
+
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_jr = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        # rowCount stats only propagate through plans under CBO.
+        scan = spark.table(cats["customer"])
+        stats = scan._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "no rowCount stat after ANALYZE"
+        assert stats.rowCount().get() == scan.count()
+        j = spark.sql(
+            f"""
+            SELECT n.n_name, count(*) AS n
+            FROM {cats['orders']} o
+            JOIN {cats['customer']} c ON o.o_custkey = c.c_custkey
+            JOIN {cats['nation']} n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """
+        )
+        jstats = j._jdf.queryExecution().optimizedPlan().stats()
+        assert jstats.rowCount().isDefined(), "CBO produced no cardinality estimate"
+        assert "CartesianProduct" not in explain_formatted(j)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_jr)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Co-bucketed fact⋈fact join must not shuffle either side.
 
