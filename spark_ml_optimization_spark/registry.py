@@ -77,9 +77,12 @@ def _load() -> None:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
-            # Module not built yet (incremental rounds) — only swallow a
-            # missing *operator* module, never a real dependency error.
-            if not e.name.startswith("spark_ml_optimization_spark"):
+            # Module not built yet (incremental rounds) — only swallow
+            # when the missing module IS the operator module being loaded.
+            # A typo'd internal import inside an operator module must
+            # raise, or its whole query family would silently vanish from
+            # the driver contract (round-1 advice).
+            if e.name != mod:
                 raise
     _LOADED = True
 

@@ -64,8 +64,18 @@ def _ship_package(spark: SparkSession) -> None:
                 zf.write(py, Path(pkg_root.name) / py.relative_to(pkg_root))
     try:
         sc.addPyFile(str(zip_path))
-    except Exception:
-        pass  # already registered with this context
+    except Exception as ex:
+        # The only benign failure is re-registering the same file with
+        # this context; anything else (permissions, tmp-dir) would
+        # surface later as obscure worker-side import errors — warn
+        # loudly and do NOT mark the context as shipped.
+        if "same" in str(ex).lower() or "already" in str(ex).lower():
+            pass
+        else:
+            import warnings
+
+            warnings.warn(f"addPyFile({zip_path}) failed: {ex!r}", RuntimeWarning)
+            return
     _SHIPPED.add(key)
 
 

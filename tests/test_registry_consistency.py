@@ -35,3 +35,11 @@ def test_oracle_sql_is_subset_and_nonempty():
 def test_query_names_unique_and_wellformed():
     for name in registry.all_queries():
         assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
+
+
+def test_registry_size_pinned():
+    """The total registered-query count is the driver-contract surface;
+    pin it so a silently-dropped operator module (swallowed import,
+    renamed file) fails loudly instead of shrinking the correctness gate
+    (round-1 advice).  UPDATE THIS NUMBER when adding queries."""
+    assert len(registry.all_queries()) == 143
