@@ -131,3 +131,36 @@ def src05_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.select(
         "lang", F.col("n_docs").cast("long"), F.col("total_chars").cast("long")
     )
+
+
+@register(
+    "src06_cbo_stats",
+    oracle="""
+        SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'orders', count(*) FROM orders
+    """,
+    doc="CBO statistics path: ANALYZE TABLE over external catalog tables "
+    "(sources/stats.py), then read the optimizer-visible rowCount back "
+    "out of DESCRIBE EXTENDED — verifying the stats Catalyst's "
+    "CostBasedJoinReorder consumes are exact (oracle: count(*) per "
+    "table).  ANALYZE itself is eager by nature (stats scan per table), "
+    "like the documented ML fits.",
+)
+def src06_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..sources.stats import analyze_tables
+
+    cats = analyze_tables(spark, sf_dir, ("customer", "lineitem", "nation", "orders"))
+    parts = [
+        spark.sql(f"DESCRIBE TABLE EXTENDED {cat}")
+        .filter(F.col("col_name") == "Statistics")
+        .select(
+            F.lit(t).alias("tbl"),
+            F.regexp_extract("data_type", r"(\d+) rows", 1).cast("long").alias("n_rows"),
+        )
+        for t, cat in cats.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
