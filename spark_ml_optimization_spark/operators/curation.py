@@ -1,0 +1,318 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic sampling, token-budget sequence packing, repetition-based
+quality scoring, length-percentile gating, and mergeable HLL sketches.
+
+These are the corpus-construction steps that sit between the dedup stage
+(operators/dedup.py) and the text-analysis stage (operators/text.py) in
+a 100 TB training-data pipeline.
+
+100 TB posture per operator:
+- Decontamination: the benchmark n-gram set is tiny (eval suites are
+  KB-MB scale even when the corpus is 100 TB) → distinct it, broadcast
+  it, and the corpus side stays a map-only scan + local explode + one
+  partial-agg shuffle keyed by doc_id.  No corpus-vs-corpus join ever.
+- Sampling: both samplers are pure deterministic column expressions
+  (md5 of the key) — no sort, no sampleBy() randomness, reproducible
+  across reruns and engines, embarrassingly parallel.
+- Packing: cumulative-sum windows partition by (lang); at 100 TB the
+  partition key becomes (lang, hash_shard) so each shard packs
+  independently — boundaries stay local, no global order needed.  The
+  per-partition window is the only sequential step and it never sees
+  text bodies, just token counts.
+- HLL sketches: the point is MERGEABILITY — per-shard sketches combine
+  with hll_union_agg, so global distinct counts never shuffle raw IDs,
+  only fixed-size (<= lgConfigK * 2^lgConfigK bits) sketch buffers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+#: n-gram width for contamination checks.  Real decontamination uses
+#: 13-grams (the fixture vocabulary is 31 words, so 3-grams already give
+#: meaningful overlap); the width is a constant fold — changing it does
+#: not change the plan shape.
+_NGRAM = 3
+
+#: Token budget per packed training sequence (fixture-scaled; 2048-8192
+#: in production — again a literal, not a plan change).
+_SEQ_BUDGET = 512
+
+
+def _word_grams(words, n: int = _NGRAM):
+    """Space-joined n-grams of a token-array column, built entirely from
+    Catalyst higher-order functions (sequence/transform/slice) — no UDF,
+    no explode until the caller asks for one."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+@register(
+    "qc01_ngram_decontaminate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, source, array_to_string(w[i:i+{_NGRAM - 1}], ' ') AS g
+            FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - {_NGRAM - 1})) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        SELECT c.doc_id, c.lang, count(DISTINCT c.g) AS n_shared_grams
+        FROM grams c JOIN bench b USING (g)
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id, c.lang
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any "
+    f"{_NGRAM}-gram with the benchmark set (source='src0' stands in for "
+    "an eval suite).  The benchmark gram set is distinct'd and broadcast "
+    "— corpus side is scan + HOF gram expansion + one doc_id-keyed "
+    "partial agg; no corpus-vs-corpus join exists at any scale.",
+)
+def qc01_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = d.select(
+        "doc_id", "lang", "source", F.explode(_word_grams(w)).alias("g")
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    corpus = grams.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "qc02_stratified_sample",
+    oracle="""
+        SELECT lang, doc_id
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 20
+    """,
+    doc="Deterministic stratified sampling: exactly 20 docs per language "
+    "stratum, chosen by md5(doc_id) rank — reproducible across engines "
+    "and reruns (no RNG), one window shuffle keyed by the stratum.  At "
+    "100 TB the rank runs per (lang, shard) with a proportional k.",
+)
+def qc02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@register(
+    "qc03_hash_mod_sample",
+    oracle="""
+        SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+    """,
+    doc="Deterministic hash-bucket sampling: keep docs whose first md5 "
+    "hex digit is 0 or 1 (a 12.5% slice).  Pure map-side predicate — no "
+    "shuffle, no RNG, stable under re-partitioning; the standard way to "
+    "carve reproducible dev subsets out of a 100 TB corpus.",
+)
+def qc03_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < "2"
+    )
+
+
+@register(
+    "qc04_token_budget_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, n_tokens,
+                COALESCE(sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS cum_before
+            FROM t
+        )
+        SELECT
+            lang,
+            CAST(floor(cum_before / {_SEQ_BUDGET}) AS BIGINT) AS seq_id,
+            count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM c
+        GROUP BY lang, seq_id
+    """,
+    doc=f"Token-budget sequence packing: stream docs (doc_id order) into "
+    f"~{_SEQ_BUDGET}-token training sequences via a running-sum window — "
+    "document boundaries preserved, seq_id = floor(cum_tokens/budget).  "
+    "Only token COUNTS enter the window (never text).  At 100 TB the "
+    "window partitions by (lang, hash_shard) so packing parallelizes; "
+    "each shard's sequences are independent by construction.",
+)
+def qc04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    win = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return (
+        t.withColumn("seq_id", F.floor(cum_before / _SEQ_BUDGET).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+    )
+
+
+@register(
+    "qc05_repetition_ratio",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        s AS (
+            SELECT
+                doc_id,
+                len(w) AS n_tokens,
+                len(list_distinct(w)) AS n_distinct,
+                list_max(list_transform(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)))) AS top_freq
+            FROM t
+        )
+        SELECT
+            doc_id, n_tokens, n_distinct, top_freq,
+            round(CAST(top_freq AS DOUBLE) / n_tokens, 6) AS rep_ratio,
+            round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr
+        FROM s
+    """,
+    doc="Repetition-based quality scoring: most-frequent-token share "
+    "(rep_ratio) and type-token ratio per document, computed entirely "
+    "with Catalyst higher-order functions — per-doc work is O(distinct "
+    "x tokens) on <=100-token docs, map-only, zero shuffle.  The "
+    "boilerplate/spam gate of a curation pipeline.",
+)
+def qc05_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = d.select("doc_id", w.alias("w"))
+    dw = F.array_distinct("w")
+    top = F.array_max(
+        F.transform(dw, lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)))
+    )
+    s = t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(dw).cast("long").alias("n_distinct"),
+        top.cast("long").alias("top_freq"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_freq",
+        F.round(F.col("top_freq").cast("double") / F.col("n_tokens"), 6).alias("rep_ratio"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+
+
+@register(
+    "qc06_length_percentile_filter",
+    oracle="""
+        WITH b AS (
+            SELECT lang,
+                quantile_cont(n_chars, 0.05) AS lo,
+                quantile_cont(n_chars, 0.95) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT
+            d.lang,
+            round(b.lo, 4) AS lo,
+            round(b.hi, 4) AS hi,
+            count(*) AS n_kept
+        FROM documents d JOIN b USING (lang)
+        WHERE d.n_chars BETWEEN b.lo AND b.hi
+        GROUP BY d.lang, b.lo, b.hi
+    """,
+    doc="Length-percentile gating: keep documents inside their "
+    "language's [P5, P95] character-length band.  The per-lang bounds "
+    "frame is 5 rows → broadcast back onto the corpus, so the gate is a "
+    "map-side filter; exact percentiles match DuckDB quantile_cont "
+    "(continuous interpolation), approx_percentile is the drop-in at "
+    "100 TB (q28 shows the twin pattern).",
+)
+def qc06_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    kept = d.join(F.broadcast(bounds), "lang").filter(
+        F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    )
+    return kept.groupBy("lang", "lo", "hi").agg(F.count("*").alias("n_kept")).select(
+        "lang",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        "n_kept",
+    )
+
+
+@register(
+    "qc07_hll_sketch_union",
+    oracle=None,  # Datasketches HLL estimates are not reproducible in
+    # ANSI SQL / DuckDB (different sketch family) — rows-only check here;
+    # tests/test_curation.py pins estimate-vs-exact relative error <= 5%.
+    doc="Mergeable distinct-count sketches: per-(event_type, day) HLL "
+    "sketches built with hll_sketch_agg, merged across days with "
+    "hll_union_agg, estimated, and joined against the exact "
+    "countDistinct.  THE 100 TB distinct-count pattern: daily shards "
+    "aggregate independently (partition-pruned), the merge moves only "
+    "fixed-size sketch buffers — raw user_ids never re-shuffle for the "
+    "global rollup.",
+)
+def qc07_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("rel_err"),
+    )

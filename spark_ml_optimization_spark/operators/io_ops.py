@@ -104,6 +104,30 @@ def src03_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "src07_orc_roundtrip",
+    oracle="SELECT p_partkey, p_brand, p_size, p_retailprice FROM part",
+    doc="ORC sink + source roundtrip (part key columns) with explicit "
+    "schema — the columnar interchange format next to parquet; "
+    "hash-match vs the original proves losslessness.",
+)
+def src07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    path = _scratch(f"orc_part_{sf_dir.replace('/', '_')}")
+    p.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
+
+
+@register(
     "src05_pandas_on_spark",
     oracle="""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

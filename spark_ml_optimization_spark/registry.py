@@ -38,6 +38,7 @@ _MODULES = (
     "spark_ml_optimization_spark.operators.events",
     "spark_ml_optimization_spark.operators.dedup",
     "spark_ml_optimization_spark.operators.text",
+    "spark_ml_optimization_spark.operators.curation",
     "spark_ml_optimization_spark.operators.similarity",
     "spark_ml_optimization_spark.operators.multimodal",
     "spark_ml_optimization_spark.ml.pipelines",
