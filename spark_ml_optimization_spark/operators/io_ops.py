@@ -128,6 +128,51 @@ def src07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src08_dynamic_partition_pruning",
+    oracle="""
+        SELECT
+            year(o_orderdate) AS order_year,
+            'modern' AS era,
+            count(*) AS n,
+            round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE year(o_orderdate) >= 1996
+        GROUP BY 1
+    """,
+    doc="Dynamic partition pruning: the fact table is laid out "
+    "partitionBy(order_year); joining it to a year-dim filtered on a "
+    "NON-partition attribute (era='modern') makes Catalyst inject a "
+    "dynamicpruning subquery into the fact scan's PartitionFilters, so "
+    "only the qualifying year directories are read — decided at RUNTIME "
+    "from the dim, not from a static predicate.  On a 100 TB date-"
+    "partitioned fact this is the difference between scanning 3 "
+    "partitions and scanning 2500 (tests/test_plans.py pins the "
+    "dynamicpruning expression in the plan).",
+)
+def src08_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    fact_path = _scratch(f"dpp_orders_{sf_dir.replace('/', '_')}")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(fact_path)
+    dim_path = _scratch(f"dpp_years_{sf_dir.replace('/', '_')}")
+    # Fixture orders span 1995-2001 (measured at sf0.01 and sf0.1).
+    years = [(y, "modern" if y >= 1996 else "classic") for y in range(1995, 2002)]
+    spark.createDataFrame(years, "yr int, era string").write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "modern")
+    return (
+        fact.join(F.broadcast(dim), fact.order_year == dim.yr)
+        .groupBy(F.col("order_year").cast("long").alias("order_year"), "era")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "src05_pandas_on_spark",
     oracle="""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -175,3 +175,12 @@ def test_bucketed_join_has_no_shuffle(spark):
     # repeat the operator names.
     tree = plan.split("(1) Scan")[0]
     assert len(re.findall(r"\bExchange\b", tree)) == 1
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """src08: the year-partitioned fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — runtime pruning driven by the
+    filtered dim, not a static predicate on the fact."""
+    df = _df(spark, "src08_dynamic_partition_pruning")
+    plan = explain_formatted(df)
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
