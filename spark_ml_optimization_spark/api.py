@@ -246,3 +246,90 @@ def quality_signals(df: DataFrame, text_col: str, n_chars_col: str) -> DataFrame
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     canon = F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
     return df.withColumn(out_col, canon)
+
+
+# -------------------------------------------------------------- curation
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Drop rows sharing any word n-gram with the benchmark frame.
+
+    The benchmark gram set is distinct'd and broadcast (eval suites are
+    KB-MB at any corpus scale); the corpus side stays map-only + one
+    id-keyed anti-join — no corpus-vs-corpus join.
+    """
+    def grams(frame: DataFrame) -> DataFrame:
+        w = F.split(text_col, " ")
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return frame.select(F.col(id_col).alias("__id"), F.explode(g).alias("__g"))
+
+    bench = grams(benchmark).select("__g").distinct()
+    contaminated = (
+        grams(df).join(F.broadcast(bench), "__g").select("__id").distinct()
+    )
+    return df.join(
+        contaminated.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str, k: int) -> DataFrame:
+    """Exactly k rows per stratum, picked by md5(id) rank — deterministic,
+    no RNG, one stratum-keyed window shuffle."""
+    rk = F.row_number().over(
+        W.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    )
+    return df.withColumn("__rk", rk).filter(F.col("__rk") <= k).drop("__rk")
+
+
+def hash_sample(df: DataFrame, id_col: str, buckets_kept: int = 2, out_of: int = 16) -> DataFrame:
+    """Keep rows whose md5(id) lands in the first `buckets_kept` of
+    `out_of` hex buckets (out_of must be 16) — a zero-shuffle map-side
+    predicate, reproducible under any partitioning."""
+    assert out_of == 16, "bucketing is by first md5 hex digit"
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return df.filter(bucket < format(buckets_kept, "x"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    out_col: str = "seq_id",
+) -> DataFrame:
+    """Assign each row a training-sequence id by streaming rows (in
+    order_col order, per group) into ~budget-token bins.  Only token
+    counts enter the window; at scale pass a (group, shard) composite
+    as group_col so packing parallelizes."""
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(cum_before / budget).cast("long"))
+
+
+def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Append n_tokens / top_freq / rep_ratio / ttr — the boilerplate
+    gate (pure HOFs, map-only)."""
+    w = F.split(text_col, " ")
+    dw = F.array_distinct(w)
+    top = F.array_max(F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x))))
+    n_tokens = F.size(w).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("top_freq", top.cast("long"))
+        .withColumn("rep_ratio", F.round(top.cast("double") / n_tokens, 6))
+        .withColumn("ttr", F.round(F.size(dw).cast("double") / n_tokens, 6))
+    )

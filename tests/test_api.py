@@ -63,3 +63,52 @@ def test_quality_and_fingerprint(spark):
     )
     f2 = api.fingerprint(df2, "body").collect()[0].fingerprint
     assert f1 == f2  # whitespace-normalized canonical form
+
+
+def test_decontaminate_generic(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu"),
+        ],
+        "id long, body string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zzz epsilon zeta eta yyy")], "id long, body string"
+    )
+    clean = api.decontaminate(corpus, bench, "body", "id", n=3)
+    assert {r.id for r in clean.collect()} == {1, 3}
+
+
+def test_samplers_generic(spark):
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(90)], "id long, stratum string"
+    )
+    strat = api.stratified_sample(df, "stratum", "id", k=5)
+    per = {}
+    for r in strat.collect():
+        per[r.stratum] = per.get(r.stratum, 0) + 1
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+
+    kept = api.hash_sample(df, "id", buckets_kept=2).collect()
+    again = api.hash_sample(df.repartition(5), "id", buckets_kept=2).collect()
+    assert {r.id for r in kept} == {r.id for r in again}
+    assert 0 < len(kept) < 90
+
+
+def test_pack_sequences_generic(spark):
+    df = spark.createDataFrame(
+        [("g", i, 40) for i in range(10)], "g string, pos long, toks long"
+    )
+    out = api.pack_sequences(df, "g", "pos", "toks", budget=100)
+    seqs = {r.pos: r.seq_id for r in out.collect()}
+    # 40-token rows into 100-token bins: cum_before 0,40,80,120,...
+    assert seqs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+def test_repetition_signals_generic(spark):
+    df = spark.createDataFrame([(1, "a a a b")], "id long, body string")
+    r = api.repetition_signals(df, "body").collect()[0]
+    assert r.n_tokens == 4 and r.top_freq == 3
+    assert abs(r.rep_ratio - 0.75) < 1e-9 and abs(r.ttr - 0.5) < 1e-9
