@@ -79,15 +79,18 @@ def _word_grams(words, n: int = _NGRAM):
 def qc01_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    # Distinct the grams inside the array (per doc, map-side) so the
+    # per-doc agg is a plain count — one exchange, not countDistinct's two.
     grams = d.select(
-        "doc_id", "lang", "source", F.explode(_word_grams(w)).alias("g")
+        "doc_id", "lang", "source",
+        F.explode(F.array_distinct(_word_grams(w))).alias("g"),
     )
     bench = grams.filter(F.col("source") == "src0").select("g").distinct()
     corpus = grams.filter(F.col("source") != "src0")
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id", "lang")
-        .agg(F.countDistinct("g").alias("n_shared_grams"))
+        .agg(F.count("g").alias("n_shared_grams"))
     )
 
 

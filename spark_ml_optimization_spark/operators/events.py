@@ -411,3 +411,129 @@ def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q68_gap_fill_ffill",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total
+            FROM p GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+                   CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+            FROM p
+        ),
+        users AS (SELECT DISTINCT user_id FROM p),
+        spine AS (
+            SELECT u.user_id, CAST(t.d AS DATE) AS day
+            FROM users u
+            CROSS JOIN span s
+            CROSS JOIN UNNEST(generate_series(
+                CAST(s.lo AS TIMESTAMP), CAST(s.hi AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS t(d)
+        )
+        SELECT
+            s.user_id,
+            strftime(s.day, '%Y-%m-%d') AS day,
+            coalesce(d.n, 0) AS n_events,
+            coalesce(d.total, 0) AS day_total,
+            coalesce(last_value(d.total IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS ffill_total
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Time-series gap fill + forward fill: build the dense (user, day) "
+    "spine from a broadcast 1-row span x distinct users (fixture: 36% of "
+    "purchase user-days are gaps), left-join the daily totals, and carry "
+    "the last observed total forward with last(ignorenulls) — the "
+    "hypertable-style resample/interpolate operator.  One shuffle for "
+    "the daily agg, one for the spine join, one window pass; the spine "
+    "is rows-per-user x days, never events x days.",
+)
+def q68_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = p.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), _micro_sum("value").alias("total")
+    )
+    span = p.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    users = p.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    # Dates leave as ISO strings: engines disagree on DATE's wire form.
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("day_total"),
+        F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "ffill_total"
+        ),
+    )
+
+
+@register(
+    "q69_cohort_retention",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS week
+            FROM events
+        ),
+        firsts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        cohort_size AS (
+            SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1
+        ),
+        activity AS (SELECT DISTINCT user_id, week FROM e)
+        SELECT
+            strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+            CAST((a.week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+            count(*) AS n_active,
+            min(c.n_cohort) AS n_cohort,
+            round(count(*) * 1.0 / min(c.n_cohort), 4) AS retention
+        FROM activity a
+        JOIN firsts f USING (user_id)
+        JOIN cohort_size c ON f.cohort_week = c.cohort_week
+        GROUP BY f.cohort_week, week_offset
+    """,
+    doc="Cohort retention: users cohorted by first-activity week, counted "
+    "in each subsequent activity week, normalized by cohort size.  Three "
+    "user_id-keyed aggregations reuse one shuffle partitioning; the "
+    "cohort-size dim (weeks) is broadcast.  The activity frame is "
+    "distinct (user, week) — events collapse before any join.",
+)
+def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_size = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.min("n_cohort").alias("n_cohort"),
+            F.round(F.count("*") / F.min("n_cohort"), 4).alias("retention"),
+        )
+    )
