@@ -333,3 +333,35 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("rep_ratio", F.round(top.cast("double") / n_tokens, 6))
         .withColumn("ttr", F.round(F.size(dw).cast("double") / n_tokens, 6))
     )
+
+
+# ----------------------------------------------------------- time series
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_cols: Sequence[str],
+    fill: float = 0.0,
+) -> DataFrame:
+    """Densify a per-(key, day) frame to every day in the observed span
+    and forward-fill each value column (appended as <col>_ffill).
+
+    The span is a broadcast 1-row aggregate x distinct keys — the spine
+    is keys x days, never rows x days; one join + one window pass.
+    """
+    span = df.agg(F.min(day_col).alias("__lo"), F.max(day_col).alias("__hi"))
+    keys = df.select(key_col).distinct()
+    spine = keys.crossJoin(F.broadcast(span)).select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.expr("interval 1 day"))).alias(day_col),
+    )
+    out = spine.join(df, [key_col, day_col], "left")
+    w = W.partitionBy(key_col).orderBy(day_col).rowsBetween(W.unboundedPreceding, 0)
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_ffill",
+            F.coalesce(F.last(c, ignorenulls=True).over(w), F.lit(fill)),
+        ).withColumn(c, F.coalesce(c, F.lit(fill)))
+    return out

@@ -233,3 +233,41 @@ def q17_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(segs).select(
         F.col("r_name").alias("region_name"), F.col("seg").alias("segment")
     )
+
+
+@register(
+    "q17b_null_safe_join",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+            FROM customer
+        ),
+        d AS (
+            SELECT seg, count(*) AS seg_size FROM c GROUP BY seg
+        )
+        SELECT c.seg, min(d.seg_size) AS seg_size, count(*) AS n_joined
+        FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+        GROUP BY c.seg
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers "
+    "with a NULL-able derived segment join their segment-size dim so the "
+    "NULL group matches the NULL dim row — plain equi-join drops those "
+    "rows silently.  Still a hash join (null-safe equality is a valid "
+    "hash key), dim side broadcast.",
+)
+def q17b_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    d = (
+        c.groupBy("seg")
+        .agg(F.count("*").alias("seg_size"))
+        .withColumnRenamed("seg", "dim_seg")
+    )
+    return (
+        c.join(F.broadcast(d), F.col("seg").eqNullSafe(F.col("dim_seg")))
+        .groupBy("seg")
+        .agg(F.min("seg_size").alias("seg_size"), F.count("*").alias("n_joined"))
+    )

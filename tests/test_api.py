@@ -112,3 +112,24 @@ def test_repetition_signals_generic(spark):
     r = api.repetition_signals(df, "body").collect()[0]
     assert r.n_tokens == 4 and r.top_freq == 3
     assert abs(r.rep_ratio - 0.75) < 1e-9 and abs(r.ttr - 0.5) < 1e-9
+
+
+def test_gap_fill_ffill_generic(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 10.0),
+            ("a", dt.date(2024, 1, 4), 40.0),
+            ("b", dt.date(2024, 1, 2), 5.0),
+        ],
+        "k string, day date, v double",
+    )
+    out = api.gap_fill_ffill(df, "k", "day", ["v"]).collect()
+    rows = {(r.k, r.day.isoformat()): (r.v, r.v_ffill) for r in out}
+    assert len(rows) == 8  # 2 keys x 4-day span
+    assert rows[("a", "2024-01-02")] == (0.0, 10.0)
+    assert rows[("a", "2024-01-03")] == (0.0, 10.0)
+    assert rows[("a", "2024-01-04")] == (40.0, 40.0)
+    assert rows[("b", "2024-01-01")] == (0.0, 0.0)  # before first obs
+    assert rows[("b", "2024-01-03")] == (0.0, 5.0)
