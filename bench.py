@@ -122,11 +122,12 @@ def main() -> int:
         "queries": timings,
         "failures": failures,
     }
+    detail_written = True
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
-        pass  # read-only checkout must not fail the bench
+        detail_written = False  # read-only checkout must not fail the bench
 
     HEADLINE = [
         "q01_pricing_summary",
@@ -154,6 +155,11 @@ def main() -> int:
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "detail_file": "BENCH_DETAIL.json",
     }
+    if failures and not detail_written:
+        # Sidecar lost (read-only checkout / full disk): the printed line
+        # is then the only record — carry a truncated failures map so the
+        # driver can still see WHICH queries broke.
+        out["failures"] = {k: v[:80] for k, v in list(failures.items())[:5]}
     print(json.dumps(out))
     return 1 if failures else 0
 

@@ -251,6 +251,25 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
 # -------------------------------------------------------------- curation
 
 
+def word_grams(words: Column, n: int, distinct: bool = False) -> Column:
+    """Space-joined word n-grams of a token-array column, built entirely
+    from Catalyst HOFs (sequence/transform/slice) — no UDF.
+
+    Rows with fewer than n tokens yield an EMPTY array: without the
+    guard, sequence(1, size-n+1) DESCENDS through 0 when size < n and
+    slice(w, 0, n) throws INVALID_PARAMETER_VALUE.START at runtime.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -265,11 +284,7 @@ def decontaminate(
     id-keyed anti-join — no corpus-vs-corpus join.
     """
     def grams(frame: DataFrame) -> DataFrame:
-        w = F.split(text_col, " ")
-        g = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        )
+        g = word_grams(F.split(text_col, " "), n)
         return frame.select(F.col(id_col).alias("__id"), F.explode(g).alias("__g"))
 
     bench = grams(benchmark).select("__g").distinct()
@@ -290,12 +305,26 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str, k: int) -> D
     return df.withColumn("__rk", rk).filter(F.col("__rk") <= k).drop("__rk")
 
 
-def hash_sample(df: DataFrame, id_col: str, buckets_kept: int = 2, out_of: int = 16) -> DataFrame:
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    buckets_kept: int = 2,
+    out_of: int = 16,
+    bucket_col: str | None = None,
+) -> DataFrame:
     """Keep rows whose md5(id) lands in the first `buckets_kept` of
     `out_of` hex buckets (out_of must be 16) — a zero-shuffle map-side
-    predicate, reproducible under any partitioning."""
+    predicate, reproducible under any partitioning.  Pass bucket_col to
+    also keep the hex bucket digit as a column."""
     assert out_of == 16, "bucketing is by first md5 hex digit"
+    # buckets_kept=16 would compare against the two-char string '10',
+    # which lexicographically keeps only buckets 0 and 1 — reject it.
+    assert 1 <= buckets_kept <= 15, "buckets_kept must be 1..15"
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    if bucket_col is not None:
+        return df.withColumn(bucket_col, bucket).filter(
+            F.col(bucket_col) < format(buckets_kept, "x")
+        )
     return df.filter(bucket < format(buckets_kept, "x"))
 
 
@@ -321,14 +350,15 @@ def pack_sequences(
 
 
 def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
-    """Append n_tokens / top_freq / rep_ratio / ttr — the boilerplate
-    gate (pure HOFs, map-only)."""
+    """Append n_tokens / n_distinct / top_freq / rep_ratio / ttr — the
+    boilerplate gate (pure HOFs, map-only)."""
     w = F.split(text_col, " ")
     dw = F.array_distinct(w)
     top = F.array_max(F.transform(dw, lambda x: F.size(F.filter(w, lambda y: y == x))))
     n_tokens = F.size(w).cast("long")
     return (
         df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_distinct", F.size(dw).cast("long"))
         .withColumn("top_freq", top.cast("long"))
         .withColumn("rep_ratio", F.round(top.cast("double") / n_tokens, 6))
         .withColumn("ttr", F.round(F.size(dw).cast("double") / n_tokens, 6))

@@ -26,9 +26,10 @@ a 100 TB training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import api
 from ..registry import register
 from ..sources import load_table
 
@@ -41,16 +42,6 @@ _NGRAM = 3
 #: Token budget per packed training sequence (fixture-scaled; 2048-8192
 #: in production — again a literal, not a plan change).
 _SEQ_BUDGET = 512
-
-
-def _word_grams(words, n: int = _NGRAM):
-    """Space-joined n-grams of a token-array column, built entirely from
-    Catalyst higher-order functions (sequence/transform/slice) — no UDF,
-    no explode until the caller asks for one."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
 
 
 @register(
@@ -78,12 +69,12 @@ def _word_grams(words, n: int = _NGRAM):
 )
 def qc01_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    # Distinct the grams inside the array (per doc, map-side) so the
-    # per-doc agg is a plain count — one exchange, not countDistinct's two.
+    # Grams distinct'd inside the array (per doc, map-side; api.word_grams
+    # also guards sub-n-token docs) so the per-doc agg is a plain count —
+    # one exchange, not countDistinct's two.
     grams = d.select(
         "doc_id", "lang", "source",
-        F.explode(F.array_distinct(_word_grams(w))).alias("g"),
+        F.explode(api.word_grams(F.split("text", " "), _NGRAM, distinct=True)).alias("g"),
     )
     bench = grams.filter(F.col("source") == "src0").select("g").distinct()
     corpus = grams.filter(F.col("source") != "src0")
@@ -110,15 +101,8 @@ def qc01_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB the rank runs per (lang, shard) with a proportional k.",
 )
 def qc02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
-    return (
-        d.select("lang", "doc_id", rk.alias("rk"))
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
-    )
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return api.stratified_sample(d, "lang", "doc_id", k=20)
 
 
 @register(
@@ -134,11 +118,8 @@ def qc02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carve reproducible dev subsets out of a 100 TB corpus.",
 )
 def qc03_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
-        F.col("bucket") < "2"
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return api.hash_sample(d, "doc_id", buckets_kept=2, bucket_col="bucket")
 
 
 @register(
@@ -176,19 +157,10 @@ def qc04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    win = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
-    return (
-        t.withColumn("seq_id", F.floor(cum_before / _SEQ_BUDGET).cast("long"))
-        .groupBy("lang", "seq_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("seq_tokens"),
-        )
+    packed = api.pack_sequences(t, "lang", "doc_id", "n_tokens", budget=_SEQ_BUDGET)
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
     )
 
 
@@ -220,26 +192,9 @@ def qc04_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate/spam gate of a curation pipeline.",
 )
 def qc05_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    t = d.select("doc_id", w.alias("w"))
-    dw = F.array_distinct("w")
-    top = F.array_max(
-        F.transform(dw, lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)))
-    )
-    s = t.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_tokens"),
-        F.size(dw).cast("long").alias("n_distinct"),
-        top.cast("long").alias("top_freq"),
-    )
-    return s.select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct",
-        "top_freq",
-        F.round(F.col("top_freq").cast("double") / F.col("n_tokens"), 6).alias("rep_ratio"),
-        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return api.repetition_signals(d, "text").select(
+        "doc_id", "n_tokens", "n_distinct", "top_freq", "rep_ratio", "ttr"
     )
 
 

@@ -133,3 +133,26 @@ def test_gap_fill_ffill_generic(spark):
     assert rows[("a", "2024-01-04")] == (40.0, 40.0)
     assert rows[("b", "2024-01-01")] == (0.0, 0.0)  # before first obs
     assert rows[("b", "2024-01-03")] == (0.0, 5.0)
+
+
+def test_decontaminate_survives_short_docs(spark):
+    """Docs shorter than n tokens must yield zero grams, not a slice()
+    crash (sequence descends through 0 when size < n)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "x"), (3, "one two three four five six seven "
+                                          "eight nine ten eleven twelve thirteen")],
+        "id long, body string",
+    )
+    bench = spark.createDataFrame([(9, "tiny doc")], "id long, body string")
+    clean = api.decontaminate(corpus, bench, "body", "id")  # default n=13
+    assert {r.id for r in clean.collect()} == {1, 2, 3}
+
+
+def test_hash_sample_rejects_bucket_overflow(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        api.hash_sample(df, "id", buckets_kept=16)
+    with _pytest.raises(AssertionError):
+        api.hash_sample(df, "id", buckets_kept=0)
