@@ -173,6 +173,36 @@ def src08_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "src09_jdbc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="JDBC sink + source roundtrip against an embedded Derby database "
+    "(the derby jars ship with Spark): write the nation dim over JDBC, "
+    "read it back with a PARTITIONED read (partitionColumn/numPartitions "
+    "— the parallel-scan contract that matters against a real RDBMS; "
+    "each Spark partition issues its own bounded query).  Embedded Derby "
+    "is single-JVM by design; at scale the same code points at a "
+    "networked RDBMS and nothing else changes.",
+)
+def src09_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep Derby's log out of the repo checkout.
+    spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    db = _scratch(f"derby_nation_{sf_dir.replace('/', '_')}")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n.write.mode("overwrite").jdbc(url, "nation_t", properties=props)
+    return spark.read.jdbc(
+        url,
+        "nation_t",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=200,
+        numPartitions=4,
+        properties=props,
+    )
+
+
+@register(
     "src05_pandas_on_spark",
     oracle="""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
