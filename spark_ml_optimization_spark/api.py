@@ -395,3 +395,33 @@ def gap_fill_ffill(
             F.coalesce(F.last(c, ignorenulls=True).over(w), F.lit(fill)),
         ).withColumn(c, F.coalesce(c, F.lit(fill)))
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    week_col: str,
+) -> DataFrame:
+    """Cohort users by first-activity week and count them in each later
+    activity week (week_offset in weeks), normalized by cohort size.
+
+    Input: one row per (key, week) or finer — duplicates collapse first.
+    Three key-keyed aggs reuse one shuffle partitioning; the cohort-size
+    dim (weeks) broadcasts.
+    """
+    e = df.select(key_col, week_col).distinct()
+    firsts = e.groupBy(key_col).agg(F.min(week_col).alias("__cohort"))
+    sizes = firsts.groupBy("__cohort").agg(F.count("*").alias("n_cohort"))
+    return (
+        e.join(firsts, key_col)
+        .join(F.broadcast(sizes), "__cohort")
+        .groupBy(
+            F.col("__cohort").alias("cohort_week"),
+            (F.datediff(week_col, "__cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.min("n_cohort").alias("n_cohort"),
+            F.round(F.count("*") / F.min("n_cohort"), 4).alias("retention"),
+        )
+    )

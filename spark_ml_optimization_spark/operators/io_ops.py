@@ -203,6 +203,49 @@ def src09_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src10_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE year(o_orderdate) = 1996
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT
+            (o_orderpriority IS NOT NULL) AS has_priority,
+            count(*) AS n,
+            round(sum(o_totalprice), 2) AS total
+        FROM unioned
+        GROUP BY 1
+    """,
+    doc="Schema evolution on read: batch 1 is written without o_orderpriority, "
+    "batch 2 with it; mergeSchema=true reconciles the footers into one "
+    "superset schema with NULLs for the missing column — how a "
+    "long-lived 100 TB table absorbs added columns without rewriting "
+    "history.  (Spark merges footers only when asked: mergeSchema costs "
+    "a footer read per file, so production sets the union schema "
+    "explicitly; both paths produce this plan.)",
+)
+def src10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch(f"evolve_orders_{sf_dir.replace('/', '_')}")
+    o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.col("o_orderpriority").isNotNull().alias("has_priority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "src05_pandas_on_spark",
     oracle="""
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

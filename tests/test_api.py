@@ -156,3 +156,20 @@ def test_hash_sample_rejects_bucket_overflow(spark):
         api.hash_sample(df, "id", buckets_kept=16)
     with _pytest.raises(AssertionError):
         api.hash_sample(df, "id", buckets_kept=0)
+
+
+def test_cohort_retention_generic(spark):
+    import datetime as dt
+
+    w0, w1 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    df = spark.createDataFrame(
+        [("a", w0), ("a", w1), ("b", w0), ("c", w1), ("a", w0)],
+        "u string, wk date",
+    )
+    rows = {(r.cohort_week.isoformat(), r.week_offset): (r.n_active, r.n_cohort, r.retention)
+            for r in api.cohort_retention(df, "u", "wk").collect()}
+    assert rows == {
+        ("2024-01-01", 0): (2, 2, 1.0),   # a, b in week 0
+        ("2024-01-01", 1): (1, 2, 0.5),   # only a returns
+        ("2024-01-08", 0): (1, 1, 1.0),   # c's cohort
+    }
