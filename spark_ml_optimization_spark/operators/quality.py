@@ -1,0 +1,275 @@
+"""Data-quality audit operators: column profiling, referential-integrity
+checks, constraint/rule audits, and key-uniqueness verification.
+
+A 100 TB corpus or warehouse ingest pipeline runs these continuously —
+they are the "is the data sane" gate that precedes any analytics or
+training-data build.  All four are deterministic aggregations with exact
+DuckDB oracles.
+
+100 TB posture:
+- Profiling is a single full scan with partial aggregation per column;
+  the only shuffle carries one row per (aggregate, column) pair.  Exact
+  countDistinct becomes `approx_count_distinct` at scale (same plan
+  shape, no extra expand); the q28 twin documents the swap.
+- Referential-integrity anti-joins broadcast the parent key set when the
+  parent is a dim (nation, region, supplier); fact-vs-fact edges
+  (lineitem→orders) shuffle on the join key like any equi-join and AQE
+  handles skew.  Orphan COUNTING never materializes orphan rows.
+- Constraint audits are map-side predicates folded into one pass —
+  adding a rule adds a conditional-sum column, not a scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "qd01_column_profile",
+    oracle="""
+        SELECT 'l_quantity' AS col_name,
+               count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_null,
+               count(DISTINCT l_quantity) AS n_distinct,
+               CAST(min(l_quantity) AS VARCHAR) AS min_s,
+               CAST(max(l_quantity) AS VARCHAR) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(*) - count(l_discount),
+               count(DISTINCT l_discount),
+               CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+               count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+               count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+               count(DISTINCT l_shipdate),
+               strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        FROM lineitem
+    """,
+    doc="Column profiling: null count, exact distinct count, min/max per "
+    "column of the fact table, long format (one row per column).  One "
+    "Spark scan + one agg produces all columns at once (the oracle's "
+    "UNION-of-scans is the spec, not the plan); min/max are normalized "
+    "to strings so heterogeneous column types share one output schema.  "
+    "At 100 TB the exact countDistinct swaps for approx_count_distinct.",
+)
+def qd01_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+
+    def prof(c: str, min_s, max_s):
+        return [
+            (n - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            min_s.alias(f"{c}__min"),
+            max_s.alias(f"{c}__max"),
+        ]
+
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    one = li.agg(
+        n.alias("n_rows"),
+        *prof("l_quantity", F.min("l_quantity").cast("string"), F.max("l_quantity").cast("string")),
+        *prof("l_discount", F.min("l_discount").cast("string"), F.max("l_discount").cast("string")),
+        *prof("l_returnflag", F.min("l_returnflag"), F.max("l_returnflag")),
+        *prof("l_linestatus", F.min("l_linestatus"), F.max("l_linestatus")),
+        *prof(
+            "l_shipdate",
+            F.date_format(F.min("l_shipdate"), fmt),
+            F.date_format(F.max("l_shipdate"), fmt),
+        ),
+    )
+    cols = ["l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"]
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__dist, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct, min_s, max_s)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+#: FK edges of the star schema + LLM tables: (edge name, child table,
+#: child key, parent table, parent key, parent is a broadcastable dim).
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+)
+
+
+@register(
+    "qd02_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{edge}' AS fk_edge,
+               count(*) AS n_child,
+               count(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}
+               )) AS n_orphans
+        FROM {child} c
+        """
+        for edge, child, ckey, parent, pkey, _ in _FK_EDGES
+    ),
+    doc="Referential-integrity audit over every FK edge in the schema: "
+    "child row count + orphan count (child keys with no parent).  Each "
+    "edge is a left-anti probe; dim parents broadcast so the fact side "
+    "never shuffles, and the fact-fact edge (lineitem->orders) is a "
+    "plain shuffled anti-join AQE can skew-split.  Orphans are counted, "
+    "never materialized.",
+)
+def qd02_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for edge, child, ckey, parent, pkey, is_dim in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pkey).distinct()
+        if is_dim:
+            p = F.broadcast(p)
+        orphans = c.join(p, on=c[ckey] == p[pkey], how="left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(edge).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+@register(
+    "qd03_constraint_audit",
+    oracle="""
+        SELECT 'discount_range' AS rule, count(*) AS n_checked,
+               count(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 0.10) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'tax_range', count(*),
+               count(*) FILTER (WHERE l_tax NOT BETWEEN 0.0 AND 0.08)
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity_range', count(*),
+               count(*) FILTER (WHERE l_quantity NOT BETWEEN 1.0 AND 50.0)
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive', count(*),
+               count(*) FILTER (WHERE l_extendedprice <= 0.0)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_not_before_order', count(*),
+               count(*) FILTER (WHERE l_shipdate < o_orderdate)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="Constraint/rule audit: four single-pass map-side range rules "
+    "over the fact table (one scan, one conditional-sum per rule — "
+    "adding a rule adds a column, not a scan) plus one cross-table rule "
+    "(ship date not before order date) as a shuffled equi-join.  Output "
+    "is (rule, n_checked, n_violations).",
+)
+def qd03_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = F.count(F.lit(1))
+
+    def viol(cond):  # count of rows violating the rule
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    single = li.agg(
+        n.alias("n_checked"),
+        viol(~F.col("l_discount").between(0.0, 0.10)).alias("v_discount"),
+        viol(~F.col("l_tax").between(0.0, 0.08)).alias("v_tax"),
+        viol(~F.col("l_quantity").between(1.0, 50.0)).alias("v_qty"),
+        viol(F.col("l_extendedprice") <= 0.0).alias("v_price"),
+    ).selectExpr(
+        "stack(4, 'discount_range', v_discount, 'tax_range', v_tax, "
+        "'quantity_range', v_qty, 'price_positive', v_price) AS (rule, n_violations)",
+        "n_checked",
+    )
+    joined = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.lit("ship_not_before_order").alias("rule"),
+            n.alias("n_checked"),
+            viol(F.col("l_shipdate") < F.col("o_orderdate")).alias("n_violations"),
+        )
+    )
+    cols = ["rule", "n_checked", "n_violations"]
+    return single.select(*cols).unionByName(joined.select(*cols))
+
+
+#: (table, primary-key expression for uniqueness check).
+_PK = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+@register(
+    "qd04_key_uniqueness",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{t}' AS tbl, count(*) AS n_rows,
+               count(DISTINCT {k}) AS n_distinct_keys,
+               count(*) - count(DISTINCT {k}) AS n_dup_keys
+        FROM {t}
+        """
+        for t, k in _PK
+    )
+    + """
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               count(DISTINCT (l_orderkey, l_linenumber)),
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+    """,
+    doc="Primary-key uniqueness audit for all ten tables (composite key "
+    "for lineitem): row count vs distinct-key count.  Each table is one "
+    "partial-agg scan; the union of ten one-row frames is driver-cheap "
+    "at any scale because only the counts move.",
+)
+def qd04_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, k in _PK:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(k).alias("n_distinct_keys"),
+                (F.count(F.lit(1)) - F.countDistinct(k)).alias("n_dup_keys"),
+            )
+        )
+    li = load_table(spark, sf_dir, "lineitem")
+    parts.append(
+        li.agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey", "l_linenumber").alias("n_distinct_keys"),
+            (F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")).alias(
+                "n_dup_keys"
+            ),
+        )
+    )
+    return reduce(DataFrame.unionByName, parts)
