@@ -274,3 +274,94 @@ def qc07_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+#: Terms masked by the redaction pass (stand-in for a PII term/pattern
+#: list; the fixture vocabulary has no real PII, so entity-ish corpus
+#: words play the role).  The mask mechanics — global regex replace +
+#: masked-token accounting — are exactly the production shape.
+_REDACT_TERMS = ("customer", "key", "value")
+
+
+@register(
+    "qc08_term_redaction",
+    oracle=f"""
+        SELECT
+            doc_id,
+            regexp_replace(text, '\\b({'|'.join(_REDACT_TERMS)})\\b', '[MASK]', 'g')
+                AS masked_text,
+            len(list_filter(string_split(text, ' '),
+                            w -> w IN {_REDACT_TERMS!r})) AS n_masked
+        FROM documents
+    """,
+    doc="PII-style term redaction: mask every occurrence of a sensitive "
+    "term list via one global regexp_replace and count masked tokens "
+    "with a HOF filter over the token array.  Pure map-side Catalyst "
+    "expressions — no shuffle, no UDF; at 100 TB this runs at scan "
+    "speed and the pattern list swaps for real PII regexes (email/"
+    "phone/ID) without changing the plan.",
+)
+def qc08_term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(" + "|".join(_REDACT_TERMS) + r")\b"
+    terms = F.array(*[F.lit(t) for t in _REDACT_TERMS])
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "[MASK]").alias("masked_text"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.array_contains(terms, w))
+        ).alias("n_masked"),
+    )
+
+
+#: Target language mixture for the rebalanced corpus sample and the
+#: total sample budget.  Real corpus builds tune these per data recipe;
+#: they are constant folds, not plan inputs.
+_MIX_TARGET = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+_MIX_BUDGET = 200
+
+
+@register(
+    "qc09_mixture_rebalance",
+    oracle=f"""
+        SELECT lang, doc_id
+        FROM documents
+        QUALIFY row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                )
+             <= least(
+                    CAST(floor({_MIX_BUDGET} * CASE lang
+                        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET.items())}
+                        ELSE 0.0 END) AS BIGINT),
+                    count(*) OVER (PARTITION BY lang))
+    """,
+    doc="Data-mixture rebalancing: draw a deterministic sample whose "
+    "language shares follow a target recipe (en 40%, de/es 20%, fr/zh "
+    "10%) — per-lang quota = floor(share * budget) capped by stratum "
+    "size, members picked by md5(doc_id) rank.  One stratum-keyed "
+    "window shuffle, no RNG, reproducible across engines and reruns; "
+    "at 100 TB the quota math is identical per (lang, shard) so strata "
+    "rebalance in parallel.",
+)
+def qc09_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    share = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_TARGET.items()],
+        F.lit(0.0),
+    )
+    quota = F.least(
+        F.floor(F.lit(_MIX_BUDGET) * share).cast("long"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.withColumn("__rk", rk)
+        .withColumn("__q", quota)
+        .filter(F.col("__rk") <= F.col("__q"))
+        .select("lang", "doc_id")
+    )
