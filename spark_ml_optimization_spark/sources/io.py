@@ -52,21 +52,39 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCHEMA_CACHE: dict[str, "object"] = {}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to µs-precision ``timestamp_ntz``
+    regardless of how the fixture stored it.
+
+    The fixture has shipped ``ts`` two ways across driver rounds:
+    TIMESTAMP(NANOS) — which Spark 4.x's vectorized reader only accepts
+    via the nanosAsLong legacy conf, surfacing a raw LongType we
+    floor-divide to microseconds (the same truncation DuckDB applies) —
+    and plain TIMESTAMP(MICROS), which reads natively as timestamp_ntz.
+    Branching on the *read* type keeps the engine correct under either
+    fixture vintage with zero conf coupling.
+    """
+    field = df.schema["ts"].dataType.typeName()
+    if field == "long":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    if field != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one relation.  Lazy: nothing executes until an action
     (first-ever read of a path infers its schema once; later reads hit
     the schema cache and launch zero jobs).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark
-    4.x's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).  The
-    Spark-native path is the legacy conf that surfaces nanos as a raw
-    LongType, which we floor-divide to microseconds — the same truncation
-    DuckDB applies on CAST(ts AS TIMESTAMP) — and expose as timestamp_ntz
-    to match the naive ms-precision timestamps of the other tables.
+    ``events.ts`` precision handling lives in :func:`normalize_events_ts`.
     """
     configure(spark)
     path = table_path(sf_dir, name)
     if name == "events":
+        # Harmless when ts is already µs; required to read a nanos fixture.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cached = _SCHEMA_CACHE.get(path)
     if cached is not None:
@@ -75,9 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[path] = df.schema
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        df = normalize_events_ts(df)
     return df
 
 

@@ -28,19 +28,12 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from ..session import configure
+from ..sources.io import normalize_events_ts
 
-#: Explicit read schema — streaming sources never infer.  ts is the raw
-#: nanosecond int64 (see sources/io.py on PARQUET_TYPE_ILLEGAL).
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: Explicit read schemas per fixture dir — streaming sources never
+#: infer, so derive the schema once from the batch reader's footer read
+#: (which also handles the ts precision vintage, see sources/io.py).
+_EVENTS_STREAM_SCHEMA: dict[str, T.StructType] = {}
 
 
 _STAGE_CACHE: dict[str, str] = {}
@@ -66,8 +59,17 @@ def _stage_dir(sf_dir: str) -> str:
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _EVENTS_STREAM_SCHEMA.get(sf_dir)
+    if schema is None:
+        # Raw footer schema (pre-normalization) — the stream must read
+        # the file exactly as written; ts normalization happens after.
+        raw_batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        schema = _EVENTS_STREAM_SCHEMA[sf_dir] = raw_batch.schema
+    raw = spark.readStream.schema(schema).parquet(_stage_dir(sf_dir))
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # ntz); session TZ is pinned UTC so the instant matches the batch
+    # twins' timestamp_ntz values exactly.
+    return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
