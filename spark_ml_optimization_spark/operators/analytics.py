@@ -559,3 +559,186 @@ def qa16_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "qa14_order_count_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution.  Left outer "
+    "join with a join-side predicate (not a WHERE — customers with zero "
+    "matching orders must survive as c_count=0), double aggregation.  "
+    "The first groupBy shuffles on c_custkey, which the join already "
+    "partitioned by — Catalyst reuses the exchange; the second agg is "
+    "over ~tens of distinct counts, map-side combinable.",
+)
+def qa14_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "qa15_small_qty_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'SMALL'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    doc="TPC-H Q17 shape: revenue from small-quantity orders of SMALL-type "
+    "parts, correlated scalar-aggregate subquery (per-part average "
+    "quantity).  Spark-first: the correlated subquery is a self-"
+    "aggregation — groupBy(l_partkey).avg once, broadcast the per-part "
+    "thresholds (#parts rows, tiny next to the fact), rejoin.  One "
+    "fact-table shuffle for the agg, zero for the probe.",
+)
+def qa15_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "qa17_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5 shape: local-supplier volume — the join that correlates "
+    "two different dimension paths to the same nation (customer's and "
+    "supplier's), region-filtered.  All four dims broadcast; the only "
+    "big shuffle is orders⋈lineitem.  The c_nationkey = s_nationkey "
+    "condition rides on the supplier broadcast join, not a separate op.",
+)
+def qa17_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "qa18_cheapest_supplier_per_part",
+    oracle="""
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), ranked AS (
+            SELECT l_partkey, l_suppkey, unit_cost,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY unit_cost ASC, l_suppkey ASC
+                   ) AS rn
+            FROM unit
+        )
+        SELECT p.p_brand,
+               count(*) AS n_parts,
+               round(sum(r.unit_cost), 2) AS total_best_cost,
+               count(DISTINCT r.l_suppkey) AS n_suppliers
+        FROM ranked r
+        JOIN part p ON p.p_partkey = r.l_partkey
+        WHERE r.rn = 1
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+    doc="TPC-H Q2 shape (fixture has no partsupp: lineitem unit prices "
+    "stand in for supply cost): per part, the cheapest supplier — the "
+    "argmin-per-group operator.  Spark-first: argmin via "
+    "min(struct(cost, suppkey)) — ONE hash aggregate, no window sort "
+    "(struct ordering is lexicographic, so the suppkey tiebreak is "
+    "deterministic); oracle mirrors with ROW_NUMBER.  Then broadcast "
+    "part dim, regroup by brand.",
+)
+def qa18_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "l_suppkey")).alias("m")
+    )
+    return (
+        best.select(
+            "l_partkey",
+            F.col("m.unit_cost").alias("unit_cost"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("unit_cost"), 2).alias("total_best_cost"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
+    )

@@ -365,3 +365,45 @@ def qc09_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= F.col("__q"))
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "qc10_heavy_hitters",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tot AS (
+            SELECT count(*) AS n FROM tok
+        )
+        SELECT t.token,
+               count(*) AS freq,
+               round(count(*) * 100.0 / max(tot.n), 4) AS pct
+        FROM tok t CROSS JOIN tot
+        GROUP BY t.token
+        HAVING count(*) * 1.0 / max(tot.n) > 0.005
+        ORDER BY freq DESC, token ASC
+    """,
+    doc="Exact heavy hitters: tokens above 0.5% corpus support — the "
+    "vocabulary-pruning / boilerplate-detection primitive for corpus "
+    "curation.  explode -> groupBy(token) with map-side partial agg "
+    "(token counts combine before the shuffle, so shuffle volume is "
+    "~vocabulary size, not corpus size); the corpus total is a 1-row "
+    "broadcast.  At 100 TB the same plan holds: partial aggregation "
+    "makes the shuffle proportional to distinct tokens per partition.",
+)
+def qc10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    total = tok.agg(F.count("*").alias("n"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") / F.col("n") > 0.005)
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") * 100.0 / F.col("n"), 4).alias("pct"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+    )

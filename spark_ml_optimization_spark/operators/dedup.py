@@ -335,16 +335,17 @@ def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
+                    "upd"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence check scans the already-materialized checkpoint —
+        # no extra join/shuffle per round (the old new-vs-old join was one
+        # full shuffle per iteration; the flag rides along for free).
+        changed = new_labels.filter("upd").count()
+        labels = new_labels.drop("upd")
         if changed == 0:
             break
     sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))

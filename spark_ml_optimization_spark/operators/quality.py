@@ -273,3 +273,59 @@ def qd04_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return reduce(DataFrame.unionByName, parts)
+
+
+@register(
+    "qd05_iqr_outliers",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+                   percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               count(*) FILTER (
+                   WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                      OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+               ) AS n_outliers,
+               round(count(*) FILTER (
+                   WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                      OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+               ) * 100.0 / count(*), 4) AS outlier_pct,
+               round(max(b.q3 - b.q1), 6) AS iqr
+        FROM events e
+        JOIN bounds b ON e.event_type = b.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="Tukey-fence outlier audit: per-group exact quartiles (one "
+    "shuffle, percentile in the agg), bounds broadcast back onto the "
+    "stream of events (5-row dim — no second fact shuffle), conditional "
+    "count.  The per-group IQR fence is the standard numeric-column "
+    "screen in data-quality gates before training-data export.",
+)
+def qd05_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy(F.col("event_type").alias("bt")).agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    is_out = (F.col("value") < lo) | (F.col("value") > hi)
+    return (
+        e.join(F.broadcast(bounds), e.event_type == F.col("bt"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(is_out.cast("long")) * 100.0 / F.count("*"), 4
+            ).alias("outlier_pct"),
+            F.round(F.max(F.col("q3") - F.col("q1")), 6).alias("iqr"),
+        )
+        .orderBy("event_type")
+    )
