@@ -425,3 +425,43 @@ def cohort_retention(
             F.round(F.count("*") / F.min("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------- skew
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the small side ``n_salts``
+    times and scatter each big-side row to one replica, so a hot key's
+    rows spread across ``n_salts`` shuffle partitions instead of one
+    straggler task.
+
+    Semantically identical to ``big.join(small, big(key)==small(key),
+    how)`` for ``inner``/``left`` joins.  The big-side salt is a
+    deterministic per-row hash (no rand() — keeps the plan replayable
+    and AQE-friendly); the small side is exploded, multiplying it by
+    ``n_salts`` — use only when the small side times n_salts still fits
+    the shuffle budget (or is broadcastable, in which case prefer
+    broadcast and skip salting entirely).  Complements AQE skew-join
+    splitting, which only kicks in above partition-size thresholds.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(n_salts))
+    )
+    small_s = small.withColumn("__salt", F.explode(salt_vals))
+    joined = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key]) & (big_s["__salt"] == small_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

@@ -271,3 +271,41 @@ def q17b_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.min("seg_size").alias("seg_size"), F.count("*").alias("n_joined"))
     )
+
+
+@register(
+    "q48b_salted_join",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n_lines,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+    """,
+    doc="Skew-resistant salted join (api.salted_join): the orders side is "
+    "replicated n_salts=8 ways, each lineitem row scattered to one "
+    "replica by a deterministic row hash — a hot orderkey's rows land "
+    "in 8 shuffle partitions instead of one straggler.  Result is "
+    "bit-identical to the plain join (the oracle IS the plain join).  "
+    "The fixture plants no hot keys, so this verifies semantics; the "
+    "scale story is the operator shape, complementing AQE skew "
+    "splitting for below-threshold skew.",
+)
+def q48b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -184,3 +184,34 @@ def test_dynamic_partition_pruning_fires(spark):
     df = _df(spark, "src08_dynamic_partition_pruning")
     plan = explain_formatted(df)
     assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Catalyst's InjectRuntimeFilter turns a selective dim filter into a
+    bloom-filter semi-join pushed into the fact scan — at 100 TB this
+    cuts shuffle volume by the dim's selectivity before any join runs.
+    Thresholds are production-scale (10 GB application side), so the
+    test lowers them to prove the rule fires on our join shapes; conf is
+    restored either way."""
+    from spark_ml_optimization_spark.sources import load_table
+
+    app_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bc = spark.conf.get(app_key), spark.conf.get(bc_key)
+    try:
+        spark.conf.set(app_key, "0")
+        spark.conf.set(bc_key, "-1")  # force the shuffle join the rule targets
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized or "might_contain" in optimized, (
+            "runtime bloom filter not injected:\n" + optimized[:2000]
+        )
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bc_key, old_bc)
