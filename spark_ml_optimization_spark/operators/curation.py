@@ -407,3 +407,55 @@ def qc10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), F.asc("token"))
     )
+
+
+@register(
+    "qc11_incremental_dedup",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id, source, lang,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   doc_id % 5 = 4 AS is_new
+            FROM documents
+        ), corpus_fp AS (
+            SELECT DISTINCT fp FROM tagged WHERE NOT is_new
+        ), batch_kept AS (
+            SELECT t.doc_id, t.source, t.lang, t.fp
+            FROM tagged t
+            WHERE t.is_new
+              AND NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = t.fp)
+        ), survivors AS (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM batch_kept
+        )
+        SELECT doc_id, source, lang FROM survivors WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    doc="Incremental dedup: admit an incoming batch against an existing "
+    "corpus — drop batch docs whose canonical fingerprint (whitespace-"
+    "normalized lowercase md5) already exists in the corpus (anti-join "
+    "on the digest), then resolve within-batch dups to the min doc_id "
+    "survivor.  The corpus side ships ONLY distinct 16-byte digests "
+    "(never text), so at 100 TB the anti-join probe is digest-sized; "
+    "the within-batch pass shuffles just the incoming batch.  The "
+    "is_new split stands in for the new-arrivals partition of an "
+    "ingest pipeline.",
+)
+def qc11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import fingerprint
+
+    d = fingerprint(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text"),
+        "text",
+        out_col="fp",
+    ).withColumn("is_new", F.col("doc_id") % 5 == 4)
+    corpus_fp = d.filter(~F.col("is_new")).select("fp").distinct()
+    batch = d.filter(F.col("is_new"))
+    kept = batch.join(corpus_fp, "fp", "left_anti")
+    from pyspark.sql import Window as W
+
+    survivors = kept.withColumn(
+        "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    return survivors.select("doc_id", "source", "lang").orderBy("doc_id")

@@ -370,3 +370,52 @@ def qd05_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "qd06_winsorize",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               round(avg(e.value), 6) AS avg_raw,
+               round(avg(greatest(b.p05, least(b.p95, e.value))), 6)
+                   AS avg_winsorized,
+               count(*) FILTER (WHERE e.value < b.p05 OR e.value > b.p95)
+                   AS n_clipped
+        FROM events e
+        JOIN bounds b ON e.event_type = b.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="Winsorization: clamp each group's numeric tail to its exact "
+    "[p05, p95] band — the outlier-robust normalization used before "
+    "aggregating reward/score columns.  Same two-phase shape as the "
+    "qd05 fence audit: one percentile shuffle over the facts, bounds "
+    "rebroadcast (group-cardinality rows), clamp + aggregate map-side.",
+)
+def qd06_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy(F.col("event_type").alias("bt")).agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    wins = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    clipped = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        e.join(F.broadcast(bounds), e.event_type == F.col("bt"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_raw"),
+            F.round(F.avg(wins), 6).alias("avg_winsorized"),
+            F.sum(clipped.cast("long")).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

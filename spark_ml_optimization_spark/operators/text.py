@@ -301,3 +301,67 @@ def q82_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_content_tokens"
         ),
     )
+
+
+@register(
+    "q83_token_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT doc_id, lang, token, count(*) AS c
+            FROM tok GROUP BY doc_id, lang, token
+        ), withp AS (
+            SELECT doc_id, lang,
+                   c * 1.0 / sum(c) OVER (PARTITION BY doc_id) AS p
+            FROM freq
+        ), doc_h AS (
+            SELECT doc_id, lang, -sum(p * ln(p)) AS h
+            FROM withp
+            GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(h), 4) AS avg_entropy,
+               round(min(h), 4) AS min_entropy,
+               round(max(h), 4) AS max_entropy
+        FROM doc_h
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Per-document Shannon token entropy, aggregated per language — "
+    "the information-density screen (low entropy = repetitive/template "
+    "text, a stronger signal than the qc05 repetition ratio).  Pure "
+    "Catalyst: explode -> (doc,token) partial-agg count -> window "
+    "normalize -> -sum(p ln p) -> per-lang stats.  Two shuffles total "
+    "(token counts, per-doc regroup); at 100 TB the (doc,token) "
+    "aggregate is the only corpus-sized exchange, and it combines "
+    "map-side.",
+)
+def q83_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    with_p = freq.withColumn(
+        "p", F.col("c") / F.sum("c").over(W.partitionBy("doc_id"))
+    )
+    doc_h = with_p.groupBy("doc_id", "lang").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("h")
+    )
+    return (
+        doc_h.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
