@@ -260,6 +260,13 @@ def ml06_als_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratingCol="rating",
         implicitPrefs=True,
         coldStartStrategy="drop",
+        # Block count sizes ALS's per-iteration task grid (user×item
+        # blocks tasks per least-squares stage): the default 10×10 = 100
+        # tasks/stage is pure scheduler overhead at this rating volume
+        # (measured 6.7 s → 2.9 s at sf0.1 with 8×8).  At cluster scale
+        # this scales with executor count, not a constant.
+        numUserBlocks=8,
+        numItemBlocks=8,
     )
     model = als.fit(ratings)
     # score only the users we report — recommendForAllUsers would run the

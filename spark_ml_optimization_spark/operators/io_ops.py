@@ -306,3 +306,34 @@ def src06_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, cat in cats.items()
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "src11_observed_metrics",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS total_rev,
+               count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+    doc="Observation API: df.observe() rides accumulator-backed metrics "
+    "(row count, revenue sum) on the SAME pass that computes the query "
+    "— the zero-extra-scan audit hook for pipeline health counters "
+    "(rows ingested / dropped / sum drift) at any scale, where a "
+    "separate .count() would re-run the whole plan.  The query output "
+    "is the plain aggregate (oracle-verified); "
+    "tests/test_observe.py pins the observed metrics matching it.",
+)
+def src11_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    observed = o.observe(
+        "src11_metrics",
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("obs_rev"),
+    )
+    return observed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

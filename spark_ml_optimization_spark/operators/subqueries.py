@@ -85,3 +85,103 @@ def q19b_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q38_recursive_month_spine",
+    oracle="""
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+        ), monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS month_rev
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               coalesce(mo.n_orders, 0) AS n_orders,
+               coalesce(mo.month_rev, 0.0) AS month_rev
+        FROM spine s
+        LEFT JOIN monthly mo ON mo.m = s.m
+        ORDER BY s.m
+    """,
+    doc="Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL anchor + "
+    "step): generate the complete month spine of the order-date domain "
+    "and left-join monthly order aggregates, so zero-order months "
+    "surface as explicit rows — the gap-revealing calendar join of any "
+    "reporting pipeline (q68's gap-fill twin, declared in pure SQL).  "
+    "The spine is driver-tiny (80 rows); the fact aggregates once.  "
+    "Cyclic recursion (UNION distinct) is NOT yet in Spark "
+    "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — that is why near-dup "
+    "components (q74b) stay an iterative DataFrame loop.",
+)
+def q38_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < TIMESTAMP_NTZ '2001-07-01 00:00:00'
+        ), monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS month_rev
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               coalesce(mo.n_orders, 0) AS n_orders,
+               coalesce(mo.month_rev, 0.0) AS month_rev
+        FROM spine s
+        LEFT JOIN monthly mo ON mo.m = s.m
+        ORDER BY s.m
+        """
+    )
+
+
+@register(
+    "q59_lateral_topk",
+    oracle="""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name ASC
+    """,
+    doc="Correlated LATERAL subquery join (SQL:2016 lateral derived "
+    "table): per nation, the top-2 customers by balance — the "
+    "declarative twin of the q40 window top-k.  Catalyst decorrelates "
+    "the LATERAL into a join + per-key limit; the fixture keeps both "
+    "the outer (25 rows) and the per-key sort bounded.",
+)
+def q59_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name ASC
+        """
+    )
