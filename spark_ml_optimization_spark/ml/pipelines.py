@@ -528,3 +528,83 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="serial_sec double, parallel_sec double, speedup double"
     )
+
+
+@register(
+    "ml14_fpgrowth_baskets",
+    oracle=None,
+    doc="Frequent-itemset mining (FPGrowth): order baskets of part "
+    "brands (lineitem⋈part, collect_set per order), minSupport 0.05 / "
+    "minConfidence 0.3; output = frequent itemsets with support counts "
+    "(size, sorted items).  The market-basket / co-occurrence primitive "
+    "— at corpus scale the same shape mines tag or n-gram "
+    "co-occurrence.  FPGrowth is distributed (PFP: group-dependent "
+    "conditional trees per partition); 1-itemset counts are pinned to "
+    "exact SQL counts in tests/test_ml_shapes.py.",
+)
+def ml14_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.05, minConfidence=0.3)
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("items"),
+            F.size("items").alias("set_size"),
+            F.col("freq").alias("support_count"),
+        )
+        .orderBy(F.desc("support_count"), F.asc_nulls_last(F.col("items").cast("string")))
+    )
+
+
+@register(
+    "ml15_word2vec",
+    oracle=None,
+    doc="Word2Vec embedding trainer over document tokens (vectorSize 16, "
+    "window 5, seed pinned, 1 partition for determinism); output = "
+    "vocabulary size, vector dim, and the norm of the corpus-mean "
+    "vector — the train-your-own-embeddings stage shape (skip-gram "
+    "negative sampling distributed over token partitions).",
+)
+def ml15_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import Word2Vec
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("tokens")
+    )
+    w2v = Word2Vec(
+        vectorSize=16,
+        minCount=2,
+        numPartitions=1,
+        seed=42,
+        inputCol="tokens",
+        outputCol="vec",
+        windowSize=5,
+        maxIter=1,
+    )
+    model = w2v.fit(d)
+    vecs = model.getVectors()  # (word, vector)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("vector")
+    return vecs.agg(
+        F.count("*").alias("vocab_size"),
+        F.lit(16).alias("vector_dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.array(*[F.avg(arr[i]) for i in range(16)]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            4,
+        ).alias("mean_vec_norm"),
+    )

@@ -337,3 +337,49 @@ def src11_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@register(
+    "src12_python_datasource",
+    oracle="""
+        WITH sensor AS (
+            SELECT i AS reading_id,
+                   CAST((i * 2654435761) % 4294967296 % 97 AS INT) AS sensor_id,
+                   round(((i * 2654435761) % 4294967296 % 1000) / 10.0, 1) AS temp
+            FROM range(0, 10000) t(i)
+        )
+        SELECT sensor_id % 10 AS sensor_group,
+               count(*) AS n_readings,
+               round(avg(temp), 4) AS avg_temp,
+               round(max(temp), 1) AS max_temp
+        FROM sensor
+        GROUP BY sensor_id % 10
+        ORDER BY sensor_group
+    """,
+    doc="Custom data source in pure Python (Spark 4 DataSource API, "
+    "sources/pydatasource.py): a partition-parallel synthetic sensor "
+    "feed — each InputPartition generates its id range executor-side.  "
+    "The generator is deterministic (Knuth multiplicative hash), so "
+    "the oracle reproduces the source arithmetically in DuckDB and the "
+    "whole path — split planning, Python reader, Arrow transfer, "
+    "aggregation — is hash-verified, not just rows-counted.",
+)
+def src12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_sensor_source
+
+    register_sensor_source(spark)
+    df = (
+        spark.read.format("sensor")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy((F.col("sensor_id") % 10).alias("sensor_group"))
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.round(F.avg("temp"), 4).alias("avg_temp"),
+            F.round(F.max("temp"), 1).alias("max_temp"),
+        )
+        .orderBy("sensor_group")
+    )

@@ -1,0 +1,104 @@
+"""Pins for the mining/embedding-trainer queries (ml14/ml15) and the
+protobuf-gated transformWithStateInPandas surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_optimization_spark.registry import all_queries
+from spark_ml_optimization_spark.sources import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_fpgrowth_singletons_match_exact_counts(spark):
+    """FPGrowth's frequent 1-itemsets are exact support counts — pin
+    them to the plain groupBy count over the same baskets."""
+    fp = all_queries()["ml14_fpgrowth_baskets"].fn(spark, SF_CORRECT)
+    singles = {
+        r["items"][0]: r["support_count"]
+        for r in fp.filter(F.col("set_size") == 1).collect()
+    }
+    assert singles, "no 1-itemsets returned"
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, SF_CORRECT, "part").select("p_partkey", "p_brand")
+    n_baskets = li.select("l_orderkey").distinct().count()
+    exact = {
+        r["p_brand"]: r["n"]
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["n"] / n_baskets >= 0.05
+    }
+    assert singles == exact
+
+
+def test_word2vec_deterministic(spark):
+    q = all_queries()["ml15_word2vec"].fn
+    a = q(spark, SF_CORRECT).collect()[0]
+    b = q(spark, SF_CORRECT).collect()[0]
+    assert a == b
+    assert a["vocab_size"] > 0 and a["vector_dim"] == 16
+
+
+def test_transform_with_state_requires_protobuf(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) depends
+    on protobuf for its state-server protocol; this container ships
+    without it, so the surface is applyInPandasWithState (st06).  If
+    protobuf appears, this test exercises the new API end-to-end."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle):
+            self.count_state = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.count_state.get()
+            total = (prev[0] if prev else 0) + n
+            self.count_state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "100")
+            .load()
+            .select((F.col("value") % 5).alias("user_id"))
+        )
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id BIGINT, n_events BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .start()
+        )
+        import time
+
+        time.sleep(3)
+        q.processAllAvailable()
+        q.stop()
+        assert spark.table("tws_test").count() >= 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
