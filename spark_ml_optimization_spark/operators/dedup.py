@@ -359,3 +359,75 @@ def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "component").select(
         "node", "component", F.col("sz").alias("component_size")
     ).withColumnRenamed("node", "doc_id")
+
+
+@register(
+    "q84_pagerank",
+    oracle=None,  # damped iteration isn't ANSI-SQL-expressible; rank
+    # conservation + determinism pinned in tests/test_graph.py.
+    doc="PageRank over the supplier→customer revenue graph (edges: "
+    "supplier shipped to customer, from lineitem⋈orders), 8 damped "
+    "iterations (d=0.85), uniform init.  Same iterative-DataFrame "
+    "discipline as q74b connected components: out-degree joined once "
+    "up front, per-round contribution groupBy, localCheckpoint to "
+    "truncate lineage, NO driver-side data — only the fixed round "
+    "count.  At 100 TB this is the canonical 'iterative algorithm on "
+    "DataFrames' template (GraphX-free); round cost is one shuffle on "
+    "dst.  Returns the top-25 ranked nodes (deterministic id "
+    "tiebreak).",
+)
+def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # directed edges supplier -> customer (distinct pairs; suppliers are
+    # node ids offset into their own space to keep the graph bipartite)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    d = 0.85
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(8):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(1 - d) + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    is_supplier = F.col("node") >= 10_000_000
+    return (
+        ranks.select(
+            F.when(is_supplier, F.col("node") - 10_000_000)
+            .otherwise(F.col("node"))
+            .alias("entity_id"),
+            F.when(is_supplier, F.lit("supplier")).otherwise(F.lit("customer")).alias(
+                "entity_type"
+            ),
+            F.round("rank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("entity_id"))
+        .limit(25)
+    )

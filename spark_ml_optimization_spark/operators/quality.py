@@ -419,3 +419,47 @@ def qd06_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "qd07_histogram",
+    oracle="""
+        WITH params AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT CAST(least(floor((o_totalprice - p.lo) / ((p.hi - p.lo) / 20.0)),
+                           19) AS INT) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS bucket_min,
+               round(max(o_totalprice), 2) AS bucket_max
+        FROM orders, params p
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    doc="Equi-width histogram (20 buckets over the o_totalprice domain): "
+    "min/max via a 1-row broadcast scalar aggregate, bucket index as "
+    "map-side arithmetic, one count shuffle of bucket ids only — the "
+    "distribution-drift panel behind every data-quality dashboard.  "
+    "The top edge folds into the last bucket (least(...,19)), matching "
+    "width_bucket semantics without its off-by-one final bound.",
+)
+def qd07_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    params = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(params))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
