@@ -70,6 +70,22 @@ def main() -> int:
             ["label", "features"],
         )
         LogisticRegression(maxIter=1).fit(warm)
+        # Tree-ensemble and ALS engines JIT separate code paths (random
+        # forest histogram aggregation, blocked least squares + netlib
+        # BLAS binding) — warm each with a toy fit so ml06/ml10's timed
+        # windows measure the algorithm, not first-use JIT/classloading.
+        from pyspark.ml.recommendation import ALS
+        from pyspark.ml.regression import GBTRegressor
+
+        GBTRegressor(maxIter=2, maxDepth=2).fit(warm)
+        ALS(
+            rank=2, maxIter=1, userCol="u", itemCol="i", ratingCol="r",
+            numUserBlocks=2, numItemBlocks=2,
+        ).fit(
+            spark.createDataFrame(
+                [(i % 3, i % 5, 1.0) for i in range(20)], ["u", "i", "r"]
+            )
+        )
         spark.range(4).mapInPandas(lambda it: it, schema="id long").collect()
         # Streaming engine init (state store, micro-batch scheduler) costs
         # ~7 s once per session — warm it at the smallest fixture scale.
