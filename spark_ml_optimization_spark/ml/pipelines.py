@@ -554,13 +554,16 @@ def ml14_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = FPGrowth(itemsCol="items", minSupport=0.05, minConfidence=0.3)
     model = fp.fit(baskets)
+    # items as a joined string, not array<string>: the driver-side
+    # canonicalizer hashes scalar cells only (same reason q26 emits
+    # array_join — see VERDICT round 1).
     return (
         model.freqItemsets.select(
-            F.array_sort("items").alias("items"),
+            F.array_join(F.array_sort("items"), ",").alias("items"),
             F.size("items").alias("set_size"),
             F.col("freq").alias("support_count"),
         )
-        .orderBy(F.desc("support_count"), F.asc_nulls_last(F.col("items").cast("string")))
+        .orderBy(F.desc("support_count"), F.asc("items"))
     )
 
 

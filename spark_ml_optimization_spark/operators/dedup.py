@@ -431,3 +431,57 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("entity_id"))
         .limit(25)
     )
+
+
+@register(
+    "q73b_simhash_arrow",
+    oracle=None,  # same signatures as q73; cross-kernel equality is
+    # pinned in tests/test_dedup_groundtruth.py.
+    doc="SimHash via mapInArrow — the zero-copy twin of q73's "
+    "mapInPandas: the kernel consumes pyarrow.RecordBatch directly "
+    "(no pandas Series materialization per column), emitting one "
+    "int64 signature per doc.  Bit-identical to q73 (tested); use "
+    "this form when the kernel is numpy-native and per-batch pandas "
+    "conversion is measurable overhead.",
+)
+def q73b_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def arrow_kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        cache: dict[str, "np.ndarray"] = {}
+
+        def token_bits(tok: str):
+            bits = cache.get(tok)
+            if bits is None:
+                digest8 = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(
+                    np.frombuffer(digest8, dtype=np.uint8)
+                ).astype(np.int8)
+                cache[tok] = bits
+            return bits
+
+        weights = np.left_shift(
+            np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64)
+        )
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("text").to_pylist()
+            sigs = np.zeros(len(texts), dtype=np.uint64)
+            for i, text in enumerate(texts):
+                toks = set(text.split())
+                if not toks:
+                    continue
+                mat = np.stack([token_bits(t) for t in toks])
+                votes = mat.sum(axis=0) * 2 - len(toks)
+                sigs[i] = np.uint64((weights * (votes > 0)).sum())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids), pa.array(sigs.astype(np.int64))],
+                names=["doc_id", "simhash"],
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
+    return d.mapInArrow(arrow_kernel, schema="doc_id long, simhash long")

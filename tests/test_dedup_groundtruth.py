@@ -67,3 +67,19 @@ def test_simhash_deterministic_and_dup_invariant(spark):
     assert sim.sort_values("doc_id").reset_index(drop=True).equals(
         sim2.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_simhash_arrow_matches_pandas_kernel(spark):
+    """q73b (mapInArrow) must produce bit-identical signatures to q73
+    (mapInPandas) — same hash, different transport."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    a = {
+        r["doc_id"]: r["simhash"]
+        for r in all_queries()["q73_simhash"].fn(spark, SF_CORRECT).collect()
+    }
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in all_queries()["q73b_simhash_arrow"].fn(spark, SF_CORRECT).collect()
+    }
+    assert a == b and len(a) == 500

@@ -15,7 +15,7 @@ def test_fpgrowth_singletons_match_exact_counts(spark):
     them to the plain groupBy count over the same baskets."""
     fp = all_queries()["ml14_fpgrowth_baskets"].fn(spark, SF_CORRECT)
     singles = {
-        r["items"][0]: r["support_count"]
+        r["items"]: r["support_count"]
         for r in fp.filter(F.col("set_size") == 1).collect()
     }
     assert singles, "no 1-itemsets returned"
