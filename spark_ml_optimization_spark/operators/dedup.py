@@ -396,14 +396,20 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Loop-invariant: edge weights 1/deg(src) never change — join the
+    # out-degree ONCE and checkpoint, so each round is exactly one join
+    # + one groupBy instead of re-deriving degrees every iteration.
+    weighted = (
+        edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(8):
         contribs = (
-            edges.join(out_deg, "src")
-            .join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            weighted.join(ranks, weighted.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )

@@ -537,3 +537,40 @@ def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") / F.min("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+@register(
+    "q68b_ewma",
+    oracle=None,  # the EWMA recurrence isn't ANSI-SQL-expressible
+    # without numerically-unstable pow() tricks; pinned against
+    # pandas.Series.ewm in tests/test_udfs.py.
+    doc="Exponentially-weighted moving average per user over event "
+    "values (alpha=0.2, pandas ewm(adjust=False) semantics) via "
+    "applyInPandas — the recurrence y_t = a*x_t + (1-a)*y_{t-1} is "
+    "inherently sequential per key, the textbook case for a grouped "
+    "Arrow kernel over built-ins.  One shuffle on user_id; each "
+    "group sorts locally by (ts, event_id) and runs the vectorized "
+    "pandas ewm.  Output: per-user last EWMA + event count (stable "
+    "small schema).",
+)
+def q68b_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ewma = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "last_ewma": [round(float(ewma.iloc[-1]), 6)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ewma_group, schema="user_id long, n_events long, last_ewma double"
+    )

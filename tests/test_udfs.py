@@ -29,3 +29,26 @@ def test_udtf_chunker_covers_all_tokens(spark):
     )
     bad = per_doc.join(docs, "doc_id").filter(F.col("n") != F.col("expected")).count()
     assert bad == 0
+
+
+def test_ewma_matches_pandas(spark):
+    """q68b's distributed per-group EWMA must equal pandas ewm computed
+    driver-side on the same (sorted) data."""
+    from spark_ml_optimization_spark.registry import all_queries
+    from spark_ml_optimization_spark.sources import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ewma"])
+        for r in all_queries()["q68b_ewma"].fn(spark, SF_CORRECT).collect()
+    }
+    pdf = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    import pandas as pd
+
+    for uid, grp in pdf.groupby("user_id"):
+        ewma = grp["value"].ewm(alpha=0.2, adjust=False).mean()
+        assert got[uid] == (len(grp), round(float(ewma.iloc[-1]), 6)), uid
