@@ -742,3 +742,41 @@ def qa18_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "qa19_priority_with_returns",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R'
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders in a half-year window having at least "
+    "one returned line (EXISTS → left-semi join; the fixture has no "
+    "commitdate, so returnflag='R' stands in for 'late'), counted per "
+    "priority.  The semi join keeps the probe output at orders "
+    "cardinality — no row multiplication, no distinct needed.",
+)
+def qa19_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
