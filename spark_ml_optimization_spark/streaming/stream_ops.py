@@ -317,3 +317,46 @@ def st05_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "st09_stream_stream_left_join",
+    oracle=None,
+    doc="LEFT OUTER stream-stream join with watermarks + time-range "
+    "condition: every purchase emits, joined to same-user clicks in the "
+    "preceding hour when they exist, with NULL click columns emitted "
+    "only once the watermark passes the purchase's eviction bound — "
+    "the outer-join semantics that require bounded state on both "
+    "sides (the inner-join twin is st08).  Unmatched rows surface on "
+    "state eviction, so the count of null-click purchases is exactly "
+    "the purchases with no qualifying click (asserted in "
+    "tests/test_streaming.py).",
+)
+def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_user")
+    return _run_to_memory(joined, "append")

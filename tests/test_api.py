@@ -173,3 +173,23 @@ def test_cohort_retention_generic(spark):
         ("2024-01-01", 1): (1, 2, 0.5),   # only a returns
         ("2024-01-08", 0): (1, 1, 1.0),   # c's cohort
     }
+
+
+def test_salted_join_equals_plain_join_property(spark):
+    """Property: api.salted_join is bit-identical to the plain inner
+    join for arbitrary data, including duplicate and absent keys."""
+    from spark_ml_optimization_spark.api import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 7, f"v{i}") for i in range(500)] + [(99, "orphan")],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(5)] + [(3, "dup_dim")],
+        ["sk", "dim"],
+    )
+    got = sorted(
+        map(tuple, salted_join(big, small, "k", "sk", n_salts=4).collect())
+    )
+    want = sorted(map(tuple, big.join(small, big.k == small.sk).collect()))
+    assert got == want and len(got) > 0

@@ -35,3 +35,40 @@ def test_stream_tumbling_matches_batch_counts(spark):
         for r in stream.itertuples()
     }
     assert s == b
+
+
+def test_stream_stream_left_join_emits_unmatched(spark):
+    """st09: every purchase appears; purchases with no qualifying click
+    carry NULL click_id; matched pairs equal st08's inner join."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    left = all_queries()["st09_stream_stream_left_join"].fn(spark, SF_CORRECT)
+    rows = left.collect()
+    inner = all_queries()["st08_stream_stream_join"].fn(spark, SF_CORRECT).collect()
+    matched = [r for r in rows if r["click_id"] is not None]
+    assert sorted(map(tuple, matched)) == sorted(map(tuple, inner))
+    purchases = {r["purchase_id"] for r in rows}
+    from spark_ml_optimization_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    all_purchases = (
+        load_table(spark, SF_CORRECT, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+    )
+    # Outer-join null emission is watermark-gated: a purchase can emit
+    # unmatched only once the click watermark passes its ts (proving no
+    # future click can satisfy c_ts <= p_ts).  When the stream ends, the
+    # watermark rests 30 min behind max(ts) — purchases inside that tail
+    # horizon stay pending BY DESIGN.  Assert exactly that: everything
+    # else emitted, and every missing purchase sits in the tail band.
+    rows_all = all_purchases.collect()
+    max_ts = max(r["ts"] for r in rows_all)
+    from datetime import timedelta
+
+    horizon = max_ts - timedelta(minutes=30)
+    missing = {r["event_id"] for r in rows_all} - purchases
+    assert len(purchases) > 0.9 * len(rows_all)
+    assert all(
+        r["ts"] > horizon for r in rows_all if r["event_id"] in missing
+    ), "a purchase outside the watermark tail failed to emit"
