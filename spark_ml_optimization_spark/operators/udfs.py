@@ -223,3 +223,58 @@ def q98_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL doc_chunker(d.text) AS c
         """
     )
+
+
+@register(
+    "q98b_polymorphic_udtf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(g.i AS INT) AS gram_idx,
+               array_to_string(t[g.i + 1 : g.i + 2], '_') AS gram
+        FROM toks, LATERAL unnest(
+            generate_series(0, CAST(len(t) AS BIGINT) - 2)
+        ) AS g(i)
+        WHERE lang = 'en'
+    """,
+    doc="Polymorphic Python UDTF (Spark 4 static analyze()): the output "
+    "schema is computed at ANALYSIS time from the literal n argument — "
+    "one registered function serves any n-gram width with a properly "
+    "typed schema, the metaprogramming surface a generic text toolkit "
+    "needs.  Here n=2: one row per bigram position.  Oracle re-derives "
+    "the bigram grid with generate_series (single-space fixture text "
+    "verified).",
+)
+def q98b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType()
+                .add("gram_idx", IntegerType())
+                .add("gram" if width > 1 else "token", StringType())
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split()
+            for i in range(len(toks) - n + 1):
+                yield i, "_".join(toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", udtf(NGrams))
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.gram_idx, g.gram
+        FROM documents d, LATERAL ngrams_udtf(d.text, 2) AS g
+        WHERE d.lang = 'en'
+        """
+    )
