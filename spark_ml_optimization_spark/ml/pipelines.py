@@ -611,3 +611,31 @@ def ml15_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_vec_norm"),
     )
+
+
+@register(
+    "ml16_chi_square_test",
+    oracle=None,
+    doc="Hypothesis testing surface (pyspark.ml.stat.ChiSquareTest): "
+    "chi-square independence of binarized document features (is-English, "
+    "long-doc flag bucketized) vs a derived class label; output = per-"
+    "feature p-value / statistic / dof.  Deterministic (no sampling); "
+    "the feature-selection primitive before training.",
+)
+def ml16_chi_square_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+        (F.col("n_chars") > 300).cast("double").alias("is_long"),
+        (F.length("source") % 2).cast("double").alias("label"),
+    )
+    vec = VectorAssembler(inputCols=["is_en", "is_long"], outputCol="features")
+    r = ChiSquareTest.test(vec.transform(d), "features", "label", flatten=True)
+    return r.select(
+        "featureIndex",
+        F.round("pValue", 6).alias("p_value"),
+        "degreesOfFreedom",
+        F.round("statistic", 6).alias("statistic"),
+    ).orderBy("featureIndex")

@@ -343,3 +343,37 @@ def q49_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_max"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "q20b_corr_matrix",
+    oracle="""
+        SELECT
+            round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+            round(corr(l_quantity, l_discount), 6) AS qty_disc,
+            round(corr(l_quantity, l_tax), 6) AS qty_tax,
+            round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+            round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+            round(corr(l_discount, l_tax), 6) AS disc_tax
+        FROM lineitem
+    """,
+    doc="Full pairwise Pearson correlation matrix over the fact's four "
+    "numeric measures in ONE aggregate pass (6 corr cells share the "
+    "scan and the single 1-row shuffle) — the feature-redundancy screen "
+    "before model training.  MLlib's Correlation.corr builds the same "
+    "matrix via RowMatrix; the SQL form is exact, cheaper, and "
+    "oracle-verifiable.",
+)
+def q20b_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(a, b), 6).alias(name) for a, b, name in pairs]
+    )

@@ -463,3 +463,62 @@ def qd07_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "qd08_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value, m.m,
+                   abs(e.value - m.m) AS adev
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ), mad AS (
+            SELECT event_type,
+                   max(m) AS m,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_events,
+               round(max(a.mad), 6) AS mad,
+               count(*) FILTER (
+                   WHERE abs(d.value - a.m) > 3.0 * 1.4826 * a.mad
+               ) AS n_outliers
+        FROM dev d JOIN mad a ON d.event_type = a.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    doc="Robust (median/MAD) outlier screen: |x - median| > 3·1.4826·MAD "
+    "per group — the heavy-tail-immune twin of the qd05 IQR fence "
+    "(mean/stddev z-scores break when the outliers ARE the "
+    "contamination).  Two exact-percentile phases (median, then median "
+    "absolute deviation), each a fact shuffle + group-cardinality "
+    "broadcast back; the 1.4826 constant scales MAD to σ under "
+    "normality.",
+)
+def qd08_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy(F.col("event_type").alias("mt")).agg(
+        F.percentile("value", 0.5).alias("m")
+    )
+    dev = e.join(F.broadcast(med), e.event_type == F.col("mt")).select(
+        "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("adev")
+    )
+    mad = dev.groupBy(F.col("event_type").alias("at")).agg(
+        F.max("m").alias("m2"), F.percentile("adev", 0.5).alias("mad")
+    )
+    is_out = F.abs(F.col("value") - F.col("m2")) > 3.0 * 1.4826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), dev.event_type == F.col("at"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
