@@ -185,3 +185,37 @@ def q59_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name ASC
         """
     )
+
+
+@register(
+    "q39_pipe_syntax",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="SQL pipe syntax (Spark 4, SQL:2023-style |> operators): the "
+    "linear FROM |> WHERE |> AGGREGATE ... GROUP BY |> ORDER BY form — "
+    "reads top-down like a DataFrame chain, compiles to the identical "
+    "Catalyst plan as the nested SELECT (the oracle is that plain "
+    "form).  Pipe SQL is the migration bridge for users coming from "
+    "the reference's fluent query API.",
+)
+def q39_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n_lines,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
