@@ -454,14 +454,22 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    # Unique salt column name: a caller-owned "__salt" column must pass
+    # through untouched (a fixed name would be clobbered then dropped).
+    salt = "__salt"
+    taken = set(big.columns) | set(small.columns)
+    i = 0
+    while salt in taken:
+        i += 1
+        salt = f"__salt_{i}"
     salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
     big_s = big.withColumn(
-        "__salt", F.pmod(F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(n_salts))
+        salt, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )
-    small_s = small.withColumn("__salt", F.explode(salt_vals))
+    small_s = small.withColumn(salt, F.explode(salt_vals))
     joined = big_s.join(
         small_s,
-        (big_s[big_key] == small_s[small_key]) & (big_s["__salt"] == small_s["__salt"]),
+        (big_s[big_key] == small_s[small_key]) & (big_s[salt] == small_s[salt]),
         how,
     )
-    return joined.drop("__salt")
+    return joined.drop(salt)

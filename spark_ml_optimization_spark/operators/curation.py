@@ -395,8 +395,10 @@ def qc09_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qc10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
-    total = tok.agg(F.count("*").alias("n"))
     counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    # Corpus total from the (vocabulary-sized) counts, NOT a second
+    # corpus-sized explode+scan: sum(freq) == count of all tokens.
+    total = counts.agg(F.sum("freq").alias("n"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("freq") / F.col("n") > 0.005)

@@ -379,12 +379,15 @@ def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # directed edges supplier -> customer (distinct pairs; suppliers are
-    # node ids offset into their own space to keep the graph bipartite)
+    # directed edges supplier -> customer (distinct pairs).  Suppliers
+    # map to the negative id space (-(suppkey+1)): customer keys are
+    # non-negative at EVERY scale, so the two entity spaces can never
+    # collide (a fixed positive offset would merge entities once
+    # custkey crossed it).
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            (F.col("l_suppkey") + F.lit(10_000_000)).alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("src"),
             F.col("o_custkey").alias("dst"),
         )
         .distinct()
@@ -423,10 +426,10 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    is_supplier = F.col("node") >= 10_000_000
+    is_supplier = F.col("node") < 0
     return (
         ranks.select(
-            F.when(is_supplier, F.col("node") - 10_000_000)
+            F.when(is_supplier, -F.col("node") - 1)
             .otherwise(F.col("node"))
             .alias("entity_id"),
             F.when(is_supplier, F.lit("supplier")).otherwise(F.lit("customer")).alias(

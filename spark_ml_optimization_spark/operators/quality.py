@@ -113,8 +113,13 @@ def qd01_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col_name")
         .agg(F.count("*").alias("n_distinct"))
     )
-    return base.join(F.broadcast(distinct_counts), "col_name").select(
-        "col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
+    # LEFT join: an all-NULL column yields zero (col,value) pairs, so it
+    # has no distinct-counts row — it must still profile (n_distinct=0),
+    # matching countDistinct semantics and the oracle.
+    return (
+        base.join(F.broadcast(distinct_counts), "col_name", "left")
+        .withColumn("n_distinct", F.coalesce("n_distinct", F.lit(0)))
+        .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
     )
 
 

@@ -263,7 +263,10 @@ def q98b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str, n: int):
-            toks = text.split()
+            # split(' '), not split(): must mirror the oracle's
+            # string_split(text, ' ') exactly (empties kept) so parity
+            # survives a fixture vintage with irregular whitespace.
+            toks = text.split(" ")
             for i in range(len(toks) - n + 1):
                 yield i, "_".join(toks[i : i + n])
 

@@ -53,12 +53,8 @@ class SensorSource(DataSource):
         return _SensorReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_sensor_source(spark: SparkSession) -> None:
-    """Idempotent per SparkSession (re-registering is an error)."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(SensorSource)
-        _REGISTERED.add(key)
+    """spark.dataSource.register REPLACES an existing registration of the
+    same name, so plain re-registration is already idempotent — no
+    memoization (an id(spark) cache can go stale after GC id reuse)."""
+    spark.dataSource.register(SensorSource)

@@ -102,3 +102,7 @@ def test_transform_with_state_requires_protobuf(spark):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            # get(key, None) returns None for a never-set conf; unset so
+            # RocksDB doesn't leak into the rest of the shared session.
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -51,22 +51,27 @@ def test_stream_stream_left_join_emits_unmatched(spark):
     from spark_ml_optimization_spark.sources import load_table
     from pyspark.sql import functions as F
 
-    all_purchases = (
-        load_table(spark, SF_CORRECT, "events")
-        .filter(F.col("event_type") == "purchase")
+    events = load_table(spark, SF_CORRECT, "events")
+    rows_all = (
+        events.filter(F.col("event_type") == "purchase")
         .select("event_id", "ts")
+        .collect()
     )
     # Outer-join null emission is watermark-gated: a purchase can emit
-    # unmatched only once the click watermark passes its ts (proving no
-    # future click can satisfy c_ts <= p_ts).  When the stream ends, the
-    # watermark rests 30 min behind max(ts) — purchases inside that tail
-    # horizon stay pending BY DESIGN.  Assert exactly that: everything
-    # else emitted, and every missing purchase sits in the tail band.
-    rows_all = all_purchases.collect()
-    max_ts = max(r["ts"] for r in rows_all)
+    # unmatched only once the GLOBAL watermark passes its ts (proving no
+    # future click can satisfy c_ts <= p_ts).  The global watermark is
+    # the MIN over both input streams' watermarks — compute it from the
+    # last click AND last purchase, not purchases alone.  Purchases
+    # inside that tail horizon stay pending BY DESIGN.
+    max_p_ts = max(r["ts"] for r in rows_all)
+    max_c_ts = (
+        events.filter(F.col("event_type") == "click")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
     from datetime import timedelta
 
-    horizon = max_ts - timedelta(minutes=30)
+    horizon = min(max_p_ts, max_c_ts) - timedelta(minutes=30)
     missing = {r["event_id"] for r in rows_all} - purchases
     assert len(purchases) > 0.9 * len(rows_all)
     assert all(
