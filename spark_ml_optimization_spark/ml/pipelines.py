@@ -639,3 +639,84 @@ def ml16_chi_square_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degreesOfFreedom",
         F.round("statistic", 6).alias("statistic"),
     ).orderBy("featureIndex")
+
+
+@register(
+    "ml17_one_vs_rest",
+    oracle=None,
+    doc="OneVsRest meta-estimator: 10-class embedding labels via N "
+    "binary LinearSVC models trained in parallel (one per class) — the "
+    "reduction that turns any binary classifier multiclass; output = "
+    "accuracy + per-prediction-class counts (seeded, deterministic).",
+)
+def ml17_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LinearSVC, OneVsRest
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    data = _labeled_embeddings(spark, sf_dir)
+    ovr = OneVsRest(
+        classifier=LinearSVC(maxIter=8, regParam=0.01), parallelism=8
+    )
+    model = ovr.fit(data)
+    pred = model.transform(data)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
+    return (
+        pred.groupBy(F.col("prediction").cast("int").alias("predicted_class"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("accuracy", F.round(F.lit(acc), 4))
+        .orderBy("predicted_class")
+    )
+
+
+@register(
+    "ml18_bisecting_kmeans",
+    oracle=None,
+    doc="BisectingKMeans (divisive hierarchical clustering, k=10, "
+    "seeded) on embeddings — the hierarchical counterpart of q90's "
+    "flat KMeans: top-down splits give a dendrogram-shaped cluster "
+    "assignment; output = per-cluster sizes (deterministic).",
+)
+def ml18_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import BisectingKMeans
+
+    data = _labeled_embeddings(spark, sf_dir)
+    model = BisectingKMeans(k=10, seed=42, maxIter=8).fit(data)
+    return (
+        model.transform(data)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "ml19_gaussian_mixture",
+    oracle=None,
+    doc="GaussianMixture (EM soft clustering, k=5, seeded) on "
+    "embeddings — probabilistic cluster assignment with per-component "
+    "weights; output = component weights + hard-assignment sizes "
+    "(seed-pinned, deterministic).",
+)
+def ml19_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import PCA
+
+    data = _labeled_embeddings(spark, sf_dir)
+    # GMM estimates a full dxd covariance per component; at d=64 with
+    # few points per component the EM covariance goes numerically
+    # asymmetric (breeze MatrixNotSymmetricException) AND costs O(d^2)
+    # per row — project to 8 PCA dims first, the standard GMM-at-scale
+    # preprocessing.
+    pca = PCA(k=8, inputCol="features", outputCol="pca8").fit(data)
+    reduced = pca.transform(data).select(F.col("pca8").alias("features"))
+    model = GaussianMixture(k=5, seed=42, maxIter=10, tol=0.01).fit(reduced)
+    sizes = (
+        model.transform(reduced)
+        .groupBy(F.col("prediction").alias("component"))
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    weights = spark.createDataFrame(
+        [(i, round(float(w), 6)) for i, w in enumerate(model.weights)],
+        ["component", "weight"],
+    )
+    return sizes.join(weights, "component").orderBy("component")
