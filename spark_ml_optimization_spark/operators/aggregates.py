@@ -346,6 +346,40 @@ def q49_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20c_grouped_linreg",
+    oracle="""
+        SELECT
+            l_returnflag,
+            regr_count(l_extendedprice, l_quantity) AS n,
+            round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+            round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+            round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+            round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+            round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Per-group closed-form OLS via the SQL regr_* aggregate family "
+    "(slope/intercept/R²/avgx/avgy) — one hash-agg pass fits a simple "
+    "linear model per group with no MLlib iteration and no second scan.  "
+    "At 100 TB this is the screening fit before a full LinearRegression: "
+    "the aggregation state is six doubles per group, map-side combined, "
+    "so the shuffle carries only the partially-merged moment sums.",
+)
+def q20c_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
+
+
+@register(
     "q20b_corr_matrix",
     oracle="""
         SELECT

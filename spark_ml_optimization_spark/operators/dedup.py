@@ -361,6 +361,141 @@ def q74b_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "doc_id")
 
 
+#: Token width for duplicated-span detection (production uses 50-token
+#: spans per Lee et al. "Deduplicating Training Data Makes Language
+#: Models Better"; the 56-token-average fixture docs need a narrower
+#: window to exercise the operator).
+_SPAN = 5
+
+
+@register(
+    "q74c_duplicate_spans",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(w[i:i+{_SPAN - 1}], ' ') AS g
+            FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - {_SPAN - 1})) AS t(i)
+            WHERE len(w) >= {_SPAN}
+        ),
+        gd AS (
+            SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        ),
+        spans AS (
+            SELECT doc_id, count(*) AS n_spans FROM grams GROUP BY doc_id
+        ),
+        dups AS (
+            SELECT doc_id, count(*) AS n_dup_spans
+            FROM grams JOIN gd USING (g) GROUP BY doc_id
+        )
+        SELECT
+            s.doc_id,
+            s.n_spans,
+            coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+            round(coalesce(d.n_dup_spans, 0) * 1.0 / s.n_spans, 4) AS dup_ratio
+        FROM spans s LEFT JOIN dups d USING (doc_id)
+    """,
+    doc=f"Substring-level (span) dedup — the exact-substring pass from "
+    "Lee et al. (2022), re-expressed relationally: every rolling "
+    f"{_SPAN}-token span is a gram; a span duplicated across >=2 distinct "
+    "docs marks each of its positions as copied text, and the per-doc "
+    "dup_ratio is the fraction of spans that are copies (the score used "
+    "to drop or trim boilerplate-heavy documents).  Scale: the explode "
+    "is map-side; the only shuffles carry (gram, doc_id) pairs — at "
+    "100 TB the gram string is replaced by xxhash64(gram) so the shuffle "
+    "key is 8 bytes (the text-form key here keeps the DuckDB oracle "
+    "bit-identical).  The gram relation is recomputed for the two "
+    "aggregations rather than cached: it is a pure map over the scan, "
+    "and recompute beats materializing ~n_tokens rows per executor.",
+)
+def q74c_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"), 32)
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= _SPAN
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_SPAN - 1}),"
+                f" i -> array_join(slice(w, i, {_SPAN}), ' '))"
+            )
+        ).alias("g"),
+    )
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    spans = grams.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dups = (
+        grams.join(dup_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        spans.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "q74d_fuzzy_blocked_match",
+    oracle="""
+        SELECT
+            a.c_custkey AS id_a,
+            b.c_custkey AS id_b,
+            a.c_name AS name_a,
+            b.c_name AS name_b,
+            levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Fuzzy entity matching: blocked edit-distance join (record "
+    "linkage).  Pairs are generated only inside a block (same nation) "
+    "and kept when levenshtein <= 1 — the canonical name-dedup shape.  "
+    "Spark side uses the 3-arg bounded levenshtein(l, r, threshold), "
+    "which early-exits the DP once the bound is exceeded (O(k·n) not "
+    "O(n²) per pair).  Scale: the quadratic work is confined to blocks; "
+    "at 100 TB the block key comes from a cheap canonicalization "
+    "(sorted-token prefix / phonetic key / LSH bucket) sized so each "
+    "block fits one task, and the pair generator is a self-join on the "
+    "block key — never a global cross join.",
+)
+def q74d_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    bounded = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where((bounded >= 0) & (bounded <= 1))
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+    )
+
+
 @register(
     "q84_pagerank",
     oracle=None,  # damped iteration isn't ANSI-SQL-expressible; rank

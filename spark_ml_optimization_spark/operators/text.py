@@ -365,3 +365,80 @@ def q83_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: RAG-style chunker geometry: window of _CHUNK_W tokens advancing by
+#: _CHUNK_S (overlap = _CHUNK_W - _CHUNK_S).  Fixture docs average ~56
+#: tokens, so 24/16 yields ~3 chunks/doc; production uses 512/384 etc. —
+#: the constants fold, the plan shape is identical.
+_CHUNK_W = 24
+_CHUNK_S = 16
+
+
+@register(
+    "q83b_sliding_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, w, len(w) AS n,
+                   CASE WHEN len(w) <= {_CHUNK_W} THEN 1
+                        ELSE ((len(w) - {_CHUNK_W}) + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+                   END AS n_chunks
+            FROM toks
+            WHERE len(w) >= 1
+        )
+        SELECT
+            doc_id,
+            i AS chunk_idx,
+            1 + i * {_CHUNK_S} AS start_tok,
+            least(1 + i * {_CHUNK_S} + {_CHUNK_W} - 1, n)
+                - (1 + i * {_CHUNK_S}) + 1 AS n_tokens,
+            md5(array_to_string(
+                w[1 + i * {_CHUNK_S} : least(1 + i * {_CHUNK_S} + {_CHUNK_W} - 1, n)],
+                ' ')) AS chunk_md5
+        FROM sized CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+    doc=f"Overlapping sliding-window chunker (RAG / context-window prep): "
+    f"each doc becomes ceil((n-{_CHUNK_W})/{_CHUNK_S})+1 chunks of up to "
+    f"{_CHUNK_W} tokens advancing by {_CHUNK_S} (overlap "
+    f"{_CHUNK_W - _CHUNK_S}).  Pure generator expression — sequence + "
+    "explode + slice, no UDTF — so the whole thing is map-side, "
+    "embarrassingly parallel, and emits md5(chunk) rather than chunk "
+    "bodies (downstream dedup/indexing keys on the digest; bodies "
+    "re-slice on demand).  Complements q98's UDTF chunker: same job, "
+    "Catalyst-native, and with stride-overlap semantics.",
+)
+def q83b_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).where(F.col("n") >= 1)
+    sized = sized.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK_W, F.lit(1)).otherwise(
+            F.expr(
+                f"((n - {_CHUNK_W}) + {_CHUNK_S} - 1) div {_CHUNK_S} + 1"
+            ).cast("int")
+        ),
+    )
+    exploded = sized.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.lit(1) + F.col("chunk_idx") * _CHUNK_S
+    end = F.least(start + _CHUNK_W - 1, F.col("n"))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_tok"),
+        (end - start + 1).alias("n_tokens"),
+        F.md5(F.array_join(F.slice(F.col("w"), start, end - start + 1), " ")).alias(
+            "chunk_md5"
+        ),
+    )

@@ -73,7 +73,28 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "quer
         )
 
 
+def assert_driver_hashable_schema(df, name: str) -> None:
+    """The driver's canonicalizer sorts the result frame in pandas, which
+    crashes on unhashable cells (numpy.ndarray / dict) — the round-1
+    q26 hard fail.  Guard every oracle-backed query's OUTPUT schema
+    against array/map/struct top-level columns (bytes are hashable and
+    fine; wrap arrays with array_join, structs with to_json)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-backed query returns driver-unhashable columns {bad}; "
+        "serialize them (array_join / to_json) on both Spark and oracle sides"
+    )
+
+
 def run_and_compare(spark, duck, fn, oracle: str, name: str, sf_dir: str) -> None:
-    spark_pdf = fn(spark, sf_dir).toPandas()
+    df = fn(spark, sf_dir)
+    assert_driver_hashable_schema(df, name)
+    spark_pdf = df.toPandas()
     oracle_pdf = duck.execute(oracle).fetchdf()
     compare(spark_pdf, oracle_pdf, name)

@@ -55,3 +55,20 @@ def test_kmeans_covers_all_vectors(spark):
     df = all_queries()["q90_kmeans_clusters"].fn(spark, SF_CORRECT)
     total = df.agg(F.sum("n")).collect()[0][0]
     assert total == 500
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ-ADC shortlist (top-32) + exact re-rank must recover most exact
+    top-3 pairs — the shortlist only needs the true neighbors inside the
+    top-32 by approximate score; the exact re-rank then orders them
+    correctly (floor set below the measured recall with margin)."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q86_knn_join"].fn(spark, SF_CORRECT).collect()
+    }
+    pq = {
+        (r.probe_id, r.neighbor_id)
+        for r in all_queries()["q92b_ann_pq"].fn(spark, SF_CORRECT).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
