@@ -461,3 +461,65 @@ def qc11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
     ).filter(F.col("rn") == 1)
     return survivors.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave expression text (identical in Spark SQL and DuckDB:
+    integer >>, &, << only) — z = ...y1x1y0x0."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "qc12_zorder_layout",
+    oracle=f"""
+        WITH coded AS (
+            SELECT
+                l_partkey & 255 AS x,
+                l_suppkey & 255 AS y,
+                {_morton_sql("(l_partkey & 255)", "(l_suppkey & 255)")} AS z
+            FROM lineitem
+        )
+        SELECT
+            z // 4096 AS file_bucket,
+            count(*) AS n_rows,
+            min(x) AS min_x, max(x) AS max_x,
+            min(y) AS min_y, max(y) AS max_y
+        FROM coded
+        GROUP BY z // 4096
+    """,
+    doc="Z-order (Morton-curve) layout clustering — the multi-dimensional "
+    "data-layout story for 100 TB: interleaving the bits of two join/"
+    "filter keys gives a 1-d sort order in which ANY contiguous z-range "
+    "covers a bounded rectangle of (x, y), so files written sorted by z "
+    "carry tight parquet min/max footer stats on BOTH dimensions and "
+    "either predicate prunes the scan.  The query computes the 16-bit "
+    "Morton code with pure integer bit arithmetic (portable: the same "
+    "expression text runs in Spark SQL and DuckDB), buckets it into 16 "
+    "simulated files (z div 4096 pins x's and y's top 2 bits), and "
+    "emits each bucket's (min, max) envelope — the oracle-checked proof "
+    "that every bucket spans <= 64 of the 256 values on each dimension "
+    "where a single-key sort would leave the other dimension spanning "
+    "all 256.  Production: repartitionByRange(z).sortWithinPartitions(z) "
+    "before the parquet write; no shuffle here beyond the one hash agg.",
+)
+def qc12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    coded = li.select(
+        (F.col("l_partkey").bitwiseAND(255)).alias("x"),
+        (F.col("l_suppkey").bitwiseAND(255)).alias("y"),
+        F.expr(_morton_sql("(l_partkey & 255)", "(l_suppkey & 255)")).alias("z"),
+    )
+    return (
+        coded.groupBy(F.expr("z div 4096").alias("file_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
