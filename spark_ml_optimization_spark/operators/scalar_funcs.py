@@ -429,3 +429,37 @@ def q55d_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("pv", "$.k", "bigint").isNotNull().alias("k_present"),
         F.schema_of_variant(F.col("pv")).alias("variant_schema"),
     )
+
+
+@register(
+    "q53b_try_arithmetic",
+    oracle="""
+        SELECT
+            c_custkey,
+            try_cast(c_mktsegment AS INTEGER) AS seg_as_int,
+            try_cast(substr(c_name, 10, 9) AS BIGINT) AS name_serial,
+            round(c_acctbal / nullif(c_custkey % 3, 0), 4) AS per_bucket_bal
+        FROM customer
+    """,
+    doc="Error-tolerant expression surface under ANSI mode (Spark 4 "
+    "defaults spark.sql.ansi.enabled=true, where bad casts and division "
+    "by zero THROW mid-job): try_cast returns NULL for the unparseable "
+    "segment string while parsing the numeric tail of c_name, and "
+    "try_divide nulls the rows whose modulo denominator is 0.  At "
+    "100 TB this is the difference between a 6-hour job dying at row "
+    "9×10¹¹ on one malformed record and a NULL the quality audit "
+    "(qd03) counts; the DuckDB oracle mirrors with try_cast + "
+    "nullif-guarded division.",
+)
+def q53b_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.try_to_number(F.col("c_mktsegment"), F.lit("999999")).cast("int").alias(
+            "seg_as_int"
+        ),
+        F.expr("try_cast(substr(c_name, 10, 9) AS BIGINT)").alias("name_serial"),
+        F.round(
+            F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3), 4
+        ).alias("per_bucket_bal"),
+    )
