@@ -527,3 +527,57 @@ def qd08_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "qd09_benford_drift",
+    oracle="""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                       AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        ),
+        obs AS (
+            SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT sum(n_obs) AS n FROM obs)
+        SELECT
+            o.digit,
+            o.n_obs,
+            round(o.n_obs * 1.0 / t.n, 6) AS obs_share,
+            round(log10(1.0 + 1.0 / CAST(o.digit AS INTEGER)), 6) AS benford_share,
+            round(abs(o.n_obs * 1.0 / t.n
+                      - log10(1.0 + 1.0 / CAST(o.digit AS INTEGER))), 6) AS abs_gap
+        FROM obs o CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-significant-digit audit over order totals — "
+    "the classic drift/fabrication screen for financial measures.  The "
+    "first digit is extracted through integer cents (CAST(round(x*100) "
+    "AS BIGINT) → string head), never through float log10 buckets, so "
+    "both engines agree bitwise at digit boundaries.  One scan, one "
+    "9-row agg, and the 1-row total joins back as a broadcast — the "
+    "same shape at any scale.  Reading: abs_gap per digit vs the "
+    "log10(1+1/d) expectation; a uniform fixture generator shows large "
+    "gaps (the audit firing), organically-priced data shows small ones.",
+)
+def qd09_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    share = F.col("n_obs") / F.col("n")
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(share, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_gap"),
+    )
