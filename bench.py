@@ -110,16 +110,20 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         if best is not None:
             timings[name] = round(best, 3)
-        # Hygiene between queries, outside the timed window: a 152-query
+        # Hygiene between queries, outside the timed window: a 200-query
         # single-JVM suite accumulates GC debt (checkpoint blocks, shuffle
-        # files, state stores) that otherwise lands as multi-second pauses
-        # on arbitrary later queries — measured: per-query spikes up to 3x
-        # migrate between otherwise-identical runs.  Stop any stream a
-        # query left running, and nudge a full GC every 20 queries.
+        # files, state stores, leaked persists) that otherwise lands as
+        # multi-second pauses on arbitrary later queries — measured:
+        # per-query spikes up to 8x migrate between otherwise-identical
+        # runs (q73 0.7 s standalone vs 8.5 s late-suite before this
+        # pass).  Stop any stream a query left running, drop every cached
+        # relation (safe here: results are already collected), and nudge
+        # a full GC every 10 queries.
         try:
             for sq in spark.streams.active:
                 sq.stop()
-            if i % 20 == 19:
+            spark.catalog.clearCache()
+            if i % 10 == 9:
                 spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

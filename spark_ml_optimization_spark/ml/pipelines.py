@@ -508,7 +508,11 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     data = _labeled_embeddings(spark, sf_dir).cache()
     data.count()  # materialize once so both runs see identical input state
-    lr = LogisticRegression(maxIter=8, family="multinomial")
+    # maxIter=5 keeps each LBFGS fit long enough for the parallelism
+    # A/B to show a real speedup while shaving the suite's single
+    # biggest discretionary cost (8 fits total: 2 cells × 2 folds × 2
+    # parallelism settings).
+    lr = LogisticRegression(maxIter=5, family="multinomial")
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.005, 0.5]).build()
     ev = MulticlassClassificationEvaluator(metricName="accuracy")
 
@@ -720,3 +724,62 @@ def ml19_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["component", "weight"],
     )
     return sizes.join(weights, "component").orderBy("component")
+
+
+@register(
+    "ml20_feature_hasher_interaction",
+    oracle=None,
+    doc="FeatureHasher (the hashing trick over mixed categorical+numeric "
+    "columns straight to a fixed-width sparse vector — no per-category "
+    "state/fit, so it scales to unbounded vocabularies) plus Interaction "
+    "(crossed features: one-hot(nation) × balance product vector; "
+    "Interaction needs attribute-bearing inputs, which the hashed vector "
+    "deliberately lacks — so the two stages run side by side, not "
+    "chained).  Output = hashing-collision profile (customers per "
+    "nonzero-slot count) joined with the crossed-vector nnz check "
+    "(always 1 for one-hot × scalar).  Deterministic: MurmurHash3 seed "
+    "is fixed in MLlib.",
+)
+def ml20_feature_hasher_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import (
+        FeatureHasher,
+        Interaction,
+        OneHotEncoder,
+        VectorAssembler,
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    hashed = FeatureHasher(
+        inputCols=["c_mktsegment", "c_nationkey"],
+        outputCol="cat_hash",
+        numFeatures=1 << 8,
+    ).transform(c)
+    assembled = VectorAssembler(
+        inputCols=["c_acctbal"], outputCol="bal_vec"
+    ).transform(hashed)
+    onehot = OneHotEncoder(
+        inputCols=["c_nationkey"], outputCols=["nat_vec"], dropLast=False
+    ).fit(assembled).transform(assembled)
+    crossed = Interaction(
+        inputCols=["nat_vec", "bal_vec"], outputCol="crossed"
+    ).transform(onehot)
+
+    def nnz(col: str) -> F.Column:
+        return F.expr(
+            f"aggregate({col}, 0, (acc, x) -> acc + IF(x != 0.0, 1, 0))"
+        )
+
+    return (
+        crossed.withColumn("hash_arr", vector_to_array("cat_hash"))
+        .withColumn("crossed_arr", vector_to_array("crossed"))
+        .select(
+            nnz("hash_arr").alias("n_hash_slots"),
+            nnz("crossed_arr").alias("n_crossed_nnz"),
+        )
+        .groupBy("n_hash_slots", "n_crossed_nnz")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_hash_slots", "n_crossed_nnz")
+    )

@@ -281,3 +281,65 @@ def q98b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.lang = 'en'
         """
     )
+
+
+def _ols_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group closed-form OLS (y = a·x + b) in numpy — the grouped
+    model-fit kernel shape.  Moments accumulate in float64; parity with
+    the regr_* SQL aggregates holds to ~1e-10 relative at fixture group
+    sizes, and rounding to 5 dp happens Spark-side (same path q95
+    hash-verifies for z-scores)."""
+    import numpy as np
+
+    x = pdf["l_quantity"].to_numpy(dtype=np.float64)
+    y = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    n = len(x)
+    xm, ym = x.mean(), y.mean()
+    cov = ((x - xm) * (y - ym)).sum()
+    var = ((x - xm) ** 2).sum()
+    slope = cov / var
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [n],
+            "slope": [slope],
+            "intercept": [ym - slope * xm],
+        }
+    )
+
+
+@register(
+    "q95b_grouped_ols_pandas",
+    oracle="""
+        SELECT
+            l_returnflag,
+            regr_count(l_extendedprice, l_quantity) AS n,
+            round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
+            round(regr_intercept(l_extendedprice, l_quantity), 5) AS intercept
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Per-group MODEL FIT via applyInPandas: each group's rows stream "
+    "to one Arrow batch and a numpy closed-form OLS returns one "
+    "(slope, intercept) row — the grouped-map estimator shape "
+    "(per-entity forecasting models, per-segment calibration).  "
+    "Hash-verified against the regr_* aggregate family (q20c's oracle), "
+    "which is the rare case of an exactly SQL-checkable grouped model "
+    "fit.  Scale: the shuffle carries only the two feature columns; a "
+    "group must fit one task's Arrow batch — for billion-row groups use "
+    "the q20c moment-aggregate form instead (same answer, no "
+    "per-group materialization).",
+)
+def q95b_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    fitted = li.groupBy("l_returnflag").applyInPandas(
+        _ols_group, schema="l_returnflag string, n long, slope double, intercept double"
+    )
+    return fitted.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 5).alias("slope"),
+        F.round("intercept", 5).alias("intercept"),
+    )

@@ -261,3 +261,49 @@ def q47_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_name").over(w).alias("poorest"),
         F.round(F.max("c_acctbal").over(w), 2).alias("max_bal"),
     ).distinct()
+
+
+@register(
+    "q45b_interval_range_frame",
+    oracle="""
+        SELECT
+            event_id,
+            event_type,
+            count(*) OVER w AS n_in_1h,
+            sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0
+                AS sum_in_1h
+        FROM (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS t
+              FROM events)
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY t
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Calendar-INTERVAL range frame: the trailing-hour window ordered "
+    "directly on the timestamp column (RANGE BETWEEN INTERVAL 1 HOUR "
+    "PRECEDING), no epoch-seconds projection — q45's twin through the "
+    "calendar-aware frame surface both engines share.  Value-bounded "
+    "frame ⇒ tie order irrelevant; the summed measure is integer-"
+    "quantized for cross-engine accumulation stability.",
+)
+def q45b_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            event_id,
+            event_type,
+            count(*) OVER w AS n_in_1h,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+                / 1000000.0 AS sum_in_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+        """
+    )
