@@ -411,3 +411,67 @@ def q20b_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         *[F.round(F.corr(a, b), 6).alias(name) for a, b, name in pairs]
     )
+
+
+@register(
+    "q21b_argmax_aggs",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            arg_max(o_orderkey, o_totalprice) AS biggest_order,
+            round(max(o_totalprice), 2) AS biggest_price,
+            arg_min(o_orderkey, o_totalprice) AS smallest_order,
+            round(min(o_totalprice), 2) AS smallest_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Argmax/argmin aggregates (max_by / min_by ≡ DuckDB arg_max/"
+    "arg_min): the key of the extremal row in ONE hash-agg pass — no "
+    "self-join back to the table, no window sort (qa18 shows the "
+    "min(struct) equivalent; this is the dedicated SQL-2023 surface).  "
+    "Deterministic on the fixture: extremal prices are unique per "
+    "status (verified at sf0.01).",
+)
+def q21b_argmax_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("smallest_price"),
+    )
+
+
+@register(
+    "q25b_group_by_all",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            count(*) AS n,
+            round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (the projection-derived grouping "
+    "shorthand both Spark 4 and DuckDB share) — same Expand-free hash "
+    "agg as an explicit column list; the surface matters for generated "
+    "SQL where the grouping set is the non-aggregate projection.",
+)
+def q25b_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            count(*) AS n,
+            round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

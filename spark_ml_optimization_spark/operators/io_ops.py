@@ -383,3 +383,74 @@ def src12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sensor_group")
     )
+
+
+def _binfile_fixture(key: str, n_files: int = 8) -> str:
+    """Deterministic raw-binary media fixture: n small .bin files whose
+    bytes are a fixed arithmetic pattern — stands in for image/audio
+    payloads arriving OUTSIDE any tabular format."""
+    path = _scratch(key)
+    if not os.path.isdir(path):
+        os.makedirs(path, exist_ok=True)
+        for i in range(n_files):
+            body = bytes((i * 7 + j) % 256 for j in range(100 + 17 * i))
+            with open(os.path.join(path, f"media_{i:03d}.bin"), "wb") as fh:
+                fh.write(body)
+    return path
+
+
+@register(
+    "src13_binaryfile_ingest",
+    oracle=None,  # filled in below — path depends on the scratch dir
+    doc="Raw-media ingestion via the binaryFile source: whole files "
+    "become (path, modificationTime, length, content BINARY) rows — the "
+    "entry point that turns an object-store bucket of images/audio into "
+    "the multimodal BinaryType column model (mm01–mm04) without any "
+    "decoding.  Output = per-file name, byte length, and md5(hex(body)) "
+    "digest, hash-matched against DuckDB's read_blob over the same "
+    "files.  Scale: binaryFile parallelizes per file (maxPartitionBytes "
+    "packing), content bytes stay map-side (projected into a digest "
+    "before any shuffle), and pathGlobFilter/recursiveFileLookup do "
+    "server-side listing — the 100 TB pattern is digest-first, "
+    "decode-later.",
+)
+def src13_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _binfile_fixture(f"binfiles_{sf_dir.replace('/', '_')}")
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length"),
+        F.md5(F.hex("content")).alias("digest"),
+    )
+
+
+def _src13_oracle() -> str:
+    # The scratch dir must exist (and be keyed) before the oracle string
+    # is rendered; the driver always calls queries() before oracle_sql()
+    # comparisons, but render defensively for any sf the driver uses.
+    paths = {
+        sf: _binfile_fixture(f"binfiles__root_testdata_sf{sf}")
+        for sf in ("0.001", "0.01", "0.1")
+    }
+    # The driver compares at sf0.01; pytest fixtures use the same dir key.
+    return f"""
+        SELECT
+            parse_filename(filename) AS fname,
+            size AS length,
+            md5(hex(content)) AS digest
+        FROM read_blob('{paths["0.01"]}/*.bin')
+    """
+
+
+from .. import registry as _registry_mod  # noqa: E402
+
+_registry_mod._REGISTRY["src13_binaryfile_ingest"] = _registry_mod.Query(
+    name="src13_binaryfile_ingest",
+    fn=_registry_mod._REGISTRY["src13_binaryfile_ingest"].fn,
+    oracle=_src13_oracle(),
+    doc=_registry_mod._REGISTRY["src13_binaryfile_ingest"].doc,
+)
