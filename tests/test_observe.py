@@ -9,6 +9,14 @@ from .conftest import SF_CORRECT
 
 
 def test_observe_metrics_match_query_result(spark):
+    # Run in an isolated session: a registered Observation OBJECT stays in
+    # the session's ObservationManager after .get, and Spark 4.1 then
+    # fails ANY later RDD-closure job in that session with
+    # 'NotSerializableException: ObservationManager' (reproduced against
+    # MLlib evaluators — ml05/ml17).  newSession() shares the JVM but not
+    # the session state, so the leak is contained.  Library code (src11)
+    # uses the string-named observe form, which does not leak.
+    spark = spark.newSession()
     o = load_table(spark, SF_CORRECT, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
