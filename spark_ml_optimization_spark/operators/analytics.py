@@ -848,3 +848,68 @@ def qa20_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
+
+
+@register(
+    "qa21_dominant_suppliers",
+    oracle="""
+        SELECT s.s_name, n.n_name, count(*) AS n_dominant_parts
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_retailprice < 1200
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 0.5 * (
+                SELECT sum(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+            )
+        )
+        GROUP BY s.s_name, n.n_name
+        ORDER BY n_dominant_parts DESC, s.s_name
+        LIMIT 20
+    """,
+    doc="TPC-H Q20 shape (suppliers holding dominant supply): the oracle "
+    "keeps the textbook nested IN + correlated scalar-aggregate "
+    "subquery; the Spark side is the decorrelated single-pass plan — "
+    "(supplier, part) quantity sums and per-part totals both derive "
+    "from ONE lineitem⋈part scan sharing the l_partkey shuffle key, "
+    "then a ratio filter and a semi-join into supplier.  The count "
+    "column differs per supplier only via its dominant-part count, so "
+    "no per-row subquery re-executes — at 100 TB this is one fact "
+    "scan + two partial aggs vs the naive plan's per-group rescans.",
+)
+def qa21_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice") < 1200
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    cheap_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_supp_part = cheap_lines.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    # Per-part totals over ALL suppliers (the correlated subquery's
+    # denominator spans the unfiltered lineitem).
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        per_supp_part.join(per_part, per_supp_part.l_partkey == per_part.pk)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("dk"), "l_partkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.dk)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+        .orderBy(F.col("n_dominant_parts").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

@@ -360,3 +360,55 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("purchase_id", "click_id", "p_user")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "st10_stream_upsert_serving",
+    oracle=None,
+    doc="Streaming upsert into a serving table via foreachBatch: each "
+    "micro-batch computes per-user latest state (max ts, running count "
+    "merged with the table's prior row) and REWRITES the key's row — "
+    "the keyed-merge sink pattern (what MERGE INTO does on a "
+    "transactional table, expressed against plain parquet by "
+    "read-merge-overwrite inside the batch callback; foreachBatch is "
+    "exactly-once per epoch id, so replays are idempotent if the merge "
+    "is).  Scale: the merge joins batch keys (small) against the "
+    "serving table on its key — with a real lakehouse table format "
+    "this is a broadcast-probe merge-on-read; here the serving table "
+    "is tiny and rewritten whole, documented as the demo shape.  "
+    "Output = final serving table (per-user event count + last ts), "
+    "which tests pin to the batch groupBy ground truth.",
+)
+def st10_stream_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    serve_dir = os.path.join(tempfile.gettempdir(), f"st10_{uuid.uuid4().hex[:12]}")
+    per_user = events.select("user_id", "ts")
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_state = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+        )
+        try:
+            prior = batch_df.sparkSession.read.parquet(serve_dir)
+            merged = (
+                prior.unionByName(batch_state)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"), F.max("last_ts").alias("last_ts"))
+            )
+        except Exception:
+            merged = batch_state
+        # Stage then swap: self-overwrite of a parquet dir being read is
+        # not safe, so land the merge beside it and promote atomically.
+        staged = serve_dir + f".epoch{epoch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(serve_dir, ignore_errors=True)
+        os.rename(staged, serve_dir)
+
+    q = per_user.writeStream.foreachBatch(merge_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(serve_dir)

@@ -77,3 +77,26 @@ def test_stream_stream_left_join_emits_unmatched(spark):
     assert all(
         r["ts"] > horizon for r in rows_all if r["event_id"] in missing
     ), "a purchase outside the watermark tail failed to emit"
+
+
+def test_stream_upsert_matches_batch_counts(spark):
+    """st10's serving table (streaming foreachBatch keyed merge) must
+    equal the batch per-user groupBy exactly — the upsert is idempotent
+    and loses no epochs."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_optimization_spark.sources import load_table
+
+    served = (
+        all_queries()["st10_stream_upsert_serving"].fn(spark, SF_CORRECT).toPandas()
+    )
+    truth = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .toPandas()
+    )
+    m = served.merge(truth, on="user_id", suffixes=("_s", "_t"))
+    assert len(m) == len(truth) == len(served)
+    assert (m.n_events_s == m.n_events_t).all()
+    assert (m.last_ts_s == m.last_ts_t).all()
