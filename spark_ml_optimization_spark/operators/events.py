@@ -541,9 +541,30 @@ def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q68b_ewma",
-    oracle=None,  # the EWMA recurrence isn't ANSI-SQL-expressible
-    # without numerically-unstable pow() tricks; pinned against
-    # pandas.Series.ewm in tests/test_udfs.py.
+    oracle="""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, rn, value AS y FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT ev.user_id, ev.rn, 0.2 * ev.value + 0.8 * r.y AS y
+            FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+        ),
+        last AS (
+            SELECT user_id, max(rn) AS n_events FROM ev GROUP BY user_id
+        )
+        SELECT l.user_id, l.n_events, round(r.y, 6) AS last_ewma
+        FROM last l JOIN r ON r.user_id = l.user_id AND r.rn = l.n_events
+    """,
+    # The EWMA recurrence y_t = a·x_t + (1-a)·y_{t-1} is a linear
+    # recurrence, exactly expressible as a recursive CTE stepping rn→rn+1
+    # — the same float64 op order as pandas ewm(adjust=False), so the
+    # 6-dp hash matches (verified 0 mismatches across all 150 users);
+    # additionally pinned against pandas.Series.ewm in tests/test_udfs.py.
     doc="Exponentially-weighted moving average per user over event "
     "values (alpha=0.2, pandas ewm(adjust=False) semantics) via "
     "applyInPandas — the recurrence y_t = a*x_t + (1-a)*y_{t-1} is "
