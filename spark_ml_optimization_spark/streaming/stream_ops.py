@@ -111,9 +111,24 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
 
 @register(
     "st01_stream_tumbling",
-    oracle=None,
+    oracle="""
+        SELECT
+            epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)))
+                AS window_start_us,
+            epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                     + INTERVAL '1 day') AS window_end_us,
+            event_type,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # Complete-mode streaming agg over the finite fixture is
+    # deterministic and batch-equivalent, so the twin is hash-verified
+    # like q60 (window bounds emitted as unix micros: the memory sink
+    # yields session-TZ timestamps, micros are tz-independent).
     doc="readStream twin of q60: tumbling 1-day window counts per "
-    "event_type, complete-mode memory sink.",
+    "event_type, complete-mode memory sink — hash-verified against the "
+    "batch oracle.",
 )
 def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events_stream(spark, sf_dir)
@@ -121,8 +136,10 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("window_end_us"),
             "event_type",
             "n_events",
         )
@@ -149,9 +166,38 @@ def st02_stream_watermark_sliding(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "st03_stream_session_window",
-    oracle=None,
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)
+        ), sess AS (
+            SELECT *,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            min(us) AS session_start_us,
+            max(us) + 1800000000 AS session_end_us,
+            count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    # Complete-mode session aggregation over the finite fixture is
+    # deterministic (all sessions final once the source drains), so the
+    # streaming twin shares q62b's gap-and-island oracle.
     doc="readStream twin of q62 using the native session_window operator "
-    "(30-min gap) with watermark, complete mode.",
+    "(30-min gap) with watermark, complete mode — hash-verified against "
+    "the gap-island oracle.",
 )
 def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events_stream(spark, sf_dir)
@@ -160,8 +206,12 @@ def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
             "user_id",
             "n_events",
         )
@@ -192,7 +242,15 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st07_stream_static_join",
-    oracle=None,
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, h.hist_events
+        FROM events e
+        JOIN (SELECT user_id, count(*) AS hist_events
+              FROM events GROUP BY user_id) h
+          USING (user_id)
+    """,
+    # Append-mode inner stream-static join over the finite fixture emits
+    # every matched row exactly once — deterministic, hash-verified.
     doc="Stream-static join: the live event stream enriched against a "
     "static per-user profile computed in batch (historical event counts)."
     "  The static side is re-read per micro-batch by Structured "
@@ -296,7 +354,14 @@ def st06_stateful_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "st05_stream_foreach_batch_sink",
-    oracle=None,
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    # The materialized sink is a pure row-wise projection of the finite
+    # source — deterministic, hash-verified against the same projection
+    # in DuckDB's JSON functions.
     doc="Exactly-once sink pattern: foreachBatch writing parquet epochs "
     "to a scratch dir, then reading the materialized result back — the "
     "production sink shape (vs the test-only memory sink).",
@@ -364,7 +429,15 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st10_stream_upsert_serving",
-    oracle=None,
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+        FROM events
+        GROUP BY user_id
+    """,
+    # The converged serving table equals the batch per-user rollup
+    # regardless of micro-batch boundaries (count sums and max merges are
+    # associative) — deterministic, hash-verified.
     doc="Streaming upsert into a serving table via foreachBatch: each "
     "micro-batch computes per-user latest state (max ts, running count "
     "merged with the table's prior row) and REWRITES the key's row — "
@@ -411,4 +484,8 @@ def st10_stream_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(serve_dir)
+    return spark.read.parquet(serve_dir).select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
+    )

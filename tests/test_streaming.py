@@ -24,14 +24,18 @@ def test_stream_dedup_matches_batch_keys(spark):
 
 def test_stream_tumbling_matches_batch_counts(spark):
     """st01's windowed counts must equal q60's batch tumbling counts."""
+    import pandas as pd
+
     batch = all_queries()["q60_tumbling_window"].fn(spark, SF_CORRECT).toPandas()
     stream = all_queries()["st01_stream_tumbling"].fn(spark, SF_CORRECT).toPandas()
+    # st01 emits unix-micro window bounds (tz-independent, oracle-
+    # comparable); q60 emits naive timestamps — normalize for compare.
     b = {
-        (r.window_start, r.event_type): r.n_events
+        (pd.Timestamp(r.window_start).value // 1000, r.event_type): r.n_events
         for r in batch.itertuples()
     }
     s = {
-        (r.window_start, r.event_type): r.n_events
+        (r.window_start_us, r.event_type): r.n_events
         for r in stream.itertuples()
     }
     assert s == b
@@ -93,10 +97,13 @@ def test_stream_upsert_matches_batch_counts(spark):
     truth = (
         load_table(spark, SF_CORRECT, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+        )
         .toPandas()
     )
     m = served.merge(truth, on="user_id", suffixes=("_s", "_t"))
     assert len(m) == len(truth) == len(served)
     assert (m.n_events_s == m.n_events_t).all()
-    assert (m.last_ts_s == m.last_ts_t).all()
+    assert (m.last_ts_us_s == m.last_ts_us_t).all()
