@@ -783,3 +783,42 @@ def ml20_feature_hasher_interaction(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("n_customers"))
         .orderBy("n_hash_slots", "n_crossed_nnz")
     )
+
+
+@register(
+    "ml21_isotonic_regression",
+    oracle=None,
+    doc="IsotonicRegression (monotone calibration): fits the best "
+    "monotonically-nondecreasing step function of avg order price vs "
+    "customer account balance — the calibration primitive for score→"
+    "probability mapping (PAV algorithm; MLlib parallelizes the pool-"
+    "adjacent-violators merge).  Output = predictions at the decile "
+    "boundaries of the feature (deterministic, seeded-free — PAV is "
+    "deterministic given input order, which MLlib canonicalizes by "
+    "sorting on the feature).",
+)
+def ml21_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    data = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.max("c_acctbal").alias("bal"), F.avg("o_totalprice").alias("label"))
+    )
+    feats = VectorAssembler(inputCols=["bal"], outputCol="features").transform(data)
+    model = IsotonicRegression(featuresCol="features", labelCol="label").fit(feats)
+    # Probe the fitted step function at fixed balance points.
+    probes = spark.createDataFrame(
+        [(float(b),) for b in range(-1000, 10001, 1000)], ["bal"]
+    )
+    probe_feats = VectorAssembler(inputCols=["bal"], outputCol="features").transform(
+        probes
+    )
+    return (
+        model.transform(probe_feats)
+        .select("bal", F.round("prediction", 4).alias("calibrated_price"))
+        .orderBy("bal")
+    )

@@ -103,3 +103,117 @@ def qp1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").isNotNull().alias("has_embedding"),
         F.coalesce("label", F.lit(-1)).cast("int").alias("label"),
     )
+
+
+@register(
+    "qp2_rag_indexing_pipeline",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, lang, w, len(w) AS n,
+                   CASE WHEN len(w) <= 24 THEN 1
+                        ELSE ((len(w) - 24) + 16 - 1) // 16 + 1
+                   END AS n_chunks
+            FROM toks WHERE len(w) >= 1
+        ),
+        chunks AS (
+            SELECT
+                doc_id, lang,
+                i AS chunk_idx,
+                least(1 + i * 16 + 24 - 1, n) - (1 + i * 16) + 1 AS n_tokens,
+                md5(array_to_string(
+                    w[1 + i * 16 : least(1 + i * 16 + 24 - 1, n)], ' '))
+                    AS digest
+            FROM sized CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY digest
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks
+            ) WHERE rn = 1
+        ),
+        routed AS (
+            SELECT *,
+                   (ascii(substr(digest, 1, 1)) * 256
+                    + ascii(substr(digest, 2, 1))) % 16 AS cell
+            FROM deduped
+        )
+        SELECT
+            r.cell,
+            count(*) AS n_chunks,
+            count(DISTINCT r.doc_id) AS n_docs,
+            round(sum(r.n_tokens) * 1.0 / count(*), 4) AS avg_tokens,
+            count(e.vec_id) AS n_embedded
+        FROM routed r
+        LEFT JOIN embeddings e ON r.doc_id = e.vec_id
+        GROUP BY r.cell
+    """,
+    doc="End-to-end RAG corpus indexing: overlapping chunker (q83b "
+    "geometry) → chunk fingerprint (md5) → cross-document chunk dedup "
+    "(keep-first survivor; overlap-heavy corpora dedup hardest at the "
+    "chunk level) → embedding availability join → deterministic "
+    "digest-bucket routing into 16 index cells → per-cell layout "
+    "summary.  One logical plan; at 100 TB the routed relation is "
+    "WRITTEN partitioned by cell (the IVF layout q92 queries), the "
+    "digest bucket becomes the KMeans cell id, and every stage before "
+    "the final rollup is map-side except the dedup window and one "
+    "broadcast-able join.",
+)
+def qp2_rag_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).where(F.col("n") >= 1)
+    sized = sized.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= 24, F.lit(1)).otherwise(
+            F.expr("((n - 24) + 16 - 1) div 16 + 1").cast("int")
+        ),
+    )
+    start = F.lit(1) + F.col("chunk_idx") * 16
+    end = F.least(start + 24 - 1, F.col("n"))
+    chunks = sized.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        "w",
+        "n",
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        (end - start + 1).alias("n_tokens"),
+        F.md5(F.array_join(F.slice(F.col("w"), start, end - start + 1), " ")).alias(
+            "digest"
+        ),
+    )
+    w_dedup = W.partitionBy("digest").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    )
+    deduped = chunks.withColumn("rn", F.row_number().over(w_dedup)).filter(
+        F.col("rn") == 1
+    )
+    cell = (
+        F.ascii(F.substring("digest", 1, 1)) * 256
+        + F.ascii(F.substring("digest", 2, 1))
+    ) % 16
+    routed = deduped.withColumn("cell", cell)
+    return (
+        routed.join(F.broadcast(emb), routed.doc_id == emb.vec_id, "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias("avg_tokens"),
+            F.count("vec_id").alias("n_embedded"),
+        )
+    )

@@ -581,3 +581,69 @@ def qd09_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_share"),
         F.round(F.abs(share - benford), 6).alias("abs_gap"),
     )
+
+
+@register(
+    "qd10_functional_dependency",
+    oracle="""
+        WITH checks AS (
+            SELECT 'orderkey->custkey' AS dependency,
+                   count(*) AS n_keys,
+                   count(*) FILTER (n_rhs > 1) AS n_violating_keys
+            FROM (
+                SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs
+                FROM orders GROUP BY o_orderkey
+            )
+            UNION ALL
+            SELECT 'custkey->nationkey',
+                   count(*),
+                   count(*) FILTER (n_rhs > 1)
+            FROM (
+                SELECT c_custkey, count(DISTINCT c_nationkey) AS n_rhs
+                FROM customer GROUP BY c_custkey
+            )
+            UNION ALL
+            SELECT 'orderkey->orderdate(lineitem-join)',
+                   count(*),
+                   count(*) FILTER (n_rhs > 1)
+            FROM (
+                SELECT l.l_orderkey, count(DISTINCT o.o_orderdate) AS n_rhs
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY l.l_orderkey
+            )
+        )
+        SELECT * FROM checks
+    """,
+    doc="Functional-dependency audit: does X→Y actually hold in the "
+    "data?  Each declared dependency becomes one groupBy(X) counting "
+    "distinct Y — a key with >1 RHS value is a violation (silent "
+    "denormalization drift / bad joins upstream).  Violation counts "
+    "are 0 on the healthy fixture; the operator's value is the shape: "
+    "per-dependency one partial-agged shuffle on X, unioned into a "
+    "single small report — at 100 TB each check is one pass over the "
+    "child table, and dependencies sharing an X key share a scan "
+    "(qd02's fold applies).",
+)
+def qd10_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def check(df: DataFrame, x: str, y: str, name: str) -> DataFrame:
+        per_key = df.groupBy(x).agg(F.count_distinct(y).alias("n_rhs"))
+        return per_key.agg(
+            F.lit(name).alias("dependency"),
+            F.count("*").alias("n_keys"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating_keys"),
+        )
+
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderdate"
+    )
+    return (
+        check(o, "o_orderkey", "o_custkey", "orderkey->custkey")
+        .unionByName(check(c, "c_custkey", "c_nationkey", "custkey->nationkey"))
+        .unionByName(
+            check(joined, "l_orderkey", "o_orderdate", "orderkey->orderdate(lineitem-join)")
+        )
+    )
