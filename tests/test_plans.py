@@ -238,3 +238,49 @@ def test_small_qty_thresholds_broadcast(spark):
     """qa15: the per-part threshold side (one row per part) must
     broadcast — the fact table shuffles only for its own aggregate."""
     assert has_broadcast_join(_df(spark, "qa15_small_qty_revenue"))
+
+
+def test_fuzzy_match_broadcasts_build_side(spark):
+    """q74d must keep its broadcast join — the 25-key block join would
+    otherwise shuffle all pairs onto 25 reducers (round-4 measured
+    12 s → 1.3 s regression guard)."""
+    df = _df(spark, "q74d_fuzzy_blocked_match")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_formatted(df)
+
+
+def test_zorder_layout_single_agg_pass(spark):
+    """qc12 is scan → project (bit math) → one partial-agged hash agg;
+    any extra Exchange means the Morton projection stopped folding."""
+    import re
+
+    plan = explain_formatted(_df(spark, "qc12_zorder_layout"))
+    # formatted plans list each node twice (tree + details) — count the
+    # numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_waiting_suppliers_no_fact_rescan(spark):
+    """qa20's decorrelated plan reads lineitem for the join and the
+    per-order aggregate — the EXISTS/NOT-EXISTS pair must NOT add
+    per-predicate scans (4 lineitem scans would mean the rewrite
+    regressed to correlated re-execution)."""
+    import re
+
+    plan = explain_formatted(_df(spark, "qa20_waiting_suppliers"))
+    # lineitem and orders are each scanned twice (join side + per-order
+    # agg side; Spark does not CSE the shared subtree) plus supplier = 5
+    # scans total in the decorrelated shape.  Correlated re-execution
+    # would add a scan pair per EXISTS predicate (>= 7).
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 5, n_scans
+
+
+def test_sliding_chunks_is_map_side_only(spark):
+    """q83b (generator-expression chunker) must have NO shuffle at all —
+    explode + slice are map-side; an Exchange means something forced a
+    repartition."""
+    plan = explain_formatted(_df(spark, "q83b_sliding_chunks"))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode generator node
