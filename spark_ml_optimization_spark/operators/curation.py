@@ -523,3 +523,96 @@ def qc12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+def _zorder_write_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+    import uuid
+
+    key = f"zorder_{sf_dir.replace('/', '_')}"
+    if key not in _ZORDER_DIRS:
+        _ZORDER_DIRS[key] = os.path.join(
+            tempfile.gettempdir(), f"{key}_{uuid.uuid4().hex[:10]}"
+        )
+    return _ZORDER_DIRS[key]
+
+
+_ZORDER_DIRS: dict[str, str] = {}
+
+
+@register(
+    "qc13_zorder_file_stats",
+    oracle=None,  # rendered per-sf below (path baked into the SQL)
+    doc="The Z-order layout MATERIALIZED: lineitem keys are Morton-"
+    "encoded (qc12's bit interleave), range-partitioned into 4 files on "
+    "z, sorted within each file, and written as parquet — then read "
+    "back with the _metadata.file_name hidden column to prove the "
+    "layout: every physical file covers a bounded (x, y) envelope, so "
+    "parquet footer min/max stats prune scans on EITHER key.  The "
+    "oracle re-derives the same per-file envelopes via DuckDB's "
+    "read_parquet(filename=true) over the files Spark wrote — an "
+    "engine-independent audit of the actual on-disk layout, not just "
+    "the logical plan.  repartitionByRange samples z (one extra pass) "
+    "— at 100 TB that sample is the only global step; the sort is "
+    "within-partition.",
+)
+def qc13_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    out = _zorder_write_dir(sf_dir)
+    if not os.path.isdir(out):
+        li = load_table(spark, sf_dir, "lineitem")
+        coded = li.select(
+            (F.col("l_partkey").bitwiseAND(255)).alias("x"),
+            (F.col("l_suppkey").bitwiseAND(255)).alias("y"),
+            F.expr(_morton_sql("(l_partkey & 255)", "(l_suppkey & 255)")).alias("z"),
+        )
+        (
+            coded.repartitionByRange(4, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).select(
+        F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1).alias("fname"),
+        "x",
+        "y",
+        "z",
+    )
+    return back.groupBy("fname").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+
+
+def _qc13_oracle() -> str:
+    paths = {
+        sf: _zorder_write_dir(f"/root/testdata/sf{sf}")
+        for sf in ("0.001", "0.01", "0.1")
+    }
+    return f"""
+        SELECT
+            parse_filename(filename) AS fname,
+            count(*) AS n_rows,
+            min(x) AS min_x, max(x) AS max_x,
+            min(y) AS min_y, max(y) AS max_y,
+            min(z) AS min_z, max(z) AS max_z
+        FROM read_parquet('{paths["0.01"]}/*.parquet', filename=true)
+        GROUP BY 1
+    """
+
+
+from .. import registry as _registry_mod  # noqa: E402
+
+_registry_mod._REGISTRY["qc13_zorder_file_stats"] = _registry_mod.Query(
+    name="qc13_zorder_file_stats",
+    fn=_registry_mod._REGISTRY["qc13_zorder_file_stats"].fn,
+    oracle=_qc13_oracle(),
+    doc=_registry_mod._REGISTRY["qc13_zorder_file_stats"].doc,
+)
