@@ -530,7 +530,9 @@ def _zorder_write_dir(sf_dir: str) -> str:
     import tempfile
     import uuid
 
-    key = f"zorder_{sf_dir.replace('/', '_')}"
+    # rstrip: the oracle bakes the same key at import time — a trailing
+    # slash from the caller must not fork the scratch dir.
+    key = f"zorder_{sf_dir.rstrip('/').replace('/', '_')}"
     if key not in _ZORDER_DIRS:
         _ZORDER_DIRS[key] = os.path.join(
             tempfile.gettempdir(), f"{key}_{uuid.uuid4().hex[:10]}"

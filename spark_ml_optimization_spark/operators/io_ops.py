@@ -415,7 +415,9 @@ def _binfile_fixture(key: str, n_files: int = 8) -> str:
     "decode-later.",
 )
 def src13_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _binfile_fixture(f"binfiles_{sf_dir.replace('/', '_')}")
+    # rstrip: the oracle bakes the same key at import time — a trailing
+    # slash from the caller must not fork the scratch dir.
+    path = _binfile_fixture(f"binfiles_{sf_dir.rstrip('/').replace('/', '_')}")
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
