@@ -28,6 +28,29 @@ from ..registry import register
 from ..sources import load_table, spread
 
 
+def _fit_retry(estimator, data, attempts: int = 2):
+    """fit() with one bounded retry, for PARALLEL-fitting estimators only
+    (OneVsRest/CrossValidator with parallelism > 1).
+
+    Spark 4.1's multi-threaded fit path can die with a transient
+    `NumberFormatException: Cannot parse null string` when concurrent
+    fitting threads race on the SQL execution-id thread-local that
+    PySpark's inheritable-thread wrapper copies from the parent
+    (observed ~1/200 under long-session load in the driver simulator;
+    never reproducible in isolation).  The fit is deterministic and
+    side-effect-free, so an idempotent retry converts the race into at
+    most one wasted fit — the same posture a cluster job takes toward
+    task-level retries.  Do NOT widen to serial estimators: a real
+    failure there should surface immediately."""
+    for attempt in range(1, attempts + 1):
+        try:
+            return estimator.fit(data)
+        except Exception:  # noqa: BLE001 — the race surfaces as Py4JJavaError
+            if attempt == attempts:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _labeled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -153,7 +176,7 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
         seed=42,
     )
-    model = cv.fit(data)
+    model = _fit_retry(cv, data)
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -200,7 +223,7 @@ def ml04_train_valid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=2,
         seed=42,
     )
-    model = tvs.fit(data)
+    model = _fit_retry(tvs, data)
     rows = [
         (float(pm[lr.regParam]), round(float(model.validationMetrics[i]), 4))
         for i, pm in enumerate(grid)
@@ -474,7 +497,7 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
         seed=42,
     )
-    model = cv.fit(data)
+    model = _fit_retry(cv, data)
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
     rows = [
         (
@@ -522,7 +545,7 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             numFolds=2, parallelism=par, seed=42,
         )
         t0 = time.perf_counter()
-        cv.fit(data)
+        _fit_retry(cv, data)
         return time.perf_counter() - t0
 
     serial = fit_with(1)
@@ -661,7 +684,7 @@ def ml17_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ovr = OneVsRest(
         classifier=LinearSVC(maxIter=8, regParam=0.01), parallelism=8
     )
-    model = ovr.fit(data)
+    model = _fit_retry(ovr, data)
     pred = model.transform(data)
     acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
     return (

@@ -593,11 +593,12 @@ def qc13_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qc13_oracle() -> str:
-    paths = {
-        sf: _zorder_write_dir(f"/root/testdata/sf{sf}")
-        for sf in ("0.001", "0.01", "0.1")
-    }
+def qc13_oracle_for(sf_dir: str) -> str:
+    """Render qc13's layout-audit oracle against the scratch dir for a
+    given fixture scale.  The REGISTERED oracle bakes the driver's
+    correctness scale (sf0.01); cross-scale tests re-render via this
+    helper so the audit reads the files Spark actually wrote for THAT
+    scale instead of silently comparing two different datasets."""
     return f"""
         SELECT
             parse_filename(filename) AS fname,
@@ -605,9 +606,13 @@ def _qc13_oracle() -> str:
             min(x) AS min_x, max(x) AS max_x,
             min(y) AS min_y, max(y) AS max_y,
             min(z) AS min_z, max(z) AS max_z
-        FROM read_parquet('{paths["0.01"]}/*.parquet', filename=true)
+        FROM read_parquet('{_zorder_write_dir(sf_dir)}/*.parquet', filename=true)
         GROUP BY 1
     """
+
+
+def _qc13_oracle() -> str:
+    return qc13_oracle_for("/root/testdata/sf0.01")
 
 
 from .. import registry as _registry_mod  # noqa: E402
@@ -618,3 +623,237 @@ _registry_mod._REGISTRY["qc13_zorder_file_stats"] = _registry_mod.Query(
     oracle=_qc13_oracle(),
     doc=_registry_mod._REGISTRY["qc13_zorder_file_stats"].doc,
 )
+
+
+#: Words per paragraph-unit for corpus-level chunk dedup (qc14).  Real
+#: paragraph dedup splits on '\n\n'; the synthetic fixture text has no
+#: newlines, so fixed 16-word units stand in for paragraphs — the plan
+#: shape (explode → digest-keyed window → reassemble) is identical.
+_PARA_W = 16
+
+
+@register(
+    "qc14_paragraph_dedup",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n,
+                   (len(string_split(text, ' ')) + {_PARA_W - 1}) // {_PARA_W}
+                       AS n_chunks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 1
+        ),
+        chunks AS (
+            SELECT doc_id, i AS idx,
+                   array_to_string(
+                       w[i * {_PARA_W} + 1 : least((i + 1) * {_PARA_W}, n)],
+                       ' ') AS chunk
+            FROM sized CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+        ),
+        ranked AS (
+            SELECT doc_id, idx, chunk,
+                   row_number() OVER (
+                       PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+            FROM chunks
+        ),
+        kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY idx)) AS digest
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               s.n_chunks,
+               coalesce(k.n_kept, 0) AS n_kept,
+               s.n_chunks - coalesce(k.n_kept, 0) AS n_dropped,
+               coalesce(k.digest, md5('')) AS digest
+        FROM sized s LEFT JOIN kept k USING (doc_id)
+    """,
+    doc=f"Paragraph-level corpus dedup with reassembly (the RefinedWeb / "
+    f"Gopher repetition-removal step): each doc splits into {_PARA_W}-word "
+    "units, every unit that already appeared earlier in the corpus (first "
+    "occurrence ordered by (doc_id, idx) survives) is DROPPED from the "
+    "doc, and the survivors re-join in order — emitted as md5(rebuilt "
+    "text) plus kept/dropped counts so the wire rows stay scalar.  Scale "
+    "shape: the dedup window shuffles md5(unit) digests as the partition "
+    "key (16 bytes/unit, never bodies); reassembly shuffles by doc_id "
+    "with sort_array over collected (idx, unit) structs.  Exact-dup docs "
+    "planted in the fixture lose ALL their units to the earlier copy "
+    "(n_kept=0, digest=md5('')), which the oracle pins.",
+)
+def qc14_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sized = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n", F.size("w"))
+        .where(F.col("n") >= 1)
+        .withColumn("n_chunks", F.expr(f"(n + {_PARA_W - 1}) div {_PARA_W}").cast("long"))
+    )
+    start = F.col("idx") * _PARA_W + 1
+    chunks = sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("idx"),
+        "w",
+    ).select(
+        "doc_id",
+        "idx",
+        F.array_join(F.slice("w", start, F.lit(_PARA_W)), " ").alias("chunk"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")),
+    )
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+    )
+    return (
+        sized.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("digest", F.md5(F.lit(""))).alias("digest"),
+        )
+    )
+
+
+@register(
+    "qc15_gopher_quality_rules",
+    oracle="""
+        WITH sig AS (
+            SELECT doc_id, lang,
+                   string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(replace(text, ' ', '')) AS n_letters
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, n_words,
+                   n_letters * 1.0 / n_words AS mwl,
+                   len(list_filter(w, x -> regexp_matches(x, '[^a-z]')))
+                       * 1.0 / n_words AS sym,
+                   len(list_filter(w,
+                       x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+            FROM sig
+        )
+        SELECT doc_id, lang, n_words,
+               round(mwl, 4) AS mean_word_len,
+               round(sym, 4) AS symbol_frac,
+               n_stop,
+               CAST(n_words BETWEEN 20 AND 10000
+                    AND mwl BETWEEN 3 AND 10
+                    AND sym <= 0.1
+                    AND n_stop >= 1 AS INT) AS passes
+        FROM scored
+    """,
+    doc="Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1, scaled "
+    "to the fixture): per-doc word count, mean word length, symbol-word "
+    "fraction and stop-word presence, each a pure Catalyst expression "
+    "(split + HOF filter — no UDF), combined into one pass/fail gate "
+    "(word count in [20,10000], mean word length in [3,10], symbol "
+    "fraction <= 0.1, >= 1 stop word).  Entirely map-side: zero "
+    "shuffles, scales linearly with corpus bytes; thresholds are "
+    "literals so changing them never changes the plan.  The gate "
+    "decisions compare RAW doubles (identical int-ratio arithmetic in "
+    "both engines) while the reported signals round to 4 dp for the "
+    "wire.",
+)
+def qc15_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_letters"
+        ),
+    )
+    scored = sig.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (F.col("n_letters") * 1.0 / F.col("n_words")).alias("mwl"),
+        (
+            F.size(F.filter("w", lambda x: x.rlike("[^a-z]"))) * 1.0 / F.col("n_words")
+        ).alias("sym"),
+        F.size(
+            F.filter("w", lambda x: x.isin("the", "a", "of", "and", "to"))
+        ).cast("long").alias("n_stop"),
+    )
+    gate = (
+        F.col("n_words").between(20, 10000)
+        & F.col("mwl").between(3, 10)
+        & (F.col("sym") <= 0.1)
+        & (F.col("n_stop") >= 1)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("sym", 4).alias("symbol_frac"),
+        "n_stop",
+        gate.cast("int").alias("passes"),
+    )
+
+
+@register(
+    "qc16_canary_substring_scan",
+    oracle="""
+        WITH needles AS (
+            SELECT doc_id AS bench_id,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS needle
+            FROM documents WHERE source = 'src0'
+        )
+        SELECT c.doc_id,
+               count(CASE WHEN instr(c.text, n.needle) > 0 THEN 1 END) AS n_hits,
+               CAST(count(CASE WHEN instr(c.text, n.needle) > 0 THEN 1 END) > 0
+                    AS INT) AS contaminated
+        FROM documents c CROSS JOIN needles n
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id
+    """,
+    doc="Exact-substring canary scan (the decontamination variant used "
+    "for eval-set canaries and memorization probes, complementing "
+    "qc01's n-gram overlap): the needle set is each benchmark doc's "
+    "8-word prefix — KB-scale even against a 100 TB corpus — so it "
+    "broadcasts and the corpus side is a map-only instr() scan + one "
+    "doc_id-keyed partial agg.  No corpus-vs-corpus join; needle count "
+    "is bounded by the eval suite, so per-row cost is O(needles x "
+    "doc_len) map-side work that parallelizes perfectly.",
+)
+def qc16_canary_substring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    needles = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("needle"),
+    )
+    corpus = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    hit = F.expr("instr(text, needle)") > 0
+    return (
+        corpus.crossJoin(F.broadcast(needles))
+        .groupBy("doc_id")
+        .agg(F.count(F.when(hit, 1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+        )
+    )

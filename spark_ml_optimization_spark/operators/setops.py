@@ -177,3 +177,50 @@ def q36_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("keyval"))
     o = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("keyval"))
     return f.exceptAll(o)
+
+
+@register(
+    "q31b_union_by_name",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment
+        UNION ALL BY NAME
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               round(avg(s.s_acctbal), 2) AS avg_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="unionByName(allowMissingColumns=True): combine two relations "
+    "with different column sets by NAME, not position — missing columns "
+    "null-fill (customer stats carry no `nation`/`n_suppliers`; supplier "
+    "stats no `segment`/`n_customers`; `avg_acctbal` aligns by name).  "
+    "The schema-evolution-safe union used when consolidating per-source "
+    "metric tables whose shapes drift — positional UNION would silently "
+    "misalign columns.  Oracle: DuckDB's UNION ALL BY NAME.  Same "
+    "exchange count as a positional union; resolution is compile-time.",
+)
+def q31b_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)

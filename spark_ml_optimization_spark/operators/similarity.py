@@ -13,8 +13,8 @@ Tiering for scale:
   re-scoring (recall unit-tested against q85).
 - q91: the same cosine as an Arrow-vectorized pandas UDF — the escape
   hatch shape for metrics Catalyst can't express (numeric parity with
-  q85 is unit-tested; numpy pairwise summation ≠ sequential, so this
-  stays rows-only).
+  q85 is unit-tested; a 4-dp wire rounding absorbs numpy-vs-sequential
+  summation-order noise so the kernel is DuckDB-hash-verified too).
 """
 
 from __future__ import annotations
@@ -337,24 +337,36 @@ def _cosine_udf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "q91_cosine_pandas_udf",
-    oracle=None,  # numpy BLAS/pairwise summation ≠ sequential-order sums;
-    # parity with q85 within 1e-9 is unit-tested instead.
+    oracle="""
+        SELECT
+            e.vec_id,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 4) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+    """,
     doc="The q85 cosine as an Arrow-batched mapInPandas kernel (numpy "
     "matrix-vector product per batch) — the vectorized-Python escape "
     "hatch for similarity metrics Catalyst can't express.  The query "
     "vector rides in on a broadcast 1-row join (same shape as q85), so "
     "plan construction performs zero driver-side actions (round-1 "
-    "verdict, What's wrong #3).",
+    "verdict, What's wrong #3).  numpy's pairwise/BLAS summation and a "
+    "sequential fold differ at ~1e-15 on 64-d unit vectors, so the wire "
+    "format rounds to 4 dp JVM-side — far above summation-order noise — "
+    "making the kernel hash-verifiable; wire-precision parity with q85 "
+    "stays unit-tested in tests/test_similarity.py.",
 )
 def q91_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, 0)
-    return (
+    scored = (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", "embedding")
         .crossJoin(F.broadcast(q))
         .mapInPandas(_cosine_udf_batches, schema="vec_id long, score double")
     )
+    return scored.withColumn("score", F.round("score", 4))
 
 
 @register(
@@ -523,4 +535,37 @@ def q92b_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         reranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@register(
+    "q85b_cosine_range_search",
+    oracle="""
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+          AND round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+    doc="Cosine RANGE search (threshold retrieval, the dual of q85's "
+    "top-k): every vector with cosine >= 0.5 against the broadcast "
+    "query vector — the primitive behind near-duplicate gating and "
+    "radius-bounded retrieval.  Unlike top-k there is NO global "
+    "TakeOrdered step: the plan is scan + broadcast join + map-side "
+    "filter, zero shuffles, so it scales embarrassingly to any corpus "
+    "size.  The threshold compares the 6-dp-rounded score on both "
+    "engines so the cut line is engine-stable.",
+)
+def q85b_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    score = F.round(dot(to_double_array("embedding"), F.col("qvec")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", score.alias("score"))
+        .filter(F.col("score") >= 0.5)
     )

@@ -31,4 +31,12 @@ def duck_smoke():
 @pytest.mark.parametrize("name", _SQL_NAMES)
 def test_sql_oracle_parity_sf0001(spark, duck_smoke, name):
     q = _QUERIES[name]
-    run_and_compare(spark, duck_smoke, q.fn, q.oracle, name, SF_SMOKE)
+    oracle = q.oracle
+    if name == "qc13_zorder_file_stats":
+        # qc13's registered oracle audits the driver-scale (sf0.01)
+        # scratch layout; re-render it against THIS scale's scratch dir
+        # so the audit reads the files Spark wrote for sf0.001.
+        from spark_ml_optimization_spark.operators.curation import qc13_oracle_for
+
+        oracle = qc13_oracle_for(SF_SMOKE)
+    run_and_compare(spark, duck_smoke, q.fn, oracle, name, SF_SMOKE)

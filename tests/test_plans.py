@@ -284,3 +284,31 @@ def test_sliding_chunks_is_map_side_only(spark):
     plan = explain_formatted(_df(spark, "q83b_sliding_chunks"))
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode generator node
+
+
+def test_range_search_is_shuffle_free(spark):
+    """q85b (cosine range search): broadcast query vector + map-side
+    threshold filter — the plan must contain a broadcast join and NO
+    shuffle Exchange (the whole point vs top-k's global TakeOrdered)."""
+    df = _df(spark, "q85b_cosine_range_search")
+    assert has_broadcast_join(df)
+    plan = explain_formatted(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_canary_scan_broadcasts_needles(spark):
+    """qc16: the benchmark needle set must be the broadcast side — a
+    shuffled corpus-vs-needles join would move corpus bytes for a
+    KB-scale probe set."""
+    df = _df(spark, "qc16_canary_substring_scan")
+    assert has_broadcast_join(df)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_map_side_only(spark):
+    """qc15 quality gate is pure per-row expression work — any Exchange
+    means a regression introduced a shuffle into a linear scan."""
+    plan = explain_formatted(_df(spark, "qc15_gopher_quality_rules"))
+    assert "Exchange" not in plan

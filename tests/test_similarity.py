@@ -26,14 +26,16 @@ def test_ann_lsh_recall_vs_exact(spark):
 
 
 def test_pandas_udf_cosine_matches_catalyst(spark):
-    """numpy kernel and Catalyst HOF dot product agree within 1e-9."""
+    """numpy kernel and Catalyst HOF dot product agree to the wire
+    precision (q85 rounds to 6 dp, q91's oracle-hashable wire format to
+    4 dp; the raw kernels differ only by ~1e-15 summation-order noise)."""
     hof = (
         all_queries()["q85_topk_cosine"].fn(spark, SF_CORRECT).select("vec_id", "score").toPandas()
     )
     udf = all_queries()["q91_cosine_pandas_udf"].fn(spark, SF_CORRECT).toPandas()
     merged = hof.merge(udf, on="vec_id", suffixes=("_hof", "_udf"))
     assert len(merged) == len(hof)
-    assert (merged.score_hof - merged.score_udf).abs().max() < 1e-6
+    assert (merged.score_hof - merged.score_udf).abs().max() < 5.1e-5
 
 
 def test_ivf_recall_vs_exact(spark):
