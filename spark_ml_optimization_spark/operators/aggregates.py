@@ -475,3 +475,35 @@ def q25b_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "q26b_listagg",
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc="LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ANSI ordered "
+    "string aggregation added in Spark 4.1, the SQL-standard twin of "
+    "q26's collect_list+array_sort+array_join composition.  The ORDER "
+    "BY inside the aggregate makes the concatenation deterministic "
+    "without a global sort; per-group partial aggregation still "
+    "applies, so shuffle volume is group-count-sized.  Oracle: "
+    "DuckDB's string_agg with ORDER BY (same ANSI semantics).",
+)
+def q26b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

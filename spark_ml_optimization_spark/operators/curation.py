@@ -857,3 +857,33 @@ def qc16_canary_substring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+@register(
+    "qc17_bitmap_exact_distinct",
+    oracle="""
+        SELECT lang, count(DISTINCT doc_id) AS n_distinct_docs
+        FROM documents GROUP BY lang
+    """,
+    doc="EXACT mergeable distinct counting via bitmap aggregates "
+    "(bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg "
+    "+ bitmap_count) — the exact counterpart of qc07's HLL sketches: "
+    "per-(group, bucket) fixed-size 4 KB bitmaps build map-side, merge "
+    "associatively, and sum(bitmap_count) recovers the exact distinct "
+    "count.  Unlike count(DISTINCT) this never re-shuffles raw ids for "
+    "a second exchange, and partial bitmaps are persistable: at 100 TB "
+    "each shard's bitmaps land in a rollup table and later merges are "
+    "bitmap_or_agg over 4 KB blobs — incremental-refresh distinct "
+    "counts with zero re-scan.  The oracle pins exactness against "
+    "count(DISTINCT).",
+)
+def qc17_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_bucket = (
+        d.select("lang", F.col("doc_id").alias("id"))
+        .groupBy("lang", F.bitmap_bucket_number("id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("id")).alias("bm"))
+    )
+    return per_bucket.groupBy("lang").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_docs")
+    )

@@ -456,3 +456,37 @@ _registry_mod._REGISTRY["src13_binaryfile_ingest"] = _registry_mod.Query(
     oracle=_src13_oracle(),
     doc=_registry_mod._REGISTRY["src13_binaryfile_ingest"].doc,
 )
+
+
+@register(
+    "src14_xml_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+    doc="XML sink + source roundtrip (Spark 4 NATIVE xml data source — "
+    "no external spark-xml package): customer rows written rowTag-per-"
+    "record, read back with an explicit schema (never schema inference "
+    "on a 100 TB feed).  Hash-match vs the original proves "
+    "losslessness.  XML is the interchange format of record for many "
+    "enterprise feeds; the scale posture matches CSV/JSON — splittable "
+    "per-file parallel read, schema declared, and immediately "
+    "re-materialized to parquet for anything downstream.",
+)
+def src14_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    path = _scratch(f"xml_customer_{sf_dir.rstrip('/').replace('/', '_')}")
+    c.write.format("xml").option("rowTag", "customer").mode("overwrite").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(schema)
+        .load(path)
+    )

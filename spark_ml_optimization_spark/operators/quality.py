@@ -647,3 +647,54 @@ def qd10_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             check(joined, "l_orderkey", "o_orderdate", "orderkey->orderdate(lineitem-join)")
         )
     )
+
+
+@register(
+    "qd11_temporal_consistency",
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey,
+                   l.l_shipdate,
+                   o.o_orderdate,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT
+            count(*) AS n_lines,
+            CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ship_before_order,
+            CAST(sum(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_over_120d,
+            min(lag_days) AS min_lag_days,
+            max(lag_days) AS max_lag_days,
+            round(avg(lag_days), 4) AS avg_lag_days
+        FROM j
+    """,
+    doc="Cross-table temporal-consistency audit: every lineitem must "
+    "ship on/after its order date and within a 120-day SLA — the "
+    "event-ordering rule class that single-table constraint audits "
+    "(qd03) can't see.  One fact-fact equi-join on the shared key "
+    "(orders is the smaller side; at driver scale AQE picks broadcast, "
+    "at 100 TB both sides co-partition on orderkey — same plan as "
+    "qa-family joins) then a single global agg over day-lag "
+    "expressions.  Emits violation counts + the lag distribution "
+    "envelope, one row.",
+)
+def qd11_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_shipdate",
+        "o_orderdate",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long")).alias(
+            "n_ship_before_order"
+        ),
+        F.sum((F.col("lag_days") > 120).cast("long")).alias("n_over_120d"),
+        F.min("lag_days").cast("long").alias("min_lag_days"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+        F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
+    )

@@ -463,3 +463,52 @@ def q53b_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3), 4
         ).alias("per_bucket_bal"),
     )
+
+
+@register(
+    "q50c_collation",
+    oracle="""
+        SELECT lower(o_orderpriority) AS priority_ci,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM (
+            SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_orderkey, o_totalprice
+            FROM orders
+        )
+        GROUP BY lower(o_orderpriority)
+    """,
+    doc="Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): group a "
+    "deliberately case-mixed key (every 3rd order upper-cased) under a "
+    "case-insensitive collation — the engine-level answer to messy "
+    "real-world categorical columns, replacing scattered lower() calls "
+    "at every use site.  The collated comparison happens inside the "
+    "hash-agg operator itself (hash of the collation key), so partial "
+    "aggregation and shuffle shape are identical to a binary-collation "
+    "group-by.  The output key is normalized with lower() only to give "
+    "a deterministic display form; the GROUPING uses the collation.  "
+    "Oracle: DuckDB lower()-keyed grouping (same equivalence classes "
+    "for ASCII data).",
+)
+def q50c_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    ci = F.collate(F.col("o_orderpriority"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("priority_key"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lower(F.col("priority_key")).alias("priority_ci"),
+            "n_orders",
+            "total",
+        )
+    )
