@@ -507,3 +507,29 @@ def q26b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+@register(
+    "q20d_crosstab",
+    oracle="""
+        SELECT l_returnflag AS flag,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS F,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="df.stat.crosstab — the DataFrameStatFunctions contingency-table "
+    "API (pair frequencies, one row per left value, one column per "
+    "right value).  Same single-scan pivot plan as groupBy().pivot() "
+    "with an explicit value list; the column set is the right-hand "
+    "domain so it must be LOW-cardinality (enum-like) — at 100 TB the "
+    "shuffle carries |left|x|right| partial counts, nothing row-"
+    "scaled.  The first column is renamed to a plain name for the "
+    "wire; column order is value-sorted by the driver's compare.",
+)
+def q20d_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.withColumnRenamed("l_returnflag_l_linestatus", "flag")

@@ -309,3 +309,45 @@ def q48b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q10b_join_strategy_hints",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_lines,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Explicit physical join-strategy control: the lineitem⋈orders "
+    "fact-fact edge is pinned to SHUFFLE_HASH (build the smaller orders "
+    "side as an in-memory hash map per partition — skips BOTH sort "
+    "passes a sort-merge join would pay; right when one side is much "
+    "smaller but too big to broadcast), and the ⋈customer edge to "
+    "MERGE (sort-merge — right when both sides are huge or already "
+    "sorted, spills gracefully).  Same answer as the unhinted plan — "
+    "the hints move only the physical strategy, which "
+    "tests/test_plans.py pins (ShuffledHashJoin + SortMergeJoin both "
+    "present).  At 100 TB this is the knob for when AQE's "
+    "stats-at-runtime choice needs overriding per edge.",
+)
+def q10b_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .join(c.hint("merge"), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -217,3 +217,61 @@ def qp2_rag_indexing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("vec_id").alias("n_embedded"),
         )
     )
+
+
+@register(
+    "qp3_cached_stage_reuse",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        ),
+        by_flag AS (
+            SELECT 'by_flag' AS grp, l_returnflag AS key,
+                   count(*) AS n, round(sum(l_quantity), 2) AS metric
+            FROM base GROUP BY l_returnflag
+        ),
+        by_status AS (
+            SELECT 'by_status' AS grp, l_linestatus AS key,
+                   count(*) AS n, round(avg(l_extendedprice), 2) AS metric
+            FROM base GROUP BY l_linestatus
+        )
+        SELECT * FROM by_flag UNION ALL SELECT * FROM by_status
+    """,
+    doc="Materialized-stage reuse: one filtered projection of the fact "
+    "table is .cache()'d and TWO downstream aggregations consume it — "
+    "the second reads InMemoryTableScan instead of re-scanning parquet "
+    "(plan-pinned in tests/test_plans.py).  The intra-pipeline "
+    "dedup-of-work primitive: at 100 TB a multi-output curation "
+    "pipeline (stats + gate + sample from one cleaned corpus) persists "
+    "the cleaned stage once — with MEMORY_AND_DISK it degrades "
+    "gracefully instead of recomputing the whole lineage per output.  "
+    "Cache columns are pruned to exactly what the consumers need "
+    "before caching, so the cached bytes are the projection, not the "
+    "table.",
+)
+def qp3_cached_stage_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_shipdate") >= "1996-01-01")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .cache()
+    )
+    by_flag = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("metric")
+    ).select(
+        F.lit("by_flag").alias("grp"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        "metric",
+    )
+    by_status = base.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("metric")
+    ).select(
+        F.lit("by_status").alias("grp"),
+        F.col("l_linestatus").alias("key"),
+        "n",
+        "metric",
+    )
+    return by_flag.unionByName(by_status)

@@ -698,3 +698,76 @@ def qd11_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lag_days").cast("long").alias("max_lag_days"),
         F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
     )
+
+
+@register(
+    "qd12_chi_square_contingency",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(lang = 'en' AS INT) AS is_en,
+                   CAST(length(source) % 2 AS INT) AS label
+            FROM documents
+        ),
+        obs AS (
+            SELECT is_en, label, count(*) AS o FROM t GROUP BY is_en, label
+        ),
+        rt AS (SELECT is_en, sum(o) AS r FROM obs GROUP BY is_en),
+        ct AS (SELECT label, sum(o) AS c FROM obs GROUP BY label),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        grid AS (
+            SELECT rt.is_en, ct.label,
+                   CAST(rt.r AS DOUBLE) AS r, CAST(ct.c AS DOUBLE) AS c,
+                   CAST(tot.n AS DOUBLE) AS n,
+                   CAST(coalesce(obs.o, 0) AS DOUBLE) AS o
+            FROM rt CROSS JOIN ct CROSS JOIN tot
+            LEFT JOIN obs ON obs.is_en = rt.is_en AND obs.label = ct.label
+        )
+        SELECT
+            round(sum(pow(o - r * c / n, 2) / (r * c / n)), 4) AS statistic,
+            CAST((count(DISTINCT is_en) - 1) * (count(DISTINCT label) - 1)
+                 AS BIGINT) AS dof,
+            CAST(max(n) AS BIGINT) AS n_rows
+        FROM grid
+    """,
+    doc="Pearson chi-square independence statistic computed PURELY "
+    "relationally (the SQL-verified twin of ml16's MLlib ChiSquareTest; "
+    "parity on the shared (is_en, label) pair is unit-pinned in "
+    "tests/test_ml_shapes.py): observed contingency cells from one "
+    "group-by, expected r*c/n from broadcast row/col margins, "
+    "sum((O-E)^2/E) over the FULL margin grid so zero cells still "
+    "contribute their expectation.  Scale shape: cell count is the "
+    "product of category cardinalities (tiny), so everything after the "
+    "first corpus-sized group-by is broadcast arithmetic — the "
+    "feature-screening statistic for a 100 TB corpus at the cost of "
+    "one scan.",
+)
+def qd12_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        (F.length("source") % 2).cast("int").alias("label"),
+    )
+    obs = d.groupBy("is_en", "label").agg(F.count("*").alias("o"))
+    rt = obs.groupBy("is_en").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("label").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["is_en", "label"], "left")
+        .select(
+            "is_en",
+            "label",
+            F.col("r").cast("double").alias("r"),
+            F.col("c").cast("double").alias("c"),
+            F.col("n").cast("double").alias("n"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("o"),
+        )
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    return grid.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("statistic"),
+        (
+            (F.count_distinct("is_en") - 1) * (F.count_distinct("label") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n_rows"),
+    )

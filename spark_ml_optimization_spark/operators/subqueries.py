@@ -219,3 +219,38 @@ def q39_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q18b_parameterized_sql",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_totalprice > 150000.0
+        GROUP BY o_orderpriority
+    """,
+    doc="Parameterized spark.sql (Spark 3.4+ named arguments): the "
+    "query text carries :cutoff / :floor placeholders and values bind "
+    "server-side as literals — injection-safe templating that still "
+    "constant-folds into pushed-down predicates exactly like inlined "
+    "literals (no prepare/execute round trip, no plan-cache keying "
+    "problem: each binding plans fresh and Catalyst sees real "
+    "constants).  The parametrization surface a query service exposes "
+    "over a 100 TB warehouse.",
+)
+def q18b_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1997-01-01 00:00:00", "floor": 150000.0},
+    )

@@ -343,3 +343,63 @@ def q95b_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 5).alias("slope"),
         F.round("intercept", 5).alias("intercept"),
     )
+
+
+def _minmax_arrow_group(tbl):
+    """applyInArrow kernel: per-group min-max scaling of c_acctbal,
+    computed directly on pyarrow buffers (no pandas materialization)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bal = tbl.column("c_acctbal")
+    lo = pc.min(bal)
+    span = pc.subtract(pc.max(bal), lo)
+    # Constant group (span 0) → scaled 0.0 for every row, matching the
+    # oracle's NULLIF/COALESCE form.
+    if pc.equal(span, pa.scalar(0.0)).as_py():
+        scaled = pa.array([0.0] * len(tbl), type=pa.float64())
+    else:
+        scaled = pc.divide(pc.subtract(bal, lo), span)
+    return pa.table(
+        {
+            "c_custkey": tbl.column("c_custkey"),
+            "c_nationkey": tbl.column("c_nationkey"),
+            "scaled_bal": scaled,
+        }
+    )
+
+
+@register(
+    "q95c_minmax_apply_in_arrow",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_nationkey,
+            round(COALESCE(
+                (c_acctbal - min(c_acctbal) OVER w)
+                    / NULLIF(max(c_acctbal) OVER w - min(c_acctbal) OVER w, 0),
+                0.0), 5) AS scaled_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+    doc="Grouped-map via applyInArrow (Spark 4): per-nation min-max "
+    "scaling computed with pyarrow.compute kernels straight on the "
+    "Arrow RecordBatch — q95's shape without the pandas materialization "
+    "(no index, no block manager, no object boxing), the lowest-"
+    "overhead Python escape hatch for columnar per-group logic.  "
+    "min/max are order-insensitive (exact), division is one vectorized "
+    "double op — so unlike mean/std kernels there is NO summation-"
+    "order caveat; the 5-dp wire rounding happens JVM-side.  Oracle: "
+    "the window-function twin.",
+)
+def q95c_minmax_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    scaled = c.groupBy("c_nationkey").applyInArrow(
+        _minmax_arrow_group,
+        schema="c_custkey long, c_nationkey int, scaled_bal double",
+    )
+    return scaled.select(
+        "c_custkey", "c_nationkey", F.round("scaled_bal", 5).alias("scaled_bal")
+    )

@@ -489,3 +489,75 @@ def st10_stream_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
     )
+
+
+@register(
+    "st11_checkpoint_exactly_once",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT event_id) AS n_distinct_ids
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exactly-once across a RESTART, proven by hash: the fixture is "
+    "split into two parquet files; run 1 streams file 1 into a "
+    "foreachBatch-append sink with a durable checkpointLocation and "
+    "stops; file 2 then lands in the source dir and a NEW query — same "
+    "checkpoint, same sink — processes it.  The checkpoint's file-"
+    "source log guarantees file 1 is NOT re-read on restart, so the "
+    "sink holds every event exactly once and the per-type counts "
+    "hash-match the batch oracle (a re-delivery would double counts "
+    "and a loss would shrink them — both break the hash, so the "
+    "exactly-once contract IS the correctness check).  This is the "
+    "mechanism a 100 TB ingest relies on to survive restarts without "
+    "dedup passes; state here is the source log only — the sink append "
+    "is idempotent per epoch.",
+)
+def st11_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    base = os.path.join(tempfile.gettempdir(), f"st11_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    ckpt_dir = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "sink")
+    os.makedirs(src_dir)
+
+    batch = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "event_type")
+    # Deterministic 2-file split; write with distinct prefixes so the
+    # phase-2 listing change is exactly one new file tree.
+    batch.filter(F.col("event_id") % 2 == 0).write.parquet(os.path.join(src_dir, "part1"))
+    part2_staging = os.path.join(base, "part2_staging")
+    batch.filter(F.col("event_id") % 2 == 1).write.parquet(part2_staging)
+
+    schema = batch.schema
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(append_epoch)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # phase 1: file 1 only
+    os.rename(part2_staging, os.path.join(src_dir, "part2"))
+    run_once()  # phase 2: restart from the same checkpoint
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_id").alias("n_distinct_ids"),
+        )
+    )

@@ -106,3 +106,29 @@ def test_transform_with_state_requires_protobuf(spark):
             # get(key, None) returns None for a never-set conf; unset so
             # RocksDB doesn't leak into the rest of the shared session.
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_chi_square_sql_twin_matches_mllib(spark):
+    """qd12's relational chi-square must agree with MLlib's
+    ChiSquareTest on the shared (is_en, label) pair — the SQL twin is
+    only a twin if the statistic matches to float precision."""
+    from spark_ml_optimization_spark.registry import all_queries
+    from .conftest import SF_CORRECT
+
+    sql_row = (
+        all_queries()["qd12_chi_square_contingency"].fn(spark, SF_CORRECT).collect()[0]
+    )
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+    from pyspark.sql import functions as F
+    from spark_ml_optimization_spark.sources import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents").select(
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+        (F.length("source") % 2).cast("double").alias("label"),
+    )
+    vec = VectorAssembler(inputCols=["is_en"], outputCol="features")
+    ml = ChiSquareTest.test(vec.transform(d), "features", "label", flatten=True).collect()[0]
+    assert abs(sql_row.statistic - ml.statistic) < 1e-3, (sql_row, ml)
+    assert sql_row.dof == ml.degreesOfFreedom

@@ -312,3 +312,22 @@ def test_gopher_rules_map_side_only(spark):
     means a regression introduced a shuffle into a linear scan."""
     plan = explain_formatted(_df(spark, "qc15_gopher_quality_rules"))
     assert "Exchange" not in plan
+
+
+def test_join_strategy_hints_respected(spark):
+    """q10b: the SHUFFLE_HASH and MERGE hints must each pin their edge's
+    physical operator — hint loss (e.g. a hint-eating transformation)
+    would silently fall back to whatever AQE picks."""
+    plan = explain_formatted(_df(spark, "q10b_join_strategy_hints"))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_cached_stage_reused_not_rescanned(spark):
+    """qp3: after materializing, both agg branches must read the
+    InMemoryTableScan of the cached projection (a branch that fell back
+    to a parquet re-scan silently doubles the pipeline's I/O)."""
+    df = _df(spark, "qp3_cached_stage_reuse")
+    df.collect()  # materialize the cache through the first consumer
+    plan = explain_formatted(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
