@@ -887,3 +887,98 @@ def qc17_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("lang").agg(
         F.sum(F.bitmap_count("bm")).alias("n_distinct_docs")
     )
+
+
+_COMPACT_DIRS: dict[str, str] = {}
+
+
+def _compact_dir(sf_dir: str, stage: str) -> str:
+    key = f"compact_{stage}_{sf_dir.rstrip('/').replace('/', '_')}"
+    if key not in _COMPACT_DIRS:
+        import os
+        import tempfile
+        import uuid
+
+        _COMPACT_DIRS[key] = os.path.join(
+            tempfile.gettempdir(), f"{key}_{uuid.uuid4().hex[:10]}"
+        )
+    return _COMPACT_DIRS[key]
+
+
+@register(
+    "qc18_small_file_compaction",
+    oracle=None,  # rendered per-sf below (scratch paths baked into the SQL)
+    doc="Small-file compaction (the OPTIMIZE step every long-lived "
+    "100 TB table needs): a fragmented write (repartition(64) — the "
+    "shape incremental ingest leaves behind) is compacted by "
+    "re-writing through repartition(4), and BOTH layouts are audited "
+    "via the _metadata.file_name hidden column: file count, rows per "
+    "layout, min/max rows per file.  The oracle re-counts the actual "
+    "on-disk files with DuckDB read_parquet(filename=true) — an "
+    "engine-independent proof the compaction happened and lost "
+    "nothing.  Fragmented reads pay per-file open cost + footer reads "
+    "+ scheduler overhead (and at cloud-storage latency, per-file "
+    "round trips); compaction is one shuffle whose output size is "
+    "controlled by spark.sql.files.maxRecordsPerFile / target "
+    "partition count.",
+)
+def qc18_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    frag = _compact_dir(sf_dir, "frag")
+    comp = _compact_dir(sf_dir, "comp")
+    if not os.path.isdir(frag):
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        o.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.isdir(comp):
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+
+    def audit(path: str, stage: str) -> DataFrame:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .agg(F.count("*").alias("n"))
+        )
+        return per_file.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.min("n").cast("long").alias("min_rows_per_file"),
+            F.max("n").cast("long").alias("max_rows_per_file"),
+        )
+
+    return audit(frag, "fragmented").unionByName(audit(comp, "compacted"))
+
+
+def qc18_oracle_for(sf_dir: str) -> str:
+    """Render qc18's file-audit oracle against this scale's scratch dirs
+    (same per-sf pattern as qc13_oracle_for)."""
+    frag = _compact_dir(sf_dir, "frag")
+    comp = _compact_dir(sf_dir, "comp")
+    return f"""
+        WITH f AS (
+            SELECT filename, count(*) AS n
+            FROM read_parquet('{frag}/*.parquet', filename=true) GROUP BY 1
+        ),
+        c AS (
+            SELECT filename, count(*) AS n
+            FROM read_parquet('{comp}/*.parquet', filename=true) GROUP BY 1
+        )
+        SELECT 'fragmented' AS stage, count(*) AS n_files,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(min(n) AS BIGINT) AS min_rows_per_file,
+               CAST(max(n) AS BIGINT) AS max_rows_per_file
+        FROM f
+        UNION ALL
+        SELECT 'compacted', count(*), CAST(sum(n) AS BIGINT),
+               CAST(min(n) AS BIGINT), CAST(max(n) AS BIGINT)
+        FROM c
+    """
+
+
+_registry_mod._REGISTRY["qc18_small_file_compaction"] = _registry_mod.Query(
+    name="qc18_small_file_compaction",
+    fn=_registry_mod._REGISTRY["qc18_small_file_compaction"].fn,
+    oracle=qc18_oracle_for("/root/testdata/sf0.01"),
+    doc=_registry_mod._REGISTRY["qc18_small_file_compaction"].doc,
+)

@@ -490,3 +490,56 @@ def src14_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(path)
     )
+
+
+@register(
+    "src15_permissive_csv",
+    oracle="""
+        SELECT
+            count(CASE WHEN s_suppkey % 10 <> 0 THEN 1 END) AS n_good,
+            count(CASE WHEN s_suppkey % 10 = 0 THEN 1 END) AS n_corrupt,
+            round(sum(CASE WHEN s_suppkey % 10 <> 0 THEN s_acctbal END), 2)
+                AS good_bal_total
+        FROM supplier
+    """,
+    doc="Tolerant ingestion of a dirty CSV feed: every 10th row carries "
+    "an unparseable value in a DOUBLE column; reading with "
+    "mode=PERMISSIVE + columnNameOfCorruptRecord quarantines exactly "
+    "those rows into _corrupt_record (bad column → NULL, raw line "
+    "preserved for a dead-letter sink) while clean rows flow through — "
+    "vs FAILFAST which would kill a 100 TB ingest on the first bad "
+    "byte.  The oracle derives the good/corrupt split from the source "
+    "table's planted corruption pattern, so it pins that PERMISSIVE "
+    "classifies precisely the planted rows and nothing else.  "
+    "Map-side only; error handling adds no shuffle.",
+)
+def src15_permissive_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    line = F.concat_ws(
+        ",",
+        F.col("s_suppkey").cast("string"),
+        F.when(F.col("s_suppkey") % 10 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("s_acctbal").cast("string")
+        ),
+    )
+    path = _scratch(f"dirty_csv_{sf_dir.rstrip('/').replace('/', '_')}")
+    s.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return read.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.round(F.sum(F.when(~bad, F.col("bal"))), 2).alias("good_bal_total"),
+    )

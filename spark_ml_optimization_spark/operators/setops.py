@@ -224,3 +224,40 @@ def q31b_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "q30b_distribute_sort_by",
+    oracle="""
+        SELECT l_suppkey,
+               count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    doc="SQL physical-layout clauses: DISTRIBUTE BY hash-partitions the "
+    "result on the key and SORT BY orders rows WITHIN each partition "
+    "(no global merge — that's the difference from ORDER BY, whose "
+    "range-exchange + final merge is the most expensive sort shape).  "
+    "This is the declarative form of repartition().sortWithinPartitions "
+    "— what a pipeline stage emits so the NEXT stage (partitioned "
+    "write, merge join, grouped kernel) finds data already clustered "
+    "and locally ordered.  tests/test_plans.py pins the plan: hash-"
+    "partitioning Exchange + non-global Sort, and NO rangepartitioning "
+    "Exchange.  Values are order-insensitively hash-checked (the "
+    "clauses change layout, never content).",
+)
+def q30b_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey
+        """
+    )

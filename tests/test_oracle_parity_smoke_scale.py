@@ -32,11 +32,15 @@ def duck_smoke():
 def test_sql_oracle_parity_sf0001(spark, duck_smoke, name):
     q = _QUERIES[name]
     oracle = q.oracle
-    if name == "qc13_zorder_file_stats":
-        # qc13's registered oracle audits the driver-scale (sf0.01)
-        # scratch layout; re-render it against THIS scale's scratch dir
-        # so the audit reads the files Spark wrote for sf0.001.
-        from spark_ml_optimization_spark.operators.curation import qc13_oracle_for
+    # Layout-audit oracles bake the driver-scale (sf0.01) scratch paths;
+    # re-render them against THIS scale's scratch dirs so the audit
+    # reads the files Spark wrote for sf0.001.
+    from spark_ml_optimization_spark.operators import curation
 
-        oracle = qc13_oracle_for(SF_SMOKE)
+    rerender = {
+        "qc13_zorder_file_stats": curation.qc13_oracle_for,
+        "qc18_small_file_compaction": curation.qc18_oracle_for,
+    }
+    if name in rerender:
+        oracle = rerender[name](SF_SMOKE)
     run_and_compare(spark, duck_smoke, q.fn, oracle, name, SF_SMOKE)

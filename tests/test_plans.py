@@ -293,8 +293,8 @@ def test_range_search_is_shuffle_free(spark):
     df = _df(spark, "q85b_cosine_range_search")
     assert has_broadcast_join(df)
     plan = explain_formatted(df)
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning(" not in plan
 
 
 def test_canary_scan_broadcasts_needles(spark):
@@ -331,3 +331,15 @@ def test_cached_stage_reused_not_rescanned(spark):
     df.collect()  # materialize the cache through the first consumer
     plan = explain_formatted(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_distribute_sort_by_partial_sort_only(spark):
+    """q30b: DISTRIBUTE BY + SORT BY must produce a hashpartitioning
+    Exchange and a WITHIN-partition sort — a rangepartitioning Exchange
+    would mean it silently became a global ORDER BY (merge cost)."""
+    plan = explain_formatted(_df(spark, "q30b_distribute_sort_by"))
+    assert "hashpartitioning(" in plan
+    assert "rangepartitioning(" not in plan
+    # Sort node argument triple is [keys], global, offset — global must
+    # be false (within-partition sort only).
+    assert "ASC NULLS FIRST], false" in plan
