@@ -848,3 +848,123 @@ def ml21_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bal", F.round("prediction", 4).alias("calibrated_price"))
         .orderBy("bal")
     )
+
+
+#: Deterministic 64-d scoring weights for the pure-SQL inference demos
+#: (ml22/ml23): w_i = ((37 i mod 19) - 9) / 10 — fixed literals, no fit.
+_SCORE_W = [((37 * i) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _score_weights_sql() -> str:
+    return "[" + ", ".join(f"{w:.1f}" for w in _SCORE_W) + "]"
+
+
+@register(
+    "ml22_batch_scoring_sql",
+    oracle=f"""
+        WITH scored AS (
+            SELECT label,
+                   1.0 / (1.0 + exp(-list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST({_score_weights_sql()} AS DOUBLE[])))) AS s
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(floor(round(s, 6) * 10) AS BIGINT) AS score_decile,
+               count(*) AS n
+        FROM scored
+        GROUP BY label, score_decile
+    """,
+    doc="Batch model INFERENCE as a pure Catalyst expression — the "
+    "highest-volume production Spark ML workload (score a 100 TB "
+    "corpus with a small trained model): the weight vector ships as a "
+    "64-literal array (a broadcast in spirit; a real deployment joins "
+    "a 1-row weights relation), the logit is the zip_with/aggregate "
+    "dot product, sigmoid is exp() — NO Python UDF, so scoring stays "
+    "inside whole-stage codegen at full scan speed, ~zero-cost vs the "
+    "mapInPandas equivalent (q91) that pays Arrow serialization.  "
+    "Output: per-label score-decile histogram (exact integer counts; "
+    "the decile cut uses the 6-dp-rounded score so the bucket edge is "
+    "engine-stable).",
+)
+def ml22_batch_scoring_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in _SCORE_W])
+    logit = dot(to_double_array("embedding"), w)
+    s = 1.0 / (1.0 + F.exp(-logit))
+    return (
+        e.select(
+            "label",
+            F.floor(F.round(s, 6) * 10).cast("long").alias("score_decile"),
+        )
+        .groupBy("label", "score_decile")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ml23_pr_curve",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(label = 3 AS INT) AS y,
+                   round(1.0 / (1.0 + exp(-list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST({_score_weights_sql()} AS DOUBLE[])))), 6) AS s
+            FROM embeddings
+        ),
+        th AS (SELECT i / 10.0 AS t FROM UNNEST(generate_series(1, 9)) AS u(i))
+        SELECT t AS threshold,
+               CAST(count(CASE WHEN s >= t AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+               CAST(count(CASE WHEN s >= t AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+               round(count(CASE WHEN s >= t AND y = 1 THEN 1 END) * 1.0
+                     / NULLIF(count(CASE WHEN s >= t THEN 1 END), 0), 4)
+                   AS precision_at_t,
+               round(count(CASE WHEN s >= t AND y = 1 THEN 1 END) * 1.0
+                     / NULLIF(count(CASE WHEN y = 1 THEN 1 END), 0), 4)
+                   AS recall_at_t
+        FROM scored CROSS JOIN th
+        GROUP BY t
+    """,
+    doc="Relational PR curve: precision/recall at 9 thresholds for the "
+    "ml22 scorer against a binary target (label=3), computed with ONE "
+    "scan — scores cross-join the 9-row threshold spine (broadcast) "
+    "and conditional counts aggregate per threshold; exact integer "
+    "TP/FP, ratios rounded.  The model-eval primitive over a full "
+    "corpus: no per-threshold re-scan, no collect-and-sklearn on the "
+    "driver, and threshold count scales the spine (rows), never the "
+    "scan count.  Scores pre-round to 6 dp so threshold comparisons "
+    "are engine-stable.",
+)
+def ml23_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in _SCORE_W])
+    logit = dot(to_double_array("embedding"), w)
+    scored = e.select(
+        (F.col("label") == 3).cast("int").alias("y"),
+        F.round(1.0 / (1.0 + F.exp(-logit)), 6).alias("s"),
+    )
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("t"))
+    hit = F.col("s") >= F.col("t")
+    pos = F.col("y") == 1
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(F.col("t").alias("threshold"))
+        .agg(
+            F.count(F.when(hit & pos, 1)).alias("tp"),
+            F.count(F.when(hit & ~pos, 1)).alias("fp"),
+            F.round(
+                F.count(F.when(hit & pos, 1))
+                / F.nullif(F.count(F.when(hit, 1)), F.lit(0)),
+                4,
+            ).alias("precision_at_t"),
+            F.round(
+                F.count(F.when(hit & pos, 1))
+                / F.nullif(F.count(F.when(pos, 1)), F.lit(0)),
+                4,
+            ).alias("recall_at_t"),
+        )
+    )

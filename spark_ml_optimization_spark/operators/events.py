@@ -595,3 +595,51 @@ def q68b_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         ewma_group, schema="user_id long, n_events long, last_ewma double"
     )
+
+
+@register(
+    "q67b_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n_transitions,
+               round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type),
+                     4) AS p_next_given_prev
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the sequence-mining primitive behind funnel discovery "
+    "and next-action prediction): lag() per user ordered by (ts, "
+    "event_id) — the id tiebreak makes same-timestamp ordering "
+    "engine-stable — then (prev, next) pair counts and row-normalized "
+    "transition probabilities via a window over the counts.  Two "
+    "shuffles total (user partition for lag, pair-key agg) regardless "
+    "of corpus size; the probability normalization runs on the "
+    "|types|^2-row result, not the event stream.",
+)
+def q67b_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    wnorm = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wnorm), 4
+        ).alias("p_next_given_prev"),
+    )
