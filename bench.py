@@ -163,6 +163,9 @@ def main() -> int:
         "ml03_logreg_cv_tuning",
         "ml06_als_recommender",
         "st08_stream_stream_join",
+        "st11_checkpoint_exactly_once",
+        "qc14_paragraph_dedup",
+        "ml22_batch_scoring_sql",
         "qp1_training_data_pipeline",
     ]
     out = {

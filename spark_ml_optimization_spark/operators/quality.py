@@ -771,3 +771,110 @@ def qd12_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "qd13_psi_drift",
+    oracle="""
+        WITH ref AS (
+            SELECT o_totalprice FROM orders WHERE year(o_orderdate) <= 1997
+        ),
+        cur AS (
+            SELECT o_totalprice FROM orders WHERE year(o_orderdate) > 1997
+        ),
+        edges AS (
+            SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+            FROM ref
+        ),
+        binned AS (
+            SELECT 'ref' AS side,
+                   1 + len(list_filter((SELECT e FROM edges),
+                                       x -> o_totalprice > x)) AS bin
+            FROM ref
+            UNION ALL
+            SELECT 'cur',
+                   1 + len(list_filter((SELECT e FROM edges),
+                                       x -> o_totalprice > x))
+            FROM cur
+        ),
+        counts AS (
+            SELECT bin,
+                   count(CASE WHEN side = 'ref' THEN 1 END) AS n_ref,
+                   count(CASE WHEN side = 'cur' THEN 1 END) AS n_cur
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts
+        )
+        SELECT bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round((n_cur * 1.0 / t_cur - n_ref * 1.0 / t_ref)
+                     * ln((n_cur * 1.0 / t_cur) / (n_ref * 1.0 / t_ref)),
+                     6) AS psi_term
+        FROM counts CROSS JOIN tot
+        ORDER BY bin
+    """,
+    doc="Population Stability Index (PSI) drift audit — THE standard "
+    "production monitor for feature/score drift: the reference slice "
+    "(orders through 1997) defines 10 equi-depth bins via exact "
+    "deciles, both slices histogram against those SAME edges, and "
+    "each bin contributes (p_cur - p_ref) * ln(p_cur/p_ref).  Emits "
+    "per-bin terms (sum > 0.2 = actionable drift by the usual rule of "
+    "thumb); per-bin output keeps every value a single two-double "
+    "expression — no cross-engine summation-order concern at all.  "
+    "Scale shape: one percentile pass on the reference (at 100 TB: "
+    "approx_percentile, same plan), then ONE scan of each slice "
+    "binned map-side against the broadcast 9-edge array; the shuffle "
+    "carries 10 bin counts.  Bin membership uses the HOF count-of-"
+    "edges-below trick — identical expression in both engines, no "
+    "searchsorted UDF.",
+)
+def qd13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    ref = o.filter(F.col("yr") <= 1997)
+    cur = o.filter(F.col("yr") > 1997)
+    edges = ref.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("e")
+    )
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(edges)).select(
+            F.lit(side).alias("side"),
+            (
+                1
+                + F.size(
+                    F.filter("e", lambda x: F.col("o_totalprice") > x)
+                )
+            ).alias("bin"),
+        )
+
+    counts = (
+        binned(ref, "ref")
+        .unionByName(binned(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
+            F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref") * 1.0 / F.col("t_ref")
+    p_cur = F.col("n_cur") * 1.0 / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -442,3 +442,89 @@ def q83b_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+@register(
+    "q77b_heaps_law",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT u.tok) AS BIGINT) AS n_distinct
+            FROM documents,
+                 UNNEST(string_split(text, ' ')) AS u(tok)
+            GROUP BY source
+        )
+        SELECT source, n_tokens, n_distinct,
+               round(ln(n_distinct) / ln(n_tokens), 6) AS heaps_ratio
+        FROM per_source
+    """,
+    doc="Heaps'-law vocabulary-growth audit: per-source total tokens vs "
+    "distinct tokens and the log-log ratio (V ~ K n^beta → "
+    "ln V / ln n approaches beta for K~1) — the corpus statistic that "
+    "tells you whether a source keeps contributing NEW vocabulary or "
+    "has gone repetitive (crawl loops, boilerplate farms plateau "
+    "hard).  One explode + per-(source, token) partial agg; the "
+    "distinct count shuffles vocabulary-sized pairs, never the "
+    "corpus.  NOTE the DuckDB oracle counts tokens from the SAME "
+    "unnest so sub-token whitespace quirks cancel out exactly.",
+)
+def q77b_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    per_source = toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
+    return per_source.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.log(F.col("n_distinct")) / F.log(F.col("n_tokens")), 6).alias(
+            "heaps_ratio"
+        ),
+    )
+
+
+@register(
+    "q77c_zipf_fit",
+    oracle="""
+        WITH freq AS (
+            SELECT u.tok, count(*) AS f
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+            GROUP BY u.tok
+        ),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r
+            FROM freq
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+               round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+               round(regr_r2(ln(f), ln(r)), 4) AS fit_r2
+        FROM ranked
+    """,
+    doc="Zipf's-law fit over the corpus token-frequency spectrum: rank "
+    "tokens by frequency (deterministic tiebreak on the token), then "
+    "closed-form OLS of ln(freq) on ln(rank) via the regr_* aggregate "
+    "family — slope near -1 is the natural-language signature; "
+    "synthetic or template-generated text shows up as a flat or "
+    "kinked spectrum, making this a generated-content screen.  The "
+    "rank window runs over the VOCABULARY (types, not tokens), so the "
+    "sort is vocabulary-sized; regr_slope/regr_r2 are single-pass "
+    "mergeable aggregates — hash-stable cross-engine (q20c "
+    "established the regr_* parity pattern).",
+)
+def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    w = W.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.expr("regr_slope(ln(f), ln(r))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f), ln(r))"), 4).alias("fit_r2"),
+    )

@@ -21,6 +21,11 @@ SCALE_SENSITIVE = [
     "q71_dedup_keep_first",
     "qc11_incremental_dedup",
     "q74_jaccard_pairs",
+    # qc14 drops chunks only under real duplicate pressure (sf0.1 plants
+    # ~38k near-dup pairs; sf0.01 has almost none), and qc16 only hits
+    # canaries where planted copies exist — re-pin both at bench scale.
+    "qc14_paragraph_dedup",
+    "qc16_canary_substring_scan",
 ]
 
 TABLES = (
