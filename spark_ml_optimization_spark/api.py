@@ -484,3 +484,92 @@ def salted_join(
         how,
     )
     return joined.drop(salt)
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """Corpus-level paragraph/chunk dedup with reassembly (RefinedWeb
+    repetition removal): split each doc into ``width``-word units, drop
+    every unit whose exact text already appeared earlier in the corpus
+    (first occurrence by (id, idx) survives), and summarize per doc:
+    total/kept/dropped unit counts + md5 of the reassembled text.
+
+    Scale shape: the survivor window partitions on md5(unit) — 16-byte
+    digests shuffle, unit bodies never do; reassembly groups by id with
+    sort_array over collected (idx, unit) structs."""
+    sized = (
+        df.select(F.col(id_col).alias("__id"), F.split(text_col, " ").alias("__w"))
+        .withColumn("__n", F.size("__w"))
+        .where(F.col("__n") >= 1)
+        .withColumn(
+            "__n_chunks", F.expr(f"(__n + {width - 1}) div {width}").cast("long")
+        )
+    )
+    start = F.col("idx") * width + 1
+    chunks = sized.select(
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("idx"),
+        "__w",
+    ).select(
+        "__id",
+        "idx",
+        F.array_join(F.slice("__w", start, F.lit(width)), " ").alias("chunk"),
+    )
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(F.md5("chunk")).orderBy("__id", "idx")),
+    )
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+    )
+    return (
+        sized.select("__id", "__n_chunks")
+        .join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n_chunks").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("digest", F.md5(F.lit(""))).alias("digest"),
+        )
+    )
+
+
+def gopher_signals(
+    df: DataFrame,
+    text_col: str,
+    stopwords: Sequence[str] = ("the", "a", "of", "and", "to"),
+) -> DataFrame:
+    """Append Gopher-style quality signals (Rae et al. 2021 §A1.1) as
+    columns: n_words, raw mean word length / symbol-word fraction (as
+    ``__mwl`` / ``__sym`` for threshold gates), and stop-word hits.
+    Pure map-side HOF expressions — zero shuffles at any scale."""
+    w = F.split(text_col, " ")
+    n_words = F.size(w).cast("long")
+    n_letters = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("long")
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("__mwl", n_letters * 1.0 / n_words)
+        .withColumn(
+            "__sym",
+            F.size(F.filter(w, lambda x: x.rlike("[^a-z]"))) * 1.0 / n_words,
+        )
+        .withColumn(
+            "n_stop",
+            F.size(F.filter(w, lambda x: x.isin(*stopwords))).cast("long"),
+        )
+    )

@@ -682,55 +682,7 @@ _PARA_W = 16
 )
 def qc14_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sized = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .withColumn("n", F.size("w"))
-        .where(F.col("n") >= 1)
-        .withColumn("n_chunks", F.expr(f"(n + {_PARA_W - 1}) div {_PARA_W}").cast("long"))
-    )
-    start = F.col("idx") * _PARA_W + 1
-    chunks = sized.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("idx"),
-        "w",
-    ).select(
-        "doc_id",
-        "idx",
-        F.array_join(F.slice("w", start, F.lit(_PARA_W)), " ").alias("chunk"),
-    )
-    from pyspark.sql import Window as W
-
-    ranked = chunks.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")),
-    )
-    kept = (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                )
-            ).alias("digest"),
-        )
-    )
-    return (
-        sized.select("doc_id", "n_chunks")
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
-            F.coalesce("digest", F.md5(F.lit(""))).alias("digest"),
-        )
-    )
+    return api.paragraph_dedup(d, "doc_id", "text", width=_PARA_W)
 
 
 @register(
@@ -775,40 +727,20 @@ def qc14_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wire.",
 )
 def qc15_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        "lang",
-        F.split("text", " ").alias("w"),
-        F.size(F.split("text", " ")).cast("long").alias("n_words"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
-            "n_letters"
-        ),
-    )
-    scored = sig.select(
-        "doc_id",
-        "lang",
-        "n_words",
-        (F.col("n_letters") * 1.0 / F.col("n_words")).alias("mwl"),
-        (
-            F.size(F.filter("w", lambda x: x.rlike("[^a-z]"))) * 1.0 / F.col("n_words")
-        ).alias("sym"),
-        F.size(
-            F.filter("w", lambda x: x.isin("the", "a", "of", "and", "to"))
-        ).cast("long").alias("n_stop"),
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = api.gopher_signals(d, "text")
     gate = (
         F.col("n_words").between(20, 10000)
-        & F.col("mwl").between(3, 10)
-        & (F.col("sym") <= 0.1)
+        & F.col("__mwl").between(3, 10)
+        & (F.col("__sym") <= 0.1)
         & (F.col("n_stop") >= 1)
     )
     return scored.select(
         "doc_id",
         "lang",
         "n_words",
-        F.round("mwl", 4).alias("mean_word_len"),
-        F.round("sym", 4).alias("symbol_frac"),
+        F.round("__mwl", 4).alias("mean_word_len"),
+        F.round("__sym", 4).alias("symbol_frac"),
         "n_stop",
         gate.cast("int").alias("passes"),
     )
