@@ -1,0 +1,72 @@
+"""Registry-wide scale-killer sweep: build (never execute) the physical
+plan of every lazily-constructible registered query and assert the two
+anti-patterns that silently survive value checks at fixture scale but
+kill a 100 TB run:
+
+1. CartesianProduct — quadratic row blowup.  Allowed only in the two
+   deliberate theta/cross demos whose docstrings scope them to bounded
+   inputs.
+2. BatchEvalPython — row-at-a-time Python UDF on a data path (the
+   ~100x-slower-than-codegen path).  Allowed only in q99, the
+   deliberate registered-UDF surface demo.  ArrowEvalPython /
+   MapInPandas / MapInArrow (vectorized Python) are fine — they are the
+   sanctioned escape hatch.
+
+Queries whose CONSTRUCTION executes Spark jobs (streaming twins,
+MLlib fits, iterative algorithms, scratch-dir materializers) are
+skipped by prefix/name — their plan shapes are pinned individually in
+test_plans.py or covered by their own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ml_optimization_spark.plans import explain_formatted
+from spark_ml_optimization_spark.registry import all_queries
+
+from .conftest import SF_CORRECT
+
+#: construction runs real Spark jobs (fit/stream/materialize/iterate)
+_EAGER_PREFIXES = ("st", "src", "ml0", "ml1", "qc13", "qc18")
+_EAGER_NAMES = {
+    "q72_minhash_lsh_neardup",  # MLlib MinHashLSH fit
+    "q87_ann_lsh",  # BucketedRandomProjectionLSH fit
+    "q90_kmeans_clusters",  # KMeans fit
+    "q92_ann_ivf",  # KMeans coarse quantizer fit
+    "q92b_ann_pq",  # per-subspace codebook fits
+    "q74b_dup_components",  # iterative connected components
+    "q84_pagerank",  # iterative power method
+    "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
+}
+
+_CARTESIAN_OK = {"q16_theta_self_join", "q17_cross_join"}
+_ROW_PYTHON_OK = {"q99_registered_sql_udf"}
+
+_SWEEP = sorted(
+    n
+    for n in all_queries()
+    if not n.startswith(_EAGER_PREFIXES) and n not in _EAGER_NAMES
+)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_scale_killers_in_plan(spark, name):
+    df = all_queries()[name].fn(spark, SF_CORRECT)
+    plan = explain_formatted(df)
+    if name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _ROW_PYTHON_OK:
+        # BatchEvalPythonUDTF is the UDTF surface (q98/q98b) — table
+        # functions have no vectorized alternative; only the SCALAR
+        # row-at-a-time node is the anti-pattern.
+        scalar_plan = plan.replace("BatchEvalPythonUDTF", "")
+        assert "BatchEvalPython" not in scalar_plan, (
+            f"{name}: row-at-a-time Python UDF"
+        )
+
+
+def test_sweep_covers_most_of_registry():
+    """The skip lists must stay exceptions, not become the rule."""
+    total = len(all_queries())
+    assert len(_SWEEP) >= total * 0.7, (len(_SWEEP), total)
