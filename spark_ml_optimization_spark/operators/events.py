@@ -643,3 +643,58 @@ def q67b_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wnorm), 4
         ).alias("p_next_given_prev"),
     )
+
+
+@register(
+    "q67c_path_pattern_match",
+    oracle="""
+        WITH paths AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(regexp_matches(path, 'signup(>\\w+)*>purchase') AS INT)
+                   AS converted,
+               CAST(regexp_matches(path, 'error>error') AS INT)
+                   AS double_error
+        FROM paths
+    """,
+    doc="Event-path PATTERN MATCHING (the poor man's MATCH_RECOGNIZE): "
+    "each user's journey collapses to one ordered path string — "
+    "collect_list(struct(ts, event_id, type)) → array_sort → join — "
+    "and regexes classify journeys (signup eventually followed by "
+    "purchase; an immediate error>error repeat).  The (ts, event_id) "
+    "tiebreak keeps same-timestamp ordering engine-stable (q67b's "
+    "rule).  One user-keyed shuffle; path strings are bounded by "
+    "per-user event counts, and the regex runs map-side AFTER the "
+    "reduction — pattern count scales per-row cost, never shuffles.  "
+    "Complements q67 (timestamp funnel) with ORDER-sensitive "
+    "adjacency patterns a join-based funnel can't express.",
+)
+def q67c_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+    return paths.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("path").rlike(r"signup(>\w+)*>purchase").cast("int").alias("converted"),
+        F.col("path").rlike("error>error").cast("int").alias("double_error"),
+    )
