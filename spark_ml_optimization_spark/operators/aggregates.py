@@ -526,10 +526,48 @@ def q26b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with an explicit value list; the column set is the right-hand "
     "domain so it must be LOW-cardinality (enum-like) — at 100 TB the "
     "shuffle carries |left|x|right| partial counts, nothing row-"
-    "scaled.  The first column is renamed to a plain name for the "
-    "wire; column order is value-sorted by the driver's compare.",
+    "scaled.  NOTE: stat.crosstab MATERIALIZES the (tiny) cell grid "
+    "driver-side at call time — bounded by the category product, never "
+    "row count; the oracle's CASE-sum pivot is the fully-lazy "
+    "relational twin when laziness matters.  The first column is "
+    "renamed to a plain name for the wire; column order is value-"
+    "sorted by the driver's compare.",
 )
 def q20d_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ct = li.stat.crosstab("l_returnflag", "l_linestatus")
     return ct.withColumnRenamed("l_returnflag_l_linestatus", "flag")
+
+
+@register(
+    "q21c_boolean_aggs",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+                   AS n_high_discount,
+               CAST(bool_and(l_quantity > 0) AS INT) AS all_positive_qty,
+               CAST(bool_or(l_tax > 0.07) AS INT) AS any_high_tax,
+               round(median(l_extendedprice), 3) AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Boolean / conditional aggregate family: count_if, every "
+    "(bool_and), any (bool_or), and the median() shorthand (Spark "
+    "3.4+) — the predicates-as-aggregates vocabulary that replaces "
+    "self-joins for existence questions.  All are single-pass "
+    "mergeable aggregates (bool_and/bool_or partial-combine as AND/OR "
+    "monoids; median shares the exact-percentile sort buffer), so the "
+    "plan is the same partial+final hash agg as q01.  Booleans cast to "
+    "INT for the wire (engine-stable hash form); the median rounds to "
+    "3 dp, NOT 2 — even-count medians of 2-dp prices are exact "
+    "half-cent midpoints, so a 2-dp round would sit ON the rounding "
+    "tie boundary every time (observed cross-engine flip at sf0.001).",
+)
+def q21c_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_discount"),
+        F.every(F.col("l_quantity") > 0).cast("int").alias("all_positive_qty"),
+        F.some(F.col("l_tax") > 0.07).cast("int").alias("any_high_tax"),
+        F.round(F.median("l_extendedprice"), 3).alias("median_price"),
+    )
