@@ -37,15 +37,25 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             "l_orderkey", "l_extendedprice", "l_discount"
         )
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        # repartition(8, key) BEFORE bucketBy(8, key): both use the same
+        # murmur3 HashPartitioning, so each write task holds exactly one
+        # bucket → ONE file per bucket.  That is the precondition for
+        # Spark to trust the sortBy metadata at read time
+        # (spark.sql.legacy.bucketedTableScan.outputOrdering=true), which
+        # eliminates the SMJ's Sort nodes too — the join becomes a pure
+        # zipper merge: no shuffle AND no sort on either side
+        # (tests/test_plans.py pins both properties).
         (
-            li.write.mode("overwrite")
+            li.repartition(8, "l_orderkey")
+            .write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")
             .option("path", os.path.join(base, li_tbl))
             .saveAsTable(li_tbl)
         )
         (
-            o.write.mode("overwrite")
+            o.repartition(8, "o_orderkey")
+            .write.mode("overwrite")
             .bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
             .option("path", os.path.join(base, o_tbl))

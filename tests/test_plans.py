@@ -162,19 +162,26 @@ def test_bucketed_join_has_no_shuffle(spark):
     import re
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ord = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # one file per bucket (repartition-before-bucketBy) + this conf lets
+    # Spark trust the sortBy metadata → the SMJ needs no Sort either.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try:
         df = _df(spark, "src04_bucketed_join")
         plan = explain_formatted(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord)
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     # exactly one shuffle in the operator tree (the post-join aggregation);
-    # none feeding the join.  Inspect the tree section only — node details
-    # repeat the operator names.
+    # none feeding the join — and ZERO sorts: sorted single-file buckets
+    # make the merge join a pure zipper.  Inspect the tree section only —
+    # node details repeat the operator names.
     tree = plan.split("(1) Scan")[0]
     assert len(re.findall(r"\bExchange\b", tree)) == 1
+    assert len(re.findall(r"\bSort\b", tree.replace("SortMergeJoin", ""))) == 0
 
 
 def test_dynamic_partition_pruning_fires(spark):
