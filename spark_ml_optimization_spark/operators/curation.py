@@ -914,3 +914,74 @@ _registry_mod._REGISTRY["qc18_small_file_compaction"] = _registry_mod.Query(
     oracle=qc18_oracle_for("/root/testdata/sf0.01"),
     doc=_registry_mod._REGISTRY["qc18_small_file_compaction"].doc,
 )
+
+
+#: Global token budget for the mixture-allocation demo (fixture-scaled;
+#: production uses the run's actual token target — a literal either way).
+_MIX_BUDGET = 20000
+
+#: Target mixture weights by language (must sum to 1; unlisted langs
+#: get 0 and fall out of the allocation).
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
+
+
+@register(
+    "qc19_mixture_waterfill",
+    oracle=f"""
+        WITH weights(lang, w) AS (
+            VALUES ('en', 0.5), ('zh', 0.2), ('es', 0.15),
+                   ('fr', 0.1), ('de', 0.05)
+        ),
+        avail AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS avail_tokens
+            FROM documents GROUP BY lang
+        ),
+        alloc AS (
+            SELECT a.lang, a.n_docs, a.avail_tokens, w.w,
+                   CAST(floor(w.w * {_MIX_BUDGET}) AS BIGINT) AS target_tokens
+            FROM avail a JOIN weights w USING (lang)
+        )
+        SELECT lang, n_docs, avail_tokens, target_tokens,
+               least(avail_tokens, target_tokens) AS allocated_tokens,
+               CAST(avail_tokens < target_tokens AS INT) AS starved,
+               round(least(avail_tokens, target_tokens) * 1.0
+                     / avail_tokens, 4) AS sample_rate
+        FROM alloc
+    """,
+    doc=f"Data-mixture budget allocation (the planning step ahead of "
+    "qc09's quota sampling): per-language available tokens vs the "
+    f"target share of a {_MIX_BUDGET}-token budget — allocation = "
+    "min(available, floor(weight*budget)), with a `starved` flag where "
+    "the corpus can't fill its share (the signal to re-weight or "
+    "up-sample) and the resulting per-lang sampling rate.  The weight "
+    "table is a literal VALUES relation (broadcast by construction); "
+    "the corpus side is one scan + lang-keyed agg, so planning a "
+    "100 TB mixture costs one pass over token COUNTS.  Downstream, "
+    "qc03's hash-bucket sampler consumes sample_rate per lang.",
+)
+def qc19_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
+    )
+    weights = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    alloc = avail.withColumn("w", weights[F.col("lang")]).where(
+        F.col("w").isNotNull()
+    ).withColumn(
+        "target_tokens", F.floor(F.col("w") * _MIX_BUDGET).cast("long")
+    )
+    allocated = F.least("avail_tokens", "target_tokens")
+    return alloc.select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        "target_tokens",
+        allocated.alias("allocated_tokens"),
+        (F.col("avail_tokens") < F.col("target_tokens")).cast("int").alias("starved"),
+        F.round(allocated * 1.0 / F.col("avail_tokens"), 4).alias("sample_rate"),
+    )

@@ -878,3 +878,94 @@ def qd13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "qd14_ks_drift",
+    oracle="""
+        WITH labeled AS (
+            SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END
+                       AS side,
+                   o_totalprice AS v
+            FROM orders
+        ),
+        edges AS (
+            SELECT quantile_cont(v, [
+                0.01,0.02,0.03,0.04,0.05,0.06,0.07,0.08,0.09,0.10,
+                0.15,0.20,0.25,0.30,0.35,0.40,0.45,0.50,0.55,0.60,
+                0.65,0.70,0.75,0.80,0.85,0.90,0.91,0.92,0.93,0.94,
+                0.95,0.96,0.97,0.98,0.99]) AS e
+            FROM labeled
+        ),
+        binned AS (
+            SELECT side,
+                   len(list_filter((SELECT e FROM edges), x -> v > x)) AS bin
+            FROM labeled
+        ),
+        counts AS (
+            SELECT bin,
+                   count(CASE WHEN side = 'ref' THEN 1 END) AS n_ref,
+                   count(CASE WHEN side = 'cur' THEN 1 END) AS n_cur
+            FROM binned GROUP BY bin
+        ),
+        cdf AS (
+            SELECT bin,
+                   sum(n_ref) OVER (ORDER BY bin) * 1.0
+                       / (SELECT sum(n_ref) FROM counts) AS cdf_ref,
+                   sum(n_cur) OVER (ORDER BY bin) * 1.0
+                       / (SELECT sum(n_cur) FROM counts) AS cdf_cur
+            FROM counts
+        )
+        SELECT CAST((SELECT sum(n_ref) FROM counts) AS BIGINT) AS n_ref,
+               CAST((SELECT sum(n_cur) FROM counts) AS BIGINT) AS n_cur,
+               round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_stat
+        FROM cdf
+    """,
+    doc="Kolmogorov-Smirnov drift statistic on a quantile grid: both "
+    "slices' empirical CDFs are evaluated at 35 combined-distribution "
+    "percentile edges (denser in the tails) and KS = max |CDF_ref - "
+    "CDF_cur| over the grid — the scale-sane KS: the textbook statistic "
+    "needs a GLOBAL sort of all values (single-reducer at 100 TB), "
+    "while the grid form is one percentile pass (approx_percentile at "
+    "scale) + one map-side HOF binning scan + a 36-row window.  "
+    "Complements qd13's PSI (which weights by probability mass; KS "
+    "catches location shifts PSI's coarse bins can smear).  All "
+    "arithmetic is integer-count ratios computed identically in both "
+    "engines; max() is order-insensitive, so no summation caveat.",
+)
+def qd14_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    _PS = (
+        [x / 100.0 for x in range(1, 11)]
+        + [x / 100.0 for x in range(15, 91, 5)]
+        + [x / 100.0 for x in range(91, 100)]
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.year("o_orderdate") <= 1997, "ref").otherwise("cur").alias("side"),
+        F.col("o_totalprice").alias("v"),
+    )
+    edges = o.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in _PS])).alias("e")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "side", F.size(F.filter("e", lambda x: F.col("v") > x)).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        "t_ref",
+        "t_cur",
+        (F.sum("n_ref").over(W.orderBy("bin")) * 1.0 / F.col("t_ref")).alias("cdf_ref"),
+        (F.sum("n_cur").over(W.orderBy("bin")) * 1.0 / F.col("t_cur")).alias("cdf_cur"),
+    )
+    return cdf.agg(
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
+        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks_stat"),
+    )
