@@ -512,3 +512,33 @@ def q50c_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "q57b_explode_outer",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) >= 40
+                        THEN string_split(text, ' ')[1:3]
+                        ELSE [] END AS toks
+            FROM documents
+        )
+        SELECT doc_id, u.tok
+        FROM g LEFT JOIN LATERAL UNNEST(g.toks) AS u(tok) ON true
+    """,
+    doc="explode_outer null semantics: rows whose generator input is "
+    "EMPTY survive with a NULL element instead of vanishing — the "
+    "difference between an inner and outer lateral.  Short docs (< 40 "
+    "tokens) get an empty token slice here; plain explode() would "
+    "silently drop those documents from any per-token pipeline, the "
+    "classic row-loss bug in chunking/shingling flows (a doc with no "
+    "chunks must still be accounted for downstream).  Oracle: DuckDB "
+    "LEFT JOIN LATERAL UNNEST.  Map-side generator, zero shuffles.",
+)
+def q57b_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.size(F.split("text", " ")) >= 40, F.slice(F.split("text", " "), 1, 3)
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
