@@ -918,11 +918,11 @@ _registry_mod._REGISTRY["qc18_small_file_compaction"] = _registry_mod.Query(
 
 #: Global token budget for the mixture-allocation demo (fixture-scaled;
 #: production uses the run's actual token target — a literal either way).
-_MIX_BUDGET = 20000
+_WATERFILL_BUDGET = 20000
 
 #: Target mixture weights by language (must sum to 1; unlisted langs
 #: get 0 and fall out of the allocation).
-_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
+_WATERFILL_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
 
 
 @register(
@@ -940,7 +940,7 @@ _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
         ),
         alloc AS (
             SELECT a.lang, a.n_docs, a.avail_tokens, w.w,
-                   CAST(floor(w.w * {_MIX_BUDGET}) AS BIGINT) AS target_tokens
+                   CAST(floor(w.w * {_WATERFILL_BUDGET}) AS BIGINT) AS target_tokens
             FROM avail a JOIN weights w USING (lang)
         )
         SELECT lang, n_docs, avail_tokens, target_tokens,
@@ -952,7 +952,7 @@ _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "fr": 0.1, "de": 0.05}
     """,
     doc=f"Data-mixture budget allocation (the planning step ahead of "
     "qc09's quota sampling): per-language available tokens vs the "
-    f"target share of a {_MIX_BUDGET}-token budget — allocation = "
+    f"target share of a {_WATERFILL_BUDGET}-token budget — allocation = "
     "min(available, floor(weight*budget)), with a `starved` flag where "
     "the corpus can't fill its share (the signal to re-weight or "
     "up-sample) and the resulting per-lang sampling rate.  The weight "
@@ -968,12 +968,12 @@ def qc19_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
     )
     weights = F.create_map(
-        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+        *[F.lit(x) for kv in _WATERFILL_WEIGHTS.items() for x in kv]
     )
     alloc = avail.withColumn("w", weights[F.col("lang")]).where(
         F.col("w").isNotNull()
     ).withColumn(
-        "target_tokens", F.floor(F.col("w") * _MIX_BUDGET).cast("long")
+        "target_tokens", F.floor(F.col("w") * _WATERFILL_BUDGET).cast("long")
     )
     allocated = F.least("avail_tokens", "target_tokens")
     return alloc.select(
