@@ -170,12 +170,45 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "q73_simhash",
-    oracle=None,  # 64-bit bit-twiddling isn't ANSI-SQL-expressible;
-    # determinism is unit-tested instead.
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, u.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        ),
+        vals AS (
+            SELECT doc_id, (CAST((strpos('0123456789abcdef', substr(h16, 1, 1)) - 1) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 2, 1)) - 1) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 3, 1)) - 1) AS HUGEINT) * CAST(4503599627370496 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 4, 1)) - 1) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 5, 1)) - 1) AS HUGEINT) * CAST(17592186044416 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 6, 1)) - 1) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 7, 1)) - 1) AS HUGEINT) * CAST(68719476736 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 8, 1)) - 1) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 9, 1)) - 1) AS HUGEINT) * CAST(268435456 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 10, 1)) - 1) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 11, 1)) - 1) AS HUGEINT) * CAST(1048576 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 12, 1)) - 1) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 13, 1)) - 1) AS HUGEINT) * CAST(4096 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 14, 1)) - 1) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 15, 1)) - 1) AS HUGEINT) * CAST(16 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 16, 1)) - 1) AS HUGEINT) * CAST(1 AS HUGEINT)) AS h
+            FROM (SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM toks)
+        ),
+        bitpos AS (
+            SELECT unnest(generate_series(0, 63)) AS k, unnest([CAST(1 AS HUGEINT), CAST(2 AS HUGEINT), CAST(4 AS HUGEINT), CAST(8 AS HUGEINT), CAST(16 AS HUGEINT), CAST(32 AS HUGEINT), CAST(64 AS HUGEINT), CAST(128 AS HUGEINT), CAST(256 AS HUGEINT), CAST(512 AS HUGEINT), CAST(1024 AS HUGEINT), CAST(2048 AS HUGEINT), CAST(4096 AS HUGEINT), CAST(8192 AS HUGEINT), CAST(16384 AS HUGEINT), CAST(32768 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(131072 AS HUGEINT), CAST(262144 AS HUGEINT), CAST(524288 AS HUGEINT), CAST(1048576 AS HUGEINT), CAST(2097152 AS HUGEINT), CAST(4194304 AS HUGEINT), CAST(8388608 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(33554432 AS HUGEINT), CAST(67108864 AS HUGEINT), CAST(134217728 AS HUGEINT), CAST(268435456 AS HUGEINT), CAST(536870912 AS HUGEINT), CAST(1073741824 AS HUGEINT), CAST(2147483648 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(8589934592 AS HUGEINT), CAST(17179869184 AS HUGEINT), CAST(34359738368 AS HUGEINT), CAST(68719476736 AS HUGEINT), CAST(137438953472 AS HUGEINT), CAST(274877906944 AS HUGEINT), CAST(549755813888 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(2199023255552 AS HUGEINT), CAST(4398046511104 AS HUGEINT), CAST(8796093022208 AS HUGEINT), CAST(17592186044416 AS HUGEINT), CAST(35184372088832 AS HUGEINT), CAST(70368744177664 AS HUGEINT), CAST(140737488355328 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(562949953421312 AS HUGEINT), CAST(1125899906842624 AS HUGEINT), CAST(2251799813685248 AS HUGEINT), CAST(4503599627370496 AS HUGEINT), CAST(9007199254740992 AS HUGEINT), CAST(18014398509481984 AS HUGEINT), CAST(36028797018963968 AS HUGEINT), CAST(72057594037927936 AS HUGEINT), CAST(144115188075855872 AS HUGEINT), CAST(288230376151711744 AS HUGEINT), CAST(576460752303423488 AS HUGEINT), CAST(1152921504606846976 AS HUGEINT), CAST(2305843009213693952 AS HUGEINT), CAST(4611686018427387904 AS HUGEINT), CAST(9223372036854775808 AS HUGEINT)]) AS w
+        ),
+        votes AS (
+            SELECT v.doc_id, b.w,
+                   CAST(sum(CAST((v.h // b.w) % 2 AS INT)) AS HUGEINT) AS cnt,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM vals v CROSS JOIN bitpos b
+            GROUP BY v.doc_id, b.w
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2 * cnt - n > 0 THEN w
+                            ELSE CAST(0 AS HUGEINT) END) AS s
+            FROM votes GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN s - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE s END AS BIGINT) AS simhash
+        FROM sig
+    """,
     doc="SimHash signatures (64-bit, md5 token hashes, bitwise majority) "
     "via mapInPandas — one Arrow-batched pass, one signature per doc; "
     "near-dups then bucket by signature bands instead of pairwise "
-    "comparison.",
+    "comparison.  HASH-VERIFIED bit-for-bit against a pure-SQL oracle "
+    "that re-derives every signature relationally: unrolled hex->HUGEINT "
+    "md5 parsing, positional bit weights, per-bit majority votes, "
+    "two's-complement fold back to BIGINT — proving the Python kernel "
+    "computes exactly the declared function, sign bit included.",
 )
 def q73_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
@@ -623,8 +656,39 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q73b_simhash_arrow",
-    oracle=None,  # same signatures as q73; cross-kernel equality is
-    # pinned in tests/test_dedup_groundtruth.py.
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, u.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+        ),
+        vals AS (
+            SELECT doc_id, (CAST((strpos('0123456789abcdef', substr(h16, 1, 1)) - 1) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 2, 1)) - 1) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 3, 1)) - 1) AS HUGEINT) * CAST(4503599627370496 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 4, 1)) - 1) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 5, 1)) - 1) AS HUGEINT) * CAST(17592186044416 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 6, 1)) - 1) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 7, 1)) - 1) AS HUGEINT) * CAST(68719476736 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 8, 1)) - 1) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 9, 1)) - 1) AS HUGEINT) * CAST(268435456 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 10, 1)) - 1) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 11, 1)) - 1) AS HUGEINT) * CAST(1048576 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 12, 1)) - 1) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 13, 1)) - 1) AS HUGEINT) * CAST(4096 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 14, 1)) - 1) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 15, 1)) - 1) AS HUGEINT) * CAST(16 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 16, 1)) - 1) AS HUGEINT) * CAST(1 AS HUGEINT)) AS h
+            FROM (SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM toks)
+        ),
+        bitpos AS (
+            SELECT unnest(generate_series(0, 63)) AS k, unnest([CAST(1 AS HUGEINT), CAST(2 AS HUGEINT), CAST(4 AS HUGEINT), CAST(8 AS HUGEINT), CAST(16 AS HUGEINT), CAST(32 AS HUGEINT), CAST(64 AS HUGEINT), CAST(128 AS HUGEINT), CAST(256 AS HUGEINT), CAST(512 AS HUGEINT), CAST(1024 AS HUGEINT), CAST(2048 AS HUGEINT), CAST(4096 AS HUGEINT), CAST(8192 AS HUGEINT), CAST(16384 AS HUGEINT), CAST(32768 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(131072 AS HUGEINT), CAST(262144 AS HUGEINT), CAST(524288 AS HUGEINT), CAST(1048576 AS HUGEINT), CAST(2097152 AS HUGEINT), CAST(4194304 AS HUGEINT), CAST(8388608 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(33554432 AS HUGEINT), CAST(67108864 AS HUGEINT), CAST(134217728 AS HUGEINT), CAST(268435456 AS HUGEINT), CAST(536870912 AS HUGEINT), CAST(1073741824 AS HUGEINT), CAST(2147483648 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(8589934592 AS HUGEINT), CAST(17179869184 AS HUGEINT), CAST(34359738368 AS HUGEINT), CAST(68719476736 AS HUGEINT), CAST(137438953472 AS HUGEINT), CAST(274877906944 AS HUGEINT), CAST(549755813888 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(2199023255552 AS HUGEINT), CAST(4398046511104 AS HUGEINT), CAST(8796093022208 AS HUGEINT), CAST(17592186044416 AS HUGEINT), CAST(35184372088832 AS HUGEINT), CAST(70368744177664 AS HUGEINT), CAST(140737488355328 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(562949953421312 AS HUGEINT), CAST(1125899906842624 AS HUGEINT), CAST(2251799813685248 AS HUGEINT), CAST(4503599627370496 AS HUGEINT), CAST(9007199254740992 AS HUGEINT), CAST(18014398509481984 AS HUGEINT), CAST(36028797018963968 AS HUGEINT), CAST(72057594037927936 AS HUGEINT), CAST(144115188075855872 AS HUGEINT), CAST(288230376151711744 AS HUGEINT), CAST(576460752303423488 AS HUGEINT), CAST(1152921504606846976 AS HUGEINT), CAST(2305843009213693952 AS HUGEINT), CAST(4611686018427387904 AS HUGEINT), CAST(9223372036854775808 AS HUGEINT)]) AS w
+        ),
+        votes AS (
+            SELECT v.doc_id, b.w,
+                   CAST(sum(CAST((v.h // b.w) % 2 AS INT)) AS HUGEINT) AS cnt,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM vals v CROSS JOIN bitpos b
+            GROUP BY v.doc_id, b.w
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2 * cnt - n > 0 THEN w
+                            ELSE CAST(0 AS HUGEINT) END) AS s
+            FROM votes GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN s - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE s END AS BIGINT) AS simhash
+        FROM sig
+    """,  # q73's relational signature oracle (identical
+    # output contract); cross-kernel equality is additionally pinned in
+    # tests/test_dedup_groundtruth.py.
     doc="SimHash via mapInArrow — the zero-copy twin of q73's "
     "mapInPandas: the kernel consumes pyarrow.RecordBatch directly "
     "(no pandas Series materialization per column), emitting one "
