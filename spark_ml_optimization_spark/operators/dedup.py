@@ -737,3 +737,131 @@ def q73b_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
     return d.mapInArrow(arrow_kernel, schema="doc_id long, simhash long")
+
+
+#: Portable-MinHash parameters (q72c): md5-hex min-hashes so the WHOLE
+#: LSH pipeline is reproducible in any engine (fixed-width lowercase hex
+#: compares lexicographically == numerically — no integer parsing).
+_PMH_N = 16
+_PMH_BANDS = 4
+_PMH_R = 4
+
+
+@register(
+    "q72c_minhash_portable",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   min(substr(md5(s || '#0'), 1, 16)) AS h0,
+                   min(substr(md5(s || '#1'), 1, 16)) AS h1,
+                   min(substr(md5(s || '#2'), 1, 16)) AS h2,
+                   min(substr(md5(s || '#3'), 1, 16)) AS h3,
+                   min(substr(md5(s || '#4'), 1, 16)) AS h4,
+                   min(substr(md5(s || '#5'), 1, 16)) AS h5,
+                   min(substr(md5(s || '#6'), 1, 16)) AS h6,
+                   min(substr(md5(s || '#7'), 1, 16)) AS h7,
+                   min(substr(md5(s || '#8'), 1, 16)) AS h8,
+                   min(substr(md5(s || '#9'), 1, 16)) AS h9,
+                   min(substr(md5(s || '#10'), 1, 16)) AS h10,
+                   min(substr(md5(s || '#11'), 1, 16)) AS h11,
+                   min(substr(md5(s || '#12'), 1, 16)) AS h12,
+                   min(substr(md5(s || '#13'), 1, 16)) AS h13,
+                   min(substr(md5(s || '#14'), 1, 16)) AS h14,
+                   min(substr(md5(s || '#15'), 1, 16)) AS h15
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 3 AS band, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) AS band_sig FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END) + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END) + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END) + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+    """,
+    doc="Banded MinHash-LSH near-dup pairs with a PORTABLE hash family: "
+    "h_i(shingle) = first 16 hex chars of md5(shingle || '#i'), min'd "
+    "as a STRING (fixed-width lowercase hex orders lexicographically "
+    "exactly like the underlying 64-bit integer — no conv/parse step), "
+    "band signatures = md5 of the 4 concatenated mins, candidates from "
+    "the (band, band_sig) self-join, est-Jaccard from signature "
+    "agreement >= 0.5.  Unlike q72b's xxhash64 (Spark-internal, fast "
+    "path), every step here reproduces bit-for-bit in DuckDB — the "
+    "full LSH pipeline is hash-VERIFIED end to end, not just "
+    "recall-tested (tests/test_scale_parity.py pins it at sf0.1 where "
+    "~38k planted near-dup pairs make the result non-trivial).  Same "
+    "O(n·bands) candidate complexity as q72b; md5 costs more per "
+    "shingle than xxhash64, which is why production keeps the fast "
+    "family and audits with this one.",
+)
+def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 16)
+            ).alias(f"h{i}")
+            for i in range(_PMH_N)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * _PMH_R + r}") for r in range(_PMH_R)])
+            ).alias("band_sig"),
+        )
+        for b in range(_PMH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(_PMH_N)],
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(_PMH_N)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_sig").alias("band_sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    eq = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (eq / float(_PMH_N)).alias("est"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est") >= 0.5)
+        .select("doc_a", "doc_b", F.round("est", 4).alias("est_jaccard"))
+    )

@@ -26,6 +26,9 @@ SCALE_SENSITIVE = [
     # canaries where planted copies exist — re-pin both at bench scale.
     "qc14_paragraph_dedup",
     "qc16_canary_substring_scan",
+    # q72c's LSH pipeline only emits pairs where near-dups exist —
+    # empty at sf0.01; the sf0.1 planted pairs make the hash check real.
+    "q72c_minhash_portable",
 ]
 
 TABLES = (
