@@ -968,3 +968,47 @@ def ml23_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_t"),
         )
     )
+
+
+@register(
+    "ml24_sql_transformer",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(chars_per_token), 4) AS avg_chars_per_token
+        FROM (
+            SELECT lang,
+                   CAST(n_chars AS DOUBLE)
+                       / len(string_split(text, ' ')) AS chars_per_token
+            FROM documents
+        )
+        GROUP BY lang
+    """,
+    doc="SQLTransformer — the MLlib pipeline stage whose transform IS a "
+    "SQL statement over __THIS__: feature engineering declared in SQL "
+    "lives inside a Pipeline next to fitted stages, so the same "
+    "feature text ships with the model (persisted by ml07's machinery "
+    "like any stage) instead of being re-implemented at serving time.  "
+    "Because the stage is pure SQL it stays in whole-stage codegen AND "
+    "is DuckDB-hash-verifiable — unique among MLlib stages.  The "
+    "pipeline here: SQLTransformer(chars-per-token feature) → "
+    "per-language aggregate.",
+)
+def ml24_sql_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import SQLTransformer
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text", "n_chars")
+    st = SQLTransformer(
+        statement=(
+            "SELECT lang, CAST(n_chars AS DOUBLE) / size(split(text, ' ')) "
+            "AS chars_per_token FROM __THIS__"
+        )
+    )
+    return (
+        st.transform(d)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("chars_per_token"), 4).alias("avg_chars_per_token"),
+        )
+    )

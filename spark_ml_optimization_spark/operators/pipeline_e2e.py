@@ -275,3 +275,89 @@ def qp3_cached_stage_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
     )
     return by_flag.unionByName(by_status)
+
+
+@register(
+    "qp4_audit_suite",
+    oracle="""
+        WITH orphans AS (
+            SELECT count(*) FILTER (WHERE NOT EXISTS (
+                       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+                   )) AS v
+            FROM lineitem l
+        ),
+        temporal AS (
+            SELECT count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        dup_keys AS (
+            SELECT count(*) - count(DISTINCT o_orderkey) AS v FROM orders
+        ),
+        null_prices AS (
+            SELECT count(*) FILTER (WHERE o_totalprice IS NULL) AS v FROM orders
+        )
+        SELECT 'fk_orphans' AS check_name,
+               CAST(v AS BIGINT) AS value, 0 AS threshold,
+               CAST(v > 0 AS INT) AS breach
+        FROM orphans
+        UNION ALL
+        SELECT 'ship_before_order', CAST(v AS BIGINT), 0, CAST(v > 0 AS INT)
+        FROM temporal
+        UNION ALL
+        SELECT 'duplicate_order_keys', CAST(v AS BIGINT), 0, CAST(v > 0 AS INT)
+        FROM dup_keys
+        UNION ALL
+        SELECT 'null_total_prices', CAST(v AS BIGINT), 0, CAST(v > 0 AS INT)
+        FROM null_prices
+    """,
+    doc="One-shot data-quality audit SUITE (the qd-family capstone): "
+    "four canary indicators — FK orphans (lineitem→orders anti-join "
+    "count), temporal rule violations (ship before order), duplicate "
+    "primary keys, null prices — emitted as a uniform (check, value, "
+    "threshold, breach) scorecard, the table an ingest gate alerts "
+    "on.  Each indicator is count-only (orphans/violations are never "
+    "materialized) and the whole card costs two scans of orders and "
+    "two of lineitem; at 100 TB the indicators run as conditional "
+    "aggregates over joins that AQE plans like the qa-family.  "
+    "Thresholds are literal zeros here; production parameterizes them "
+    "per check (q18b's named-arg binding is the surface for that).",
+)
+def qp4_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def card(name: str, value_col, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("check_name"),
+            value_col.cast("long").alias("value"),
+            F.lit(0).alias("threshold"),
+            (value_col > 0).cast("int").alias("breach"),
+        )
+
+    orphans = card(
+        "fk_orphans",
+        F.count("*"),
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    temporal = card(
+        "ship_before_order",
+        F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long")),
+        li.join(o, li.l_orderkey == o.o_orderkey),
+    )
+    dup_keys = card(
+        "duplicate_order_keys",
+        F.count("*") - F.count_distinct("o_orderkey"),
+        o,
+    )
+    null_prices = card(
+        "null_total_prices",
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)),
+        o,
+    )
+    return (
+        orphans.unionByName(temporal)
+        .unionByName(dup_keys)
+        .unionByName(null_prices)
+    )
