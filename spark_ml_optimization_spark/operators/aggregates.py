@@ -571,3 +571,36 @@ def q21c_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_tax") > 0.07).cast("int").alias("any_high_tax"),
         F.round(F.median("l_extendedprice"), 3).alias("median_price"),
     )
+
+
+@register(
+    "q21d_exchange_reuse",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l_suppkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n_lines
+        FROM per_supp
+        WHERE n_lines = (SELECT max(n_lines) FROM per_supp)
+    """,
+    doc="Automatic EXCHANGE REUSE: the per-supplier aggregate feeds both "
+    "the result and its own global-max comparison, and Spark plans the "
+    "second consumer as a ReusedExchange over the FIRST aggregation's "
+    "shuffle output — the fact table is scanned and shuffled exactly "
+    "once with no explicit .cache() (tests/test_plans.py pins the "
+    "ReusedExchange node in the AQE final plan).  This is the "
+    "work-sharing that makes max/avg-comparison queries (qa11-style "
+    "HAVING against a global aggregate) cost ONE pass at 100 TB; qp3 "
+    "shows the explicit-cache alternative for when the shared stage "
+    "must outlive one query.",
+)
+def q21d_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(F.count("*").alias("n_lines"))
+    mx = agg.agg(F.max("n_lines").alias("mx"))
+    return (
+        agg.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_lines") == F.col("mx"))
+        .select("l_suppkey", "n_lines")
+    )

@@ -350,3 +350,13 @@ def test_distribute_sort_by_partial_sort_only(spark):
     # Sort node argument triple is [keys], global, offset — global must
     # be false (within-partition sort only).
     assert "ASC NULLS FIRST], false" in plan
+
+
+def test_exchange_reused_across_consumers(spark):
+    """q21d: the global-max branch must read the per-supplier agg's
+    shuffle output as a ReusedExchange (one scan, one shuffle total) —
+    visible in the AQE final plan after execution."""
+    df = _df(spark, "q21d_exchange_reuse")
+    df.collect()
+    plan = explain_formatted(df)
+    assert "ReusedExchange" in plan
