@@ -573,3 +573,98 @@ def gopher_signals(
             F.size(F.filter(w, lambda x: x.isin(*stopwords))).cast("long"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    *,
+    ref_side: str = "ref",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of ``df`` tagged by
+    ``side_col`` (``ref_side`` defines the binning): the reference
+    slice's equi-depth edges bin BOTH slices, and each bin contributes
+    (p_cur - p_ref) * ln(p_cur / p_ref).  Returns one row per bin
+    (per-bin terms localize WHICH part of the distribution moved and
+    avoid cross-engine summation-order concerns; sum ``psi_term`` for
+    the scalar).  One percentile pass on the reference
+    (approx_percentile at 100 TB scale), one map-side HOF binning scan,
+    a bins-sized agg."""
+    ref = df.filter(F.col(side_col) == ref_side)
+    ps = [i / bins for i in range(1, bins)]
+    edges = ref.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in ps])).alias("__e")
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(side_col).alias("__side"),
+        (
+            1 + F.size(F.filter("__e", lambda x: F.col(value_col) > x))
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("__side") == ref_side, 1)).alias("n_ref"),
+        F.count(F.when(F.col("__side") != ref_side, 1)).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
+    p_ref = F.col("n_ref") * 1.0 / F.col("__tr")
+    p_cur = F.col("n_cur") * 1.0 / F.col("__tc")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    *,
+    ref_side: str = "ref",
+    grid: Sequence[float] = (),
+) -> DataFrame:
+    """Grid-evaluated Kolmogorov-Smirnov statistic between the
+    ``ref_side`` slice and everything else: both empirical CDFs are
+    evaluated at combined-distribution percentile edges (default: a
+    35-point tail-dense grid) and KS = max |CDF_ref - CDF_cur|.  The
+    textbook KS needs a global value sort (single-reducer at scale);
+    the grid form costs one percentile pass + one map-side binning
+    scan + a grid-sized window.  Returns one row: n_ref, n_cur,
+    ks_stat."""
+    from pyspark.sql import Window as W
+
+    ps = list(grid) or (
+        [x / 100.0 for x in range(1, 11)]
+        + [x / 100.0 for x in range(15, 91, 5)]
+        + [x / 100.0 for x in range(91, 100)]
+    )
+    edges = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in ps])).alias("__e")
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(side_col).alias("__side"),
+        F.size(F.filter("__e", lambda x: F.col(value_col) > x)).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("__side") == ref_side, 1)).alias("n_ref"),
+        F.count(F.when(F.col("__side") != ref_side, 1)).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        "__tr",
+        "__tc",
+        (F.sum("n_ref").over(W.orderBy("bin")) * 1.0 / F.col("__tr")).alias("__cr"),
+        (F.sum("n_cur").over(W.orderBy("bin")) * 1.0 / F.col("__tc")).alias("__cc"),
+    )
+    return cdf.agg(
+        F.max("__tr").cast("long").alias("n_ref"),
+        F.max("__tc").cast("long").alias("n_cur"),
+        F.round(F.max(F.abs(F.col("__cr") - F.col("__cc"))), 6).alias("ks_stat"),
+    )

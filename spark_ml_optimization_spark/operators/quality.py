@@ -832,52 +832,13 @@ def qd12_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "searchsorted UDF.",
 )
 def qd13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("yr"), "o_totalprice"
-    )
-    ref = o.filter(F.col("yr") <= 1997)
-    cur = o.filter(F.col("yr") > 1997)
-    edges = ref.agg(
-        F.percentile(
-            "o_totalprice",
-            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
-        ).alias("e")
-    )
-    def binned(df: DataFrame, side: str) -> DataFrame:
-        return df.crossJoin(F.broadcast(edges)).select(
-            F.lit(side).alias("side"),
-            (
-                1
-                + F.size(
-                    F.filter("e", lambda x: F.col("o_totalprice") > x)
-                )
-            ).alias("bin"),
-        )
+    from ..api import psi_drift
 
-    counts = (
-        binned(ref, "ref")
-        .unionByName(binned(cur, "cur"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
-            F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
-        )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.year("o_orderdate") <= 1997, "ref").otherwise("cur").alias("side"),
+        "o_totalprice",
     )
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    p_ref = F.col("n_ref") * 1.0 / F.col("t_ref")
-    p_cur = F.col("n_cur") * 1.0 / F.col("t_cur")
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            F.col("n_ref").cast("long").alias("n_ref"),
-            F.col("n_cur").cast("long").alias("n_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
-        )
-        .orderBy("bin")
-    )
+    return psi_drift(o, "o_totalprice", "side")
 
 
 @register(
@@ -934,38 +895,10 @@ def qd13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines; max() is order-insensitive, so no summation caveat.",
 )
 def qd14_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..api import ks_drift
 
-    _PS = (
-        [x / 100.0 for x in range(1, 11)]
-        + [x / 100.0 for x in range(15, 91, 5)]
-        + [x / 100.0 for x in range(91, 100)]
-    )
     o = load_table(spark, sf_dir, "orders").select(
         F.when(F.year("o_orderdate") <= 1997, "ref").otherwise("cur").alias("side"),
         F.col("o_totalprice").alias("v"),
     )
-    edges = o.agg(
-        F.percentile("v", F.array(*[F.lit(p) for p in _PS])).alias("e")
-    )
-    binned = o.crossJoin(F.broadcast(edges)).select(
-        "side", F.size(F.filter("e", lambda x: F.col("v") > x)).alias("bin")
-    )
-    counts = binned.groupBy("bin").agg(
-        F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
-        F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
-    )
-    tot = counts.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    cdf = counts.crossJoin(F.broadcast(tot)).select(
-        "t_ref",
-        "t_cur",
-        (F.sum("n_ref").over(W.orderBy("bin")) * 1.0 / F.col("t_ref")).alias("cdf_ref"),
-        (F.sum("n_cur").over(W.orderBy("bin")) * 1.0 / F.col("t_cur")).alias("cdf_cur"),
-    )
-    return cdf.agg(
-        F.max("t_ref").cast("long").alias("n_ref"),
-        F.max("t_cur").cast("long").alias("n_cur"),
-        F.round(F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))), 6).alias("ks_stat"),
-    )
+    return ks_drift(o, "v", "side")
