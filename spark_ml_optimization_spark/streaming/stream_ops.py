@@ -561,3 +561,146 @@ def st11_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_id").alias("n_distinct_ids"),
         )
     )
+
+
+@register(
+    "st12_stream_drift_monitor",
+    oracle="""
+        WITH ref AS (
+            SELECT value FROM events WHERE event_id % 3 = 0
+        ),
+        edges AS (
+            SELECT quantile_cont(value,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+            FROM ref
+        ),
+        ref_binned AS (
+            SELECT 1 + len(list_filter((SELECT e FROM edges), x -> value > x))
+                       AS bin
+            FROM ref
+        ),
+        ref_counts AS (
+            SELECT bin, count(*) AS n FROM ref_binned GROUP BY bin
+        ),
+        batches AS (
+            SELECT event_id % 3 AS grp, value FROM events WHERE event_id % 3 <> 0
+        ),
+        cur_binned AS (
+            SELECT grp,
+                   1 + len(list_filter((SELECT e FROM edges), x -> value > x))
+                       AS bin
+            FROM batches
+        ),
+        cur_counts AS (
+            SELECT grp, bin, count(*) AS n FROM cur_binned GROUP BY grp, bin
+        ),
+        joined AS (
+            SELECT c.grp,
+                   greatest(c.n * 1.0 / sum(c.n) OVER (PARTITION BY c.grp),
+                            0.000001) AS p_cur,
+                   greatest(r.n * 1.0 / (SELECT count(*) FROM ref),
+                            0.000001) AS p_ref
+            FROM cur_counts c JOIN ref_counts r USING (bin)
+        )
+        SELECT CAST(count(*) OVER () AS BIGINT) AS n_batches,
+               CAST(n_events AS BIGINT) AS n_events,
+               psi_total
+        FROM (
+            SELECT grp,
+                   (SELECT count(*) FROM batches b WHERE b.grp = j.grp) AS n_events,
+                   round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 4) AS psi_total
+            FROM joined j
+            GROUP BY grp
+        ) t
+    """,
+    doc="CONTINUOUS drift monitoring: a real readStream splits the "
+    "non-reference events into two parquet files (event_id mod 3 = "
+    "1 / 2), maxFilesPerTrigger=1 makes each file one micro-batch, and "
+    "foreachBatch computes that batch's PSI against the static "
+    "reference slice's decile edges (the qd13 statistic, streaming) — "
+    "appending one (n_events, psi_total) monitoring row per batch.  "
+    "Batch identity is CONTENT-keyed (its event count), not epoch-"
+    "keyed, so the result is deterministic regardless of trigger "
+    "timing and hash-verifies against a per-group batch oracle.  "
+    "Probabilities clamp at 1e-6 on both engines (empty-bin guard).  "
+    "This is the production shape for data-quality gates on ingest: "
+    "reference edges broadcast once, per-batch cost is one map-side "
+    "binning pass over the batch.",
+)
+def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    base = os.path.join(tempfile.gettempdir(), f"st12_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    sink_dir = os.path.join(base, "sink")
+    os.makedirs(src_dir)
+
+    ev = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "value")
+    ref = ev.filter(F.col("event_id") % 3 == 0)
+    ev.filter(F.col("event_id") % 3 == 1).write.parquet(os.path.join(src_dir, "b1"))
+    ev.filter(F.col("event_id") % 3 == 2).write.parquet(os.path.join(src_dir, "b2"))
+
+    edges = ref.agg(
+        F.percentile("value", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias(
+            "e"
+        )
+    )
+    bin_of = lambda: (1 + F.size(F.filter("e", lambda x: F.col("value") > x))).alias(  # noqa: E731
+        "bin"
+    )
+    ref_counts = (
+        ref.crossJoin(F.broadcast(edges)).select(bin_of()).groupBy("bin").count()
+    )
+    ref_total = ref.count()  # scalar, computed once outside the stream
+
+    def monitor_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = batch_df.crossJoin(F.broadcast(edges)).select(bin_of())
+        cur_counts = cur.groupBy("bin").agg(F.count("*").alias("n_cur"))
+        tot = cur_counts.agg(F.sum("n_cur").alias("t_cur"))
+        j = (
+            cur_counts.join(F.broadcast(ref_counts), "bin")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.greatest(
+                    F.col("n_cur") * 1.0 / F.col("t_cur"), F.lit(1e-6)
+                ).alias("p_cur"),
+                F.greatest(
+                    F.col("count") * 1.0 / float(ref_total), F.lit(1e-6)
+                ).alias("p_ref"),
+            )
+        )
+        out = j.agg(
+            F.sum(F.lit(1)).alias("__nbins"),
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ),
+                4,
+            ).alias("psi_total"),
+        ).select(
+            F.lit(batch_df.count()).cast("long").alias("n_events"), "psi_total"
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    schema = ev.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(monitor_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(sink_dir)
+    nb = back.agg(F.count("*").alias("n_batches"))
+    return back.crossJoin(F.broadcast(nb)).select(
+        F.col("n_batches").cast("long").alias("n_batches"),
+        "n_events",
+        "psi_total",
+    )
