@@ -902,3 +902,66 @@ def qd14_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
     )
     return ks_drift(o, "v", "side")
+
+
+@register(
+    "qd15_key_skew_gini",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT n,
+                   row_number() OVER (ORDER BY n, l_suppkey) AS i,
+                   count(*) OVER () AS k,
+                   sum(n) OVER () AS tot
+            FROM per_key
+        )
+        SELECT 'lineitem.l_suppkey' AS key_col,
+               CAST(max(k) AS BIGINT) AS n_keys,
+               CAST(max(tot) AS BIGINT) AS n_rows,
+               round(CAST(max(tot) AS DOUBLE) / max(k), 4) AS mean_rows_per_key,
+               CAST(max(mx) AS BIGINT) AS max_rows_per_key,
+               round(sum((2.0 * i - k - 1) * n)
+                     / (CAST(max(k) AS DOUBLE) * max(tot)), 6) AS gini
+        FROM (SELECT *, max(n) OVER () AS mx FROM ranked)
+    """,
+    doc="Join-key SKEW audit via the Gini coefficient of the per-key row "
+    "distribution: 0 = perfectly uniform partitions, ->1 = a few keys "
+    "hold everything (the shape that melts a shuffle).  Computed "
+    "relationally with the sorted-rank formula sum((2i-k-1)·n_i)/(k·N) "
+    "over the KEYSPACE (one fact-scan agg, then a keyspace-sized "
+    "window — suppliers, not lineitems, get sorted; deterministic "
+    "(n, key) tiebreak).  This is the quantitative trigger for the "
+    "engine's skew toolbox: Gini above ~0.6 on a join key is the cue "
+    "to reach for q48's salting or AQE skew-join before the 100 TB "
+    "run, not after it spills.  Max-rows-per-key rides along as the "
+    "absolute hot-key bound.",
+)
+def qd15_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    w_all = W.partitionBy()
+    ranked = per_key.select(
+        "n",
+        F.row_number().over(W.orderBy("n", "l_suppkey")).alias("i"),
+        F.count("*").over(w_all).alias("k"),
+        F.sum("n").over(w_all).alias("tot"),
+        F.max("n").over(w_all).alias("mx"),
+    )
+    return ranked.agg(
+        F.lit("lineitem.l_suppkey").alias("key_col"),
+        F.max("k").cast("long").alias("n_keys"),
+        F.max("tot").cast("long").alias("n_rows"),
+        F.round(F.max("tot").cast("double") / F.max("k"), 4).alias(
+            "mean_rows_per_key"
+        ),
+        F.max("mx").cast("long").alias("max_rows_per_key"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("k") - 1) * F.col("n"))
+            / (F.max("k").cast("double") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )

@@ -528,3 +528,70 @@ def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(f), ln(r))"), 4).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(r))"), 4).alias("fit_r2"),
     )
+
+
+@register(
+    "q80b_langid_confusion",
+    oracle="""
+        WITH scored AS (
+            SELECT
+                lang,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','and','of','to','is'], t))) AS score_en,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['der','die','und','ist','nicht'], t))) AS score_de,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['el','la','de','que','es'], t))) AS score_es,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['le','la','et','est','les'], t))) AS score_fr,
+                len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['de','shi','le','bu','wo'], t))) AS score_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang,
+                CASE
+                    WHEN score_en >= score_de AND score_en >= score_es
+                         AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                    WHEN score_de >= score_es AND score_de >= score_fr
+                         AND score_de >= score_zh THEN 'de'
+                    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                    WHEN score_fr >= score_zh THEN 'fr'
+                    ELSE 'zh'
+                END AS predicted_lang
+            FROM scored
+        )
+        SELECT lang AS labeled_lang, predicted_lang,
+               count(*) AS n_docs,
+               round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+                   AS frac_of_label
+        FROM pred
+        GROUP BY lang, predicted_lang
+    """,
+    doc="Classifier EVALUATION as a confusion matrix: q80's heuristic "
+    "language-ID predictions cross-tabulated against the labeled lang "
+    "column, with per-label fractions (the diagonal is per-class "
+    "recall) — the standard quality gate before trusting any "
+    "classifier-derived filter in a curation pipeline.  Composes the "
+    "registered q80 plan directly (one scan + a |langs|^2-row agg + a "
+    "window over that tiny result); at 100 TB the eval runs on a "
+    "deterministic hash sample (qc03) rather than the full corpus.",
+)
+def q80b_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import all_queries
+
+    pred = all_queries()["q80_langid"].fn(spark, sf_dir)
+    counts = pred.groupBy(
+        F.col("lang").alias("labeled_lang"), "predicted_lang"
+    ).agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias(
+            "frac_of_label"
+        ),
+    )
