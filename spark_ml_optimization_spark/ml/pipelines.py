@@ -559,15 +559,55 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml14_fpgrowth_baskets",
-    oracle=None,
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        th AS (
+            SELECT CAST(ceil(0.05 * count(DISTINCT l_orderkey)) AS BIGINT) AS t
+            FROM items
+        ),
+        s1 AS (
+            SELECT item AS items, 1 AS set_size, count(*) AS support_count
+            FROM items GROUP BY item
+        ),
+        s2 AS (
+            SELECT a.item || ',' || b.item AS items, 2 AS set_size,
+                   count(*) AS support_count
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT a.item || ',' || b.item || ',' || c.item AS items,
+                   3 AS set_size, count(*) AS support_count
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+            JOIN items c ON b.l_orderkey = c.l_orderkey AND b.item < c.item
+            GROUP BY 1
+        ),
+        all_sets AS (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        )
+        SELECT items, set_size, CAST(support_count AS BIGINT) AS support_count
+        FROM all_sets, th
+        WHERE support_count >= th.t
+    """,
     doc="Frequent-itemset mining (FPGrowth): order baskets of part "
     "brands (lineitem⋈part, collect_set per order), minSupport 0.05 / "
     "minConfidence 0.3; output = frequent itemsets with support counts "
     "(size, sorted items).  The market-basket / co-occurrence primitive "
     "— at corpus scale the same shape mines tag or n-gram "
     "co-occurrence.  FPGrowth is distributed (PFP: group-dependent "
-    "conditional trees per partition); 1-itemset counts are pinned to "
-    "exact SQL counts in tests/test_ml_shapes.py.",
+    "conditional trees per partition).  HASH-VERIFIED against a "
+    "relational oracle that enumerates within-basket itemsets of size "
+    "1-3 above ceil(minSupport x baskets) — sufficient BY THE APRIORI "
+    "PROPERTY: a frequent k-itemset requires every (k-1)-subset "
+    "frequent, so absent frequent 3-itemsets nothing larger can "
+    "qualify (and the oracle would catch a frequent 3-itemset "
+    "appearing at a new scale).  1-itemset counts additionally pinned "
+    "in tests/test_ml_shapes.py.",
 )
 def ml14_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.fpm import FPGrowth

@@ -29,6 +29,10 @@ SCALE_SENSITIVE = [
     # q72c's LSH pipeline only emits pairs where near-dups exist —
     # empty at sf0.01; the sf0.1 planted pairs make the hash check real.
     "q72c_minhash_portable",
+    # ml14's Apriori-bounded oracle must hold where basket composition
+    # is densest (a frequent 2-itemset appearing only at sf0.1 would
+    # surface here).
+    "ml14_fpgrowth_baskets",
 ]
 
 TABLES = (
