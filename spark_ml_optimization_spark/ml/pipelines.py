@@ -853,15 +853,76 @@ def ml20_feature_hasher_interaction(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "ml21_isotonic_regression",
-    oracle=None,
+    oracle="""
+        WITH data AS (
+            SELECT c.c_custkey, max(c.c_acctbal) AS bal,
+                   avg(o.o_totalprice) AS label
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ),
+        pts AS (
+            SELECT bal, sum(label) / count(*) AS y,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM data GROUP BY bal
+        ),
+        ord AS (
+            SELECT bal, y, w,
+                   row_number() OVER (ORDER BY bal) AS k,
+                   sum(y * w) OVER (ORDER BY bal) AS cy,
+                   sum(w) OVER (ORDER BY bal) AS cw
+            FROM pts
+        ),
+        pairs AS (
+            SELECT i.k AS i, j.k AS j,
+                   (j.cy - coalesce(ip.cy, 0)) / (j.cw - coalesce(ip.cw, 0)) AS m
+            FROM ord i
+            JOIN ord j ON j.k >= i.k
+            LEFT JOIN ord ip ON ip.k = i.k - 1
+        ),
+        runmin AS (
+            SELECT i, j, min(m) OVER (PARTITION BY i ORDER BY j DESC) AS mn
+            FROM pairs
+        ),
+        fitted AS (
+            SELECT j AS k, max(mn) AS f FROM runmin GROUP BY j
+        ),
+        knots AS (SELECT o.bal, f.f FROM ord o JOIN fitted f USING (k)),
+        probes AS (SELECT CAST(u.b AS DOUBLE) AS bal
+                   FROM UNNEST(generate_series(-1000, 10000, 1000)) AS u(b)),
+        bounds AS (
+            SELECT p.bal,
+                   (SELECT max(kn.bal) FROM knots kn WHERE kn.bal <= p.bal) AS blo,
+                   (SELECT min(kn.bal) FROM knots kn WHERE kn.bal >= p.bal) AS bhi
+            FROM probes p
+        )
+        SELECT b.bal,
+               round(CASE
+                   WHEN b.blo IS NULL THEN
+                       (SELECT f FROM knots ORDER BY bal LIMIT 1)
+                   WHEN b.bhi IS NULL THEN
+                       (SELECT f FROM knots ORDER BY bal DESC LIMIT 1)
+                   WHEN b.blo = b.bhi THEN
+                       (SELECT f FROM knots WHERE bal = b.blo)
+                   ELSE (SELECT f FROM knots WHERE bal = b.blo)
+                        + ((SELECT f FROM knots WHERE bal = b.bhi)
+                           - (SELECT f FROM knots WHERE bal = b.blo))
+                          * (b.bal - b.blo) / (b.bhi - b.blo)
+               END, 4) AS calibrated_price
+        FROM bounds b
+    """,
     doc="IsotonicRegression (monotone calibration): fits the best "
     "monotonically-nondecreasing step function of avg order price vs "
     "customer account balance — the calibration primitive for score→"
     "probability mapping (PAV algorithm; MLlib parallelizes the pool-"
-    "adjacent-violators merge).  Output = predictions at the decile "
-    "boundaries of the feature (deterministic, seeded-free — PAV is "
-    "deterministic given input order, which MLlib canonicalizes by "
-    "sorting on the feature).",
+    "adjacent-violators merge).  Output = predictions at fixed balance "
+    "probes with MLlib's linear interpolation between knots.  "
+    "HASH-VERIFIED via the MINIMAX THEOREM: the PAV solution equals "
+    "fitted(k) = max_{i<=k} min_{j>=k} weightedMean(y_i..y_j), which "
+    "the oracle evaluates relationally — prefix-sum range means over "
+    "all O(n^2) index pairs, a per-i descending running min, a per-k "
+    "max, then the same probe interpolation.  An iterative ML "
+    "algorithm checked against a closed-form relational "
+    "characterization, to float precision at 4 dp.",
 )
 def ml21_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
