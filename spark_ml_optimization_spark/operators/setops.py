@@ -261,3 +261,38 @@ def q30b_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_suppkey SORT BY l_suppkey
         """
     )
+
+
+@register(
+    "q30c_keyset_pagination",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_orderkey > 1400
+        ORDER BY o_orderkey
+        LIMIT 20
+    """,
+    doc="Keyset (seek) pagination — the scalable replacement for deep "
+    "OFFSET: the client passes the last key it saw and the next page "
+    "is WHERE key > last ORDER BY key LIMIT n.  The predicate PUSHES "
+    "to the parquet scan (min/max footer stats skip whole row groups "
+    "below the cursor) and the sort collapses to TakeOrderedAndProject "
+    "over the survivors — page k costs the same as page 1, while "
+    "OFFSET k*n must produce and discard k*n rows on every page (no "
+    "skip-scan exists for OFFSET over unordered storage).  Both "
+    "properties are plan-pinned in tests/test_plans.py.  On a 100 TB "
+    "key-sorted layout (qc13's write pattern) the footer-stat skip "
+    "makes deep pagination O(page), full stop.",
+)
+def q30c_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") > 1400)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )

@@ -360,3 +360,13 @@ def test_exchange_reused_across_consumers(spark):
     df.collect()
     plan = explain_formatted(df)
     assert "ReusedExchange" in plan
+
+
+def test_keyset_pagination_pushes_cursor(spark):
+    """q30c: the cursor predicate must reach the parquet scan
+    (PushedFilters GreaterThan) and the page sort must be a
+    TakeOrderedAndProject — the two properties that make page k cost
+    the same as page 1."""
+    df = _df(spark, "q30c_keyset_pagination")
+    assert any("o_orderkey" in f and "GreaterThan" in f for f in pushed_filters(df))
+    assert "TakeOrderedAndProject" in explain_formatted(df)
