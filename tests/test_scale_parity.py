@@ -33,6 +33,9 @@ SCALE_SENSITIVE = [
     # is densest (a frequent 2-itemset appearing only at sf0.1 would
     # surface here).
     "ml14_fpgrowth_baskets",
+    # bit-exact SimHash under the near-dup-heavy sf0.1 corpus (10M
+    # (doc, token, bit) oracle rows — still sub-second in DuckDB).
+    "q73_simhash",
 ]
 
 TABLES = (
