@@ -542,3 +542,54 @@ def q57b_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")) >= 40, F.slice(F.split("text", " "), 1, 3)
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@register(
+    "q54b_hof_extended",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(w, x -> length(x) > 5)) > 0 AS INT)
+                   AS has_long_token,
+               CAST(len(list_filter(w, x -> length(x) >= 1)) = len(w) AS INT)
+                   AS all_nonempty,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                   AS total_chars,
+               round(list_reduce(list_transform(w, x -> length(x) * 1.0),
+                                 (acc, x) -> acc + x)
+                     / len(w), 4) AS mean_len_via_reduce
+        FROM t
+    """,
+    doc="Extended higher-order-function family: exists() (any-match), "
+    "forall() (all-match), aggregate/reduce with a seed, and "
+    "transform-then-sum — the lambda vocabulary that keeps per-row "
+    "collection logic inside codegen where a row-Python UDF would "
+    "drop out of it.  exists/forall short-circuit per row; the "
+    "reduce is a strict sequential fold in BOTH engines (same "
+    "left-to-right order), so the double sum needs no rounding "
+    "gymnastics beyond the 4-dp wire.  All map-side, zero shuffles.",
+)
+def q54b_hof_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.exists(w, lambda x: F.length(x) > 5).cast("int").alias("has_long_token"),
+        F.forall(w, lambda x: F.length(x) >= 1).cast("int").alias("all_nonempty"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.round(
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x) * 1.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(w),
+            4,
+        ).alias("mean_len_via_reduce"),
+    )
