@@ -586,7 +586,10 @@ def psi_drift(
     """Population Stability Index between two slices of ``df`` tagged by
     ``side_col`` (``ref_side`` defines the binning): the reference
     slice's equi-depth edges bin BOTH slices, and each bin contributes
-    (p_cur - p_ref) * ln(p_cur / p_ref).  Returns one row per bin
+    (p_cur - p_ref) * ln(p_cur / p_ref), with both probabilities
+    clamped at 1e-6 so an empty bin (total drift — the exact case the
+    monitor exists for) contributes a large finite term instead of a
+    silent NULL from ln(0).  Returns one row per bin
     (per-bin terms localize WHICH part of the distribution moved and
     avoid cross-engine summation-order concerns; sum ``psi_term`` for
     the scalar).  One percentile pass on the reference
@@ -608,8 +611,8 @@ def psi_drift(
         F.count(F.when(F.col("__side") != ref_side, 1)).alias("n_cur"),
     )
     tot = counts.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
-    p_ref = F.col("n_ref") * 1.0 / F.col("__tr")
-    p_cur = F.col("n_cur") * 1.0 / F.col("__tc")
+    p_ref = F.greatest(F.col("n_ref") * 1.0 / F.col("__tr"), F.lit(1e-6))
+    p_cur = F.greatest(F.col("n_cur") * 1.0 / F.col("__tc"), F.lit(1e-6))
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(

@@ -42,12 +42,23 @@ def _fit_retry(estimator, data, attempts: int = 2):
     most one wasted fit — the same posture a cluster job takes toward
     task-level retries.  Do NOT widen to serial estimators: a real
     failure there should surface immediately."""
+    from py4j.protocol import Py4JJavaError
+
     for attempt in range(1, attempts + 1):
         try:
             return estimator.fit(data)
-        except Exception:  # noqa: BLE001 — the race surfaces as Py4JJavaError
+        except Py4JJavaError as e:  # the race surfaces as Py4JJavaError
             if attempt == attempts:
                 raise
+            # Log before retrying so a deterministic regression is still
+            # visible in output (the first trace is otherwise discarded).
+            import sys
+
+            print(
+                f"_fit_retry: swallowed Py4JJavaError on attempt {attempt}, "
+                f"retrying once: {e}",
+                file=sys.stderr,
+            )
     raise AssertionError("unreachable")
 
 

@@ -973,7 +973,12 @@ def qc19_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = avail.withColumn("w", weights[F.col("lang")]).where(
         F.col("w").isNotNull()
     ).withColumn(
-        "target_tokens", F.floor(F.col("w") * _WATERFILL_BUDGET).cast("long")
+        # round(,6) before floor: the weight map stores binary doubles, so
+        # 0.6*20000 can evaluate to 11999.999... and floor one below the
+        # oracle's exact-DECIMAL arithmetic; rounding at 6 dp makes both
+        # engines agree for any weight with <=6 decimal digits.
+        "target_tokens",
+        F.floor(F.round(F.col("w") * _WATERFILL_BUDGET, 6)).cast("long"),
     )
     allocated = F.least("avail_tokens", "target_tokens")
     return alloc.select(

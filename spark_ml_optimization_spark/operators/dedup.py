@@ -159,7 +159,11 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sigs = np.zeros(len(pdf), dtype=np.uint64)
         weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
         for i, text in enumerate(pdf["text"].tolist()):
-            toks = set(text.split())
+            # Single-space split + empty filter, matching the oracle's
+            # string_split(text, ' ') ... WHERE tok <> '' exactly — a bare
+            # str.split() would silently diverge on tabs/double spaces.
+            toks = set(text.split(" "))
+            toks.discard("")
             if not toks:
                 continue
             mat = np.stack([token_bits(t) for t in toks])  # n × 64 of {0,1}
@@ -174,6 +178,7 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         WITH toks AS (
             SELECT DISTINCT doc_id, u.tok
             FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+            WHERE u.tok <> ''
         ),
         vals AS (
             SELECT doc_id, (CAST((strpos('0123456789abcdef', substr(h16, 1, 1)) - 1) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 2, 1)) - 1) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 3, 1)) - 1) AS HUGEINT) * CAST(4503599627370496 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 4, 1)) - 1) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 5, 1)) - 1) AS HUGEINT) * CAST(17592186044416 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 6, 1)) - 1) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 7, 1)) - 1) AS HUGEINT) * CAST(68719476736 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 8, 1)) - 1) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 9, 1)) - 1) AS HUGEINT) * CAST(268435456 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 10, 1)) - 1) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 11, 1)) - 1) AS HUGEINT) * CAST(1048576 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 12, 1)) - 1) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 13, 1)) - 1) AS HUGEINT) * CAST(4096 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 14, 1)) - 1) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 15, 1)) - 1) AS HUGEINT) * CAST(16 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 16, 1)) - 1) AS HUGEINT) * CAST(1 AS HUGEINT)) AS h
@@ -660,6 +665,7 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (
             SELECT DISTINCT doc_id, u.tok
             FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+            WHERE u.tok <> ''
         ),
         vals AS (
             SELECT doc_id, (CAST((strpos('0123456789abcdef', substr(h16, 1, 1)) - 1) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 2, 1)) - 1) AS HUGEINT) * CAST(72057594037927936 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 3, 1)) - 1) AS HUGEINT) * CAST(4503599627370496 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 4, 1)) - 1) AS HUGEINT) * CAST(281474976710656 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 5, 1)) - 1) AS HUGEINT) * CAST(17592186044416 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 6, 1)) - 1) AS HUGEINT) * CAST(1099511627776 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 7, 1)) - 1) AS HUGEINT) * CAST(68719476736 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 8, 1)) - 1) AS HUGEINT) * CAST(4294967296 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 9, 1)) - 1) AS HUGEINT) * CAST(268435456 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 10, 1)) - 1) AS HUGEINT) * CAST(16777216 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 11, 1)) - 1) AS HUGEINT) * CAST(1048576 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 12, 1)) - 1) AS HUGEINT) * CAST(65536 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 13, 1)) - 1) AS HUGEINT) * CAST(4096 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 14, 1)) - 1) AS HUGEINT) * CAST(256 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 15, 1)) - 1) AS HUGEINT) * CAST(16 AS HUGEINT) + CAST((strpos('0123456789abcdef', substr(h16, 16, 1)) - 1) AS HUGEINT) * CAST(1 AS HUGEINT)) AS h
@@ -724,7 +730,10 @@ def q73b_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             texts = batch.column("text").to_pylist()
             sigs = np.zeros(len(texts), dtype=np.uint64)
             for i, text in enumerate(texts):
-                toks = set(text.split())
+                # Match the oracle's string_split(text, ' ') + empty filter
+                # (see _simhash_batch) — not bare str.split().
+                toks = set(text.split(" "))
+                toks.discard("")
                 if not toks:
                     continue
                 mat = np.stack([token_bits(t) for t in toks])

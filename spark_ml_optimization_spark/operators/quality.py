@@ -810,8 +810,10 @@ def qd12_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bin,
                CAST(n_ref AS BIGINT) AS n_ref,
                CAST(n_cur AS BIGINT) AS n_cur,
-               round((n_cur * 1.0 / t_cur - n_ref * 1.0 / t_ref)
-                     * ln((n_cur * 1.0 / t_cur) / (n_ref * 1.0 / t_ref)),
+               round((greatest(n_cur * 1.0 / t_cur, 0.000001)
+                      - greatest(n_ref * 1.0 / t_ref, 0.000001))
+                     * ln(greatest(n_cur * 1.0 / t_cur, 0.000001)
+                          / greatest(n_ref * 1.0 / t_ref, 0.000001)),
                      6) AS psi_term
         FROM counts CROSS JOIN tot
         ORDER BY bin
