@@ -825,15 +825,35 @@ _PMH_R = 4
 def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import shingles
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(32): the sf0.1 parquet is a single split, which would serialize
+    # the shingle explode + hash work onto one core (measured 14s -> see
+    # BASELINE.md); on a real cluster the scan splits do this for free.
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32
+    )
     sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
-    sig = sh.groupBy("doc_id").agg(
+    # Memoize the 16-hash md5 family over the DISTINCT-shingle vocabulary
+    # and broadcast-join it back, instead of hashing every shingle
+    # OCCURRENCE 16x: the vocabulary is ≪ the corpus at any scale
+    # (shingles repeat — that's the whole premise of near-dup detection),
+    # so this trades one distinct-shuffle of short strings for ~16x less
+    # md5 work on the corpus side.  min() is duplicate-insensitive, so the
+    # per-doc aggregate (and the oracle) is unchanged.  At a vocabulary
+    # too big to broadcast, drop the hint and let AQE pick a shuffle hash
+    # join keyed on the shingle — the memoization still pays for itself.
+    vocab = sh.select("s").distinct().select(
+        "s",
         *[
-            F.min(
-                F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 16)
-            ).alias(f"h{i}")
+            F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 16).alias(
+                f"v{i}"
+            )
             for i in range(_PMH_N)
-        ]
+        ],
+    )
+    sig = (
+        sh.join(F.broadcast(vocab), "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(_PMH_N)])
     )
     band_structs = [
         F.struct(
