@@ -547,10 +547,10 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # biggest discretionary cost (8 fits total: 2 cells × 2 folds × 2
     # parallelism settings).
     lr = LogisticRegression(maxIter=5, family="multinomial")
-    grid = ParamGridBuilder().addGrid(lr.regParam, [0.005, 0.5]).build()
     ev = MulticlassClassificationEvaluator(metricName="accuracy")
 
-    def fit_with(par: int) -> float:
+    def fit_with(par: int, cells: list) -> float:
+        grid = ParamGridBuilder().addGrid(lr.regParam, cells).build()
         cv = CrossValidator(
             estimator=lr, estimatorParamMaps=grid, evaluator=ev,
             numFolds=2, parallelism=par, seed=42,
@@ -559,8 +559,14 @@ def ml13_cv_parallelism_speedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fit_retry(cv, data)
         return time.perf_counter() - t0
 
-    serial = fit_with(1)
-    parallel = fit_with(4)
+    # Serial arm: 1 grid cell (2 fits), linearly extrapolated to the full
+    # 2-cell grid — serial fits are independent and identically sized, so
+    # wall time is additive and the speedup ratio survives the halving
+    # (A/B-verified when this trim landed).  Parallel arm runs the full
+    # grid: its 4 fits are ONE wave at parallelism=4, so it cannot be
+    # shrunk without changing what it measures.
+    serial = fit_with(1, [0.005]) * 2
+    parallel = fit_with(4, [0.005, 0.5])
     data.unpersist()
     rows = [(round(serial, 2), round(parallel, 2), round(serial / parallel, 2))]
     return spark.createDataFrame(

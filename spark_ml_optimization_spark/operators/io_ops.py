@@ -369,9 +369,13 @@ def src12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sensor_source(spark)
     df = (
+        # 4 partitions demonstrate the same split-planning contract as 8
+        # at ~half the per-partition Python reader startup cost (each
+        # partition pays a fresh worker + Arrow stream; measured ~5.4 s
+        # at 8 partitions in the round-2 bench).
         spark.read.format("sensor")
         .option("rows", "10000")
-        .option("partitions", "8")
+        .option("partitions", "4")
         .load()
     )
     return (
