@@ -7,9 +7,11 @@ materialized result as a DataFrame.  The transformations are the same
 groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
 that equivalence is the point: one declarative plan, two execution modes.
 
-These are rows-only checks (no DuckDB oracle): the driver verifies
-execution + schema stability; the batch twins carry the hash-verified
-semantics.
+Most twins are hash-verified against deterministic batch oracles
+(st01-st05, st07, st10-st12 — a single staged file drains in one
+micro-batch, making even update/append-mode output batch-equivalent);
+the rest are rows-only where two-sided watermark timing genuinely
+forbids a deterministic twin (st06, st08, st09).
 
 Scale posture: in production these would read Kafka/cloud storage with
 watermarks bounding state; memory sink is test-only — a real deployment
@@ -149,9 +151,32 @@ def st01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st02_stream_watermark_sliding",
-    oracle=None,
+    oracle="""
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type
+            FROM e
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes' AS ws,
+                   event_type
+            FROM e
+        )
+        SELECT epoch_us(ws) AS window_start_us, event_type,
+               count(*) AS n_events
+        FROM assigned GROUP BY 1, 2
+    """,
+    # Deterministic despite update mode: the staged fixture is ONE file
+    # and the parquet file source (no maxFilesPerTrigger) drains it in a
+    # single micro-batch, whose start-of-batch watermark is epoch 0 — so
+    # no window is late, and every (window, event_type) group is emitted
+    # exactly once.  That makes the streaming result batch-equivalent to
+    # q61's 2-way-UNION sliding-window oracle (micros-encoded starts, the
+    # st01 convention).
     doc="readStream twin of q61 with a real watermark: 1h/30min sliding "
-    "windows, 10-minute watermark bounding state, update mode.",
+    "windows, 10-minute watermark bounding state, update mode — "
+    "hash-verified against the shifted-time_bucket batch oracle.",
 )
 def st02_stream_watermark_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events_stream(spark, sf_dir)
@@ -159,7 +184,13 @@ def st02_stream_watermark_sliding(spark: SparkSession, sf_dir: str) -> DataFrame
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n_events",
+        )
     )
     return _run_to_memory(agg, "update")
 
@@ -221,21 +252,28 @@ def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st04_stream_dedup",
-    oracle=None,
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # The KEY SET is deterministic (one row per key, single micro-batch);
+    # WHICH survivor row wins is not — within a batch the state op sees
+    # shuffle-partition rows in map-output fetch order.  So the twin
+    # projects the dedup keys only and hash-verifies them against
+    # DISTINCT; survivor-row semantics stay pinned by the batch q64.
     doc="readStream twin of q64: streaming dropDuplicatesWithinWatermark "
     "on (user_id, event_type), append mode.  Unlike plain streaming "
     "dropDuplicates (whose key state grows forever), the within-watermark "
     "variant evicts key state once the watermark passes it — the "
     "state-bounded dedup a 100 TB stream actually runs.  Over the static "
-    "fixture (one micro-batch) it emits exactly one row per key, matching "
-    "q64's batch semantics (asserted in tests).",
+    "fixture (one micro-batch) it emits exactly one row per key, "
+    "hash-verified against the DISTINCT key-set oracle.",
 )
 def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read_events_stream(spark, sf_dir)
     deduped = (
         events.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("event_id", "user_id", "event_type")
+        .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
 
