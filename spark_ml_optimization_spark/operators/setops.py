@@ -296,3 +296,193 @@ def q30c_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse MERGE/DELETE/compaction emulation (SURVEY §2.1 gate note: no
+# Delta/Iceberg jars ship in this container, so ACID MERGE INTO / deletion
+# vectors / OPTIMIZE are emulated relationally over plain parquet — the
+# SEMANTICS and plan shapes below are exactly what the table format runs.)
+
+_LAKE_DIRS: dict[str, str] = {}
+
+#: A file group is rewritten by compaction once >=15% of its rows are
+#: dead (deletion-vector'd); below that, the reader keeps applying the
+#: DV.  Compared integer-exactly (n_dead*100 >= n_total*15) so both
+#: engines make the same call on boundary groups.
+_LAKE_REWRITE_PCT = 15
+
+
+def _lake_dir(sf_dir: str, stage: str) -> str:
+    key = f"lake_{stage}_{sf_dir.rstrip('/').replace('/', '_')}"
+    if key not in _LAKE_DIRS:
+        import os
+        import tempfile
+        import uuid
+
+        _LAKE_DIRS[key] = os.path.join(
+            tempfile.gettempdir(), f"{key}_{uuid.uuid4().hex[:10]}"
+        )
+    return _LAKE_DIRS[key]
+
+
+def _lake_flags():
+    """Change-batch predicates, shared by writer and auditor: deletes
+    cluster in file groups 0/1 (keys ≡ 0,1 mod 16 land in groups 0,1 of
+    the mod-8 file assignment — the real-world pattern where GDPR/TTL
+    deletes concentrate in old files), updates are the 'P'-status rows
+    (delete wins on overlap, the MERGE WHEN MATCHED precedence)."""
+    is_del = F.pmod(F.col("o_orderkey"), F.lit(16)) < 2
+    is_upd = (F.col("o_orderstatus") == "P") & ~is_del
+    return is_del, is_upd
+
+
+@register(
+    "q37b_merge_delete_compact",
+    oracle=None,  # rendered per-sf below (scratch paths baked into the SQL)
+    doc="End-to-end lakehouse maintenance cycle emulated on plain "
+    "parquet (no Delta/Iceberg jars in this image — SURVEY §2.1 gate): "
+    "(1) base table written as 8 hive-partitioned file groups; (2) a "
+    "CDC batch applies deletion-vector-style soft deletes (clustered in "
+    "groups 0/1, the aged-file delete skew) and copy-on-write upserts "
+    "(+500.00 surcharge rows appended to a fresh delta group, old "
+    "versions DV'd — Delta's DV-mode MERGE decomposition); (3) a "
+    "compaction pass physically rewrites only groups whose dead "
+    "fraction >= 15% (integer-exact threshold), dropping DV'd rows — "
+    "qc18's small-file machinery applied to DV reclamation.  Output = "
+    "per-group audit (stage kept+dv / rewritten / appended, live/dead "
+    "counts, cents-exact live sum) over the REAL files both engines "
+    "re-read — the physical snapshot, not just the logical view, is "
+    "hash-verified.  At 100 TB each step is the table format's own "
+    "plan: file-pruned MERGE, DV sidecar writes, OPTIMIZE on "
+    "dead-fraction heuristics.",
+)
+def q37b_merge_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base_dir = _lake_dir(sf_dir, "base")
+    snap_dir = _lake_dir(sf_dir, "snap")
+    is_del, is_upd = _lake_flags()
+    is_dead = is_del | is_upd
+    if not os.path.isdir(base_dir):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "o_orderstatus",
+            F.pmod("o_orderkey", F.lit(8)).cast("int").alias("file_grp"),
+        )
+        o.repartition("file_grp").write.partitionBy("file_grp").mode(
+            "overwrite"
+        ).parquet(base_dir)
+    base = spark.read.parquet(base_dir).select(
+        "o_orderkey", "price", "o_orderstatus",
+        F.col("file_grp").cast("int").alias("file_grp"),
+    )
+    cents = F.round(F.col("price") * 100).cast("long")
+    stats = base.groupBy("file_grp").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(is_dead, 1)).alias("n_dead"),
+        F.sum(F.when(~is_dead, cents).otherwise(F.lit(0))).alias("live_cents"),
+    )
+    rewrite = F.col("n_dead") * 100 >= F.col("n_total") * _LAKE_REWRITE_PCT
+    if not os.path.isdir(snap_dir):
+        eligible = stats.filter(rewrite).select("file_grp")
+        rewritten = base.join(F.broadcast(eligible), "file_grp").filter(~is_dead)
+        appended = base.filter(is_upd).select(
+            "o_orderkey",
+            (F.col("price") + 500.0).alias("price"),
+            "o_orderstatus",
+            F.lit(-1).cast("int").alias("file_grp"),
+        )
+        rewritten.select(
+            "o_orderkey", "price", "o_orderstatus", "file_grp"
+        ).unionByName(appended).repartition("file_grp").write.partitionBy(
+            "file_grp"
+        ).mode("overwrite").parquet(snap_dir)
+    kept = stats.filter(~rewrite).select(
+        "file_grp",
+        F.lit("kept+dv").alias("stage"),
+        (F.col("n_total") - F.col("n_dead")).cast("long").alias("n_live"),
+        F.col("n_dead").cast("long").alias("n_dead"),
+        F.col("live_cents").cast("long").alias("live_cents"),
+    )
+    snap = spark.read.parquet(snap_dir).select(
+        "o_orderkey", "price", F.col("file_grp").cast("int").alias("file_grp")
+    )
+    snap_stats = snap.groupBy("file_grp").agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.lit(0).cast("long").alias("n_dead"),
+        F.sum(F.round(F.col("price") * 100).cast("long")).cast("long").alias(
+            "live_cents"
+        ),
+    ).select(
+        "file_grp",
+        F.when(F.col("file_grp") == -1, "appended")
+        .otherwise("rewritten")
+        .alias("stage"),
+        "n_live",
+        "n_dead",
+        "live_cents",
+    )
+    return kept.unionByName(snap_stats)
+
+
+def q37b_oracle_for(sf_dir: str) -> str:
+    """Render q37b's audit oracle against this scale's scratch dirs —
+    DuckDB re-reads the SAME hive-partitioned base and snapshot files
+    Spark wrote and re-derives the DV + compaction decision."""
+    base = _lake_dir(sf_dir, "base")
+    snap = _lake_dir(sf_dir, "snap")
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, price, o_orderstatus,
+                   CAST(file_grp AS INT) AS file_grp
+            FROM read_parquet('{base}/*/*.parquet', hive_partitioning=true)
+        ),
+        flags AS (
+            SELECT *,
+                   (o_orderkey % 16 < 2) AS is_del,
+                   (o_orderstatus = 'P' AND o_orderkey % 16 >= 2) AS is_upd
+            FROM base
+        ),
+        stats AS (
+            SELECT file_grp, count(*) AS n_total,
+                   count(CASE WHEN is_del OR is_upd THEN 1 END) AS n_dead,
+                   sum(CASE WHEN NOT (is_del OR is_upd)
+                            THEN CAST(round(price * 100) AS BIGINT)
+                            ELSE 0 END) AS live_cents
+            FROM flags GROUP BY file_grp
+        ),
+        kept AS (
+            SELECT file_grp, 'kept+dv' AS stage,
+                   CAST(n_total - n_dead AS BIGINT) AS n_live,
+                   CAST(n_dead AS BIGINT) AS n_dead,
+                   CAST(live_cents AS BIGINT) AS live_cents
+            FROM stats
+            WHERE n_dead * 100 < n_total * {_LAKE_REWRITE_PCT}
+        ),
+        snap AS (
+            SELECT CAST(file_grp AS INT) AS file_grp,
+                   CASE WHEN CAST(file_grp AS INT) = -1 THEN 'appended'
+                        ELSE 'rewritten' END AS stage,
+                   CAST(count(*) AS BIGINT) AS n_live,
+                   CAST(0 AS BIGINT) AS n_dead,
+                   CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                       AS live_cents
+            FROM read_parquet('{snap}/*/*.parquet', hive_partitioning=true)
+            GROUP BY 1
+        )
+        SELECT * FROM kept
+        UNION ALL
+        SELECT * FROM snap
+    """
+
+
+from .. import registry as _registry_mod  # noqa: E402
+
+_registry_mod._REGISTRY["q37b_merge_delete_compact"] = _registry_mod.Query(
+    name="q37b_merge_delete_compact",
+    fn=_registry_mod._REGISTRY["q37b_merge_delete_compact"].fn,
+    oracle=q37b_oracle_for("/root/testdata/sf0.01"),
+    doc=_registry_mod._REGISTRY["q37b_merge_delete_compact"].doc,
+)

@@ -39,6 +39,7 @@ _EAGER_NAMES = {
     "q84_pagerank",  # iterative power method
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
+    "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
 }
 
 _CARTESIAN_OK = {"q16_theta_self_join", "q17_cross_join"}
