@@ -604,3 +604,37 @@ def q21d_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") == F.col("mx"))
         .select("l_suppkey", "n_lines")
     )
+
+
+@register(
+    "q20e_stat_freq_quantile",
+    oracle=None,
+    doc="df.stat.freqItems + df.stat.approxQuantile — the last two "
+    "DataFrameStatFunctions surfaces (crosstab/corr/cov/sampleBy are "
+    "covered elsewhere).  freqItems is the Karp/Papadimitriou/"
+    "Shenker one-pass heavy-hitter sketch: guaranteed to CONTAIN every "
+    "value with frequency > support, may over-report (false positives) "
+    "— so the wire emits the sorted item list and the exact guarantee "
+    "is pinned in tests against qc10's exact heavy-hitter twin.  "
+    "approxQuantile is Greenwald-Khanna with a rank-error bound of "
+    "relativeError * n; the test brackets each estimate between the "
+    "exact percentiles at rank ± error (q22's exact twin).  Both are "
+    "ACTIONS (they materialize a bounded sketch driver-side at call "
+    "time — item set / 3 doubles, never row-scaled), hence rows-only: "
+    "approximate sketch internals are engine-specific by design.  At "
+    "100 TB both are single-pass mergeable sketches — the sanctioned "
+    "way to ask 'what are the hot keys / rough deciles' without a "
+    "sort or a second scan.",
+)
+def q20e_stat_freq_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq_row = li.stat.freqItems(["l_returnflag"], support=0.2).collect()[0]
+    flags = "|".join(sorted(freq_row["l_returnflag_freqItems"]))
+    q25, q50, q75 = li.stat.approxQuantile(
+        "l_extendedprice", [0.25, 0.5, 0.75], 0.01
+    )
+    return spark.createDataFrame(
+        [(flags, round(q25, 2), round(q50, 2), round(q75, 2))],
+        schema="freq_flags string, approx_q25 double, approx_q50 double, "
+        "approx_q75 double",
+    )

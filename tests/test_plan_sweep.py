@@ -40,6 +40,7 @@ _EAGER_NAMES = {
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
+    "q20e_stat_freq_quantile",  # freqItems/approxQuantile are driver actions
 }
 
 _CARTESIAN_OK = {"q16_theta_self_join", "q17_cross_join"}

@@ -42,4 +42,4 @@ def test_registry_size_pinned():
     pin it so a silently-dropped operator module (swallowed import,
     renamed file) fails loudly instead of shrinking the correctness gate
     (round-1 advice).  UPDATE THIS NUMBER when adding queries."""
-    assert len(registry.all_queries()) == 256
+    assert len(registry.all_queries()) == 257

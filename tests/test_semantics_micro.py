@@ -112,3 +112,48 @@ def test_tumbling_window_boundary_inclusive_start(spark):
     )
     w = df.groupBy(F.window("ts", "1 day").alias("w")).count().collect()[0]
     assert w.w.start.isoformat().startswith("2024-01-02T00:00:00")
+
+
+def test_stat_freq_quantile_anchored_to_exact_twins(spark):
+    """q20e's sketches pinned against exact computations (the qc10/q22
+    anchor pattern): freqItems must CONTAIN every value whose true
+    frequency exceeds the support, and each approxQuantile estimate must
+    land between the exact percentiles at rank +/- relativeError*n."""
+    from spark_ml_optimization_spark.registry import all_queries
+    from spark_ml_optimization_spark.sources import load_table
+
+    from .conftest import SF_CORRECT
+
+    row = (
+        all_queries()["q20e_stat_freq_quantile"]
+        .fn(spark, SF_CORRECT)
+        .collect()[0]
+    )
+    li = load_table(spark, SF_CORRECT, "lineitem")
+
+    # Exact heavy hitters: every flag with freq > 0.2 must be reported.
+    n = li.count()
+    exact = {
+        r["l_returnflag"]
+        for r in li.groupBy("l_returnflag").count().collect()
+        if r["count"] > 0.2 * n
+    }
+    reported = set(row["freq_flags"].split("|"))
+    assert exact <= reported
+
+    # Exact rank brackets: GK guarantees rank error <= 0.01 * n.
+    err = 0.01
+    vals = (
+        li.select(F.col("l_extendedprice").alias("v"))
+        .orderBy("v")
+        .collect()
+    )
+    sorted_vals = [r["v"] for r in vals]
+    for p, est in [
+        (0.25, row["approx_q25"]),
+        (0.5, row["approx_q50"]),
+        (0.75, row["approx_q75"]),
+    ]:
+        lo = sorted_vals[max(0, int((p - err) * n) - 1)]
+        hi = sorted_vals[min(n - 1, int((p + err) * n) + 1)]
+        assert lo <= est <= hi, (p, lo, est, hi)
