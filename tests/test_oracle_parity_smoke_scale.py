@@ -35,11 +35,12 @@ def test_sql_oracle_parity_sf0001(spark, duck_smoke, name):
     # Layout-audit oracles bake the driver-scale (sf0.01) scratch paths;
     # re-render them against THIS scale's scratch dirs so the audit
     # reads the files Spark wrote for sf0.001.
-    from spark_ml_optimization_spark.operators import curation
+    from spark_ml_optimization_spark.operators import curation, setops
 
     rerender = {
         "qc13_zorder_file_stats": curation.qc13_oracle_for,
         "qc18_small_file_compaction": curation.qc18_oracle_for,
+        "q37b_merge_delete_compact": setops.q37b_oracle_for,
     }
     if name in rerender:
         oracle = rerender[name](SF_SMOKE)
