@@ -42,4 +42,9 @@ def test_registry_size_pinned():
     pin it so a silently-dropped operator module (swallowed import,
     renamed file) fails loudly instead of shrinking the correctness gate
     (round-1 advice).  UPDATE THIS NUMBER when adding queries."""
-    assert len(registry.all_queries()) == 257
+    from spark_ml_optimization_spark.operators.io_ops import (
+        avro_connector_available,
+    )
+
+    expected = 257 + (1 if avro_connector_available() else 0)
+    assert len(registry.all_queries()) == expected

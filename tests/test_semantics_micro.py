@@ -157,3 +157,22 @@ def test_stat_freq_quantile_anchored_to_exact_twins(spark):
         lo = sorted_vals[max(0, int((p - err) * n) - 1)]
         hi = sorted_vals[min(n - 1, int((p + err) * n) + 1)]
         assert lo <= est <= hi, (p, lo, est, hi)
+
+
+def test_avro_roundtrip_when_connector_present(spark):
+    """Gated twin of the protobuf gate: activates the moment a future
+    environment ships the spark-avro connector jar (SURVEY §2.1)."""
+    import pytest
+
+    from spark_ml_optimization_spark.operators.io_ops import (
+        avro_connector_available,
+    )
+
+    if not avro_connector_available():
+        pytest.skip("spark-avro connector jar not on classpath")
+    from spark_ml_optimization_spark.registry import all_queries
+
+    from .conftest import SF_CORRECT
+
+    df = all_queries()["src16_avro_roundtrip"].fn(spark, SF_CORRECT)
+    assert df.count() > 0
