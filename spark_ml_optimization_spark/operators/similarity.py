@@ -458,12 +458,20 @@ def q92b_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.persist()
     # Per-subspace codebooks: _PQ_M seeded KMeans fits over the sub-slices.
     # Each fit sees only an 8-d projection — cheap, and at 100 TB the fits
-    # run on a sample while encoding streams over the full corpus.
-    assigned = e
-    codebook_rows = []  # (subspace, code, sub-centroid vector)
-    for j in range(_PQ_M):
-        sub_col = F.slice("vec", j * sub + 1, sub)
-        feats = assigned.withColumn("_f", array_to_vector(sub_col))
+    # run on a sample while encoding streams over the full corpus.  The
+    # fits are INDEPENDENT (each reads only its own slice of the persisted
+    # base), so they run concurrently on a thread pool — one task wave
+    # instead of 8 serial fits (measured 6.4 s → ~3 s for the whole query
+    # at sf0.1; the earlier serial-chained version also needed
+    # localCheckpoint lineage truncation, 23 s without it).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ml.pipelines import _fit_retry
+
+    def fit_subspace(j: int):
+        feats_j = e.withColumn(
+            "_f", array_to_vector(F.slice("vec", j * sub + 1, sub))
+        )
         # A codebook only partitions each 8-d subspace — 3 Lloyd rounds
         # place the 16 sub-centroids well enough that the ADC shortlist
         # + exact re-rank recall floor holds (recall is what's tested;
@@ -472,11 +480,20 @@ def q92b_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_PQ_K, seed=42 + j, maxIter=3, featuresCol="_f",
             predictionCol=f"code_{j}",
         )
-        model = km.fit(feats)
-        # localCheckpoint truncates the growing transform lineage —
-        # without it fit j re-executes all j-1 previous transforms
-        # (measured: 23 s → ~6 s for the whole query at sf0.1).
-        assigned = model.transform(feats).drop("_f").localCheckpoint(eager=False)
+        return _fit_retry(km, feats_j)
+
+    with ThreadPoolExecutor(max_workers=_PQ_M) as pool:
+        models = list(pool.map(fit_subspace, range(_PQ_M)))
+    # Encoding: chain the 8 assignments over one frame (cheap transforms;
+    # the fits no longer interleave, so no lineage re-execution to cut).
+    assigned = e
+    codebook_rows = []  # (subspace, code, sub-centroid vector)
+    for j, model in enumerate(models):
+        assigned = model.transform(
+            assigned.withColumn(
+                "_f", array_to_vector(F.slice("vec", j * sub + 1, sub))
+            )
+        ).drop("_f")
         codebook_rows.extend(
             (j, c, [float(x) for x in cv])
             for c, cv in enumerate(model.clusterCenters())
