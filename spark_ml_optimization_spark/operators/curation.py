@@ -990,3 +990,76 @@ def qc19_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("avail_tokens") < F.col("target_tokens")).cast("int").alias("starved"),
         F.round(allocated * 1.0 / F.col("avail_tokens"), 4).alias("sample_rate"),
     )
+
+
+#: Temperature exponent for qc20 (0<alpha<1 upsamples the tail —
+#: multilingual-LM practice; alpha=1 is proportional, alpha=0 uniform).
+_TEMP_ALPHA = 0.5
+
+
+@register(
+    "qc20_temperature_mixture",
+    oracle=f"""
+        WITH avail AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS avail_tokens
+            FROM documents GROUP BY lang
+        ),
+        powed AS (
+            SELECT *, pow(avail_tokens, {_TEMP_ALPHA}) AS p FROM avail
+        ),
+        tot AS (SELECT sum(p) AS tp FROM powed)
+        SELECT lang, n_docs, avail_tokens,
+               round(p / tp, 6) AS temp_weight,
+               round(p / tp, 6)
+                   - round(avail_tokens * 1.0
+                           / (SELECT sum(avail_tokens) FROM avail), 6)
+                   AS weight_shift,
+               CAST(floor(round(round(p / tp, 6) * {_WATERFILL_BUDGET}, 6))
+                    AS BIGINT) AS target_tokens
+        FROM powed CROSS JOIN tot
+    """,
+    doc=f"Temperature-scaled mixture reweighting (alpha={_TEMP_ALPHA}): "
+    "w_i ∝ (tokens_i)^alpha — the standard multilingual/multi-source "
+    "rebalance (upsample the tail, damp the head) that sits between "
+    "qc19's explicit-weight waterfill and qc09's quota sampler.  "
+    "Output per language: available tokens, the temperature weight, "
+    "the SHIFT vs proportional sampling (positive = upsampled — the "
+    "decision column a data-mixture review reads), and the resulting "
+    f"token allocation from a {_WATERFILL_BUDGET}-token budget "
+    "(round-before-floor, the qc19 double-arithmetic rule; weights "
+    "round to 6 dp first so both engines floor the same quantity).  "
+    "Scale shape: one scan to token counts, then a |langs|-row "
+    "computation — planning a 100 TB mixture costs one pass over "
+    "counts, and the weights feed qc03's hash-bucket sampler "
+    "unchanged.",
+)
+def qc20_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"),
+    )
+    powed = avail.withColumn("p", F.pow("avail_tokens", F.lit(_TEMP_ALPHA)))
+    tot = powed.agg(
+        F.sum("p").alias("tp"),
+        F.sum("avail_tokens").alias("ta"),
+    )
+    w = F.round(F.col("p") / F.col("tp"), 6)
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            w.alias("temp_weight"),
+            (w - F.round(F.col("avail_tokens") * 1.0 / F.col("ta"), 6)).alias(
+                "weight_shift"
+            ),
+            F.floor(F.round(w * _WATERFILL_BUDGET, 6)).cast("long").alias(
+                "target_tokens"
+            ),
+        )
+    )

@@ -894,3 +894,72 @@ def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") >= 0.5)
         .select("doc_a", "doc_b", F.round("est", 4).alias("est_jaccard"))
     )
+
+
+@register(
+    "q75b_semantic_dedup",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) >= 0.35
+        )
+        SELECT e.label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept,
+               CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+        FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+        GROUP BY e.label
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "public): within each semantic block, a document is DROPPED iff a "
+    "lower-id neighbor sits within cosine >= 0.35 (q75's p99.9 "
+    "threshold) — the keep-one-per-semantic-neighborhood rule that "
+    "complements lexical MinHash/SimHash dedup (paraphrases share no "
+    "shingles but land in the same embedding neighborhood).  Here the "
+    "block key is the fixture's label column; at 100 TB the block is a "
+    "KMeans cluster id (q90's assignment — SemDeDup's own recipe), "
+    "which makes the within-block pair join near-linear: O(sum of "
+    "cluster sizes squared) with bounded cluster radius, never "
+    "all-pairs.  The SURVIVOR-SELECTION semantics (lowest-id-wins, the "
+    "deterministic greedy) are what's hash-verified; q75 pins the pair "
+    "listing itself.  Output = per-block keep/drop accounting.",
+)
+def q75b_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot(F.col("va"), F.col("vb")) >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*") - F.count("is_dropped")).cast("long").alias("n_kept"),
+            F.count("is_dropped").cast("long").alias("n_dropped"),
+        )
+    )
