@@ -638,3 +638,31 @@ def q20e_stat_freq_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="freq_flags string, approx_q25 double, approx_q50 double, "
         "approx_q75 double",
     )
+
+
+@register(
+    "q28b_approx_top_k",
+    oracle="""
+        SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
+        FROM part GROUP BY p_brand
+    """,
+    doc="approx_top_k (Spark 4.1 sketch aggregate): single-pass "
+    "frequent-items summary returning (item, count) structs.  With "
+    "maxItemsTracked (10000) above the true cardinality (25 brands) "
+    "the sketch is EXACT, so the exploded result hash-matches the "
+    "plain GROUP BY oracle — the same exactness-window trick as q28's "
+    "HLL twin.  k is set above the domain size so no tie can straddle "
+    "the top-k boundary (engines may break boundary ties differently; "
+    "inside the window the multiset of (item, count) is unique).  At "
+    "100 TB this is the mergeable one-pass 'what are the hot values' "
+    "primitive — partial sketches combine map-side, the shuffle "
+    "carries one bounded buffer per partition, vs the exact twin's "
+    "full groupBy shuffle (fine for 25 brands, fatal for 1e9 URLs).",
+)
+def q28b_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    sk = p.agg(F.expr("approx_top_k(p_brand, 30)").alias("topk"))
+    return sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("est_count"),
+    )

@@ -963,3 +963,60 @@ def q75b_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dropped").cast("long").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "q70b_canonical_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   upper(text) || '   trailing  ws '
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        canon AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS canon_md5
+            FROM corpus
+        )
+        SELECT canon_md5,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM canon
+        GROUP BY canon_md5
+        HAVING count(*) >= 2
+    """,
+    doc="Canonicalized (normalization-aware) exact dedup: documents are "
+    "keyed by md5 of lower-cased, whitespace-collapsed, trimmed text — "
+    "the canonicalization every production exact-dedup runs BEFORE "
+    "hashing, because case/whitespace variants of the same page are "
+    "the most common duplicate class crawls produce.  The fixture text "
+    "is already canonical, so variants are PLANTED by construction "
+    "(every 10th doc re-enters uppercased with injected whitespace "
+    "under doc_id+1e6): the operator must merge each variant with its "
+    "original — vacuous-pass-proof, and both engines canonicalize with "
+    "the same regex.  Same 100 TB shape as q70: only 16-byte digests "
+    "shuffle; normalization is a map-side expression, trailing-space "
+    "included via trim so '   ' collapses fully.",
+)
+def q70b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   trailing  ws ")).alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    canon = F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    )
+    return (
+        corpus.select("doc_id", canon.alias("canon_md5"))
+        .groupBy("canon_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

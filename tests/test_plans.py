@@ -370,3 +370,14 @@ def test_keyset_pagination_pushes_cursor(spark):
     df = _df(spark, "q30c_keyset_pagination")
     assert any("o_orderkey" in f and "GreaterThan" in f for f in pushed_filters(df))
     assert "TakeOrderedAndProject" in explain_formatted(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """q40: the rank-filter pattern must plan as WindowGroupLimit (Spark
+    3.5+ pushes the rn <= k predicate INTO the window as a partial+final
+    per-group top-k heap) — without it every group's full row set is
+    sorted and materialized before the filter, the difference between
+    shuffling k rows/group and shuffling the corpus at 100 TB."""
+    plan = explain_formatted(_df(spark, "q40_topk_per_group"))
+    # Partial (map-side, pre-shuffle) AND final — both must be present.
+    assert plan.count("WindowGroupLimit") >= 2
