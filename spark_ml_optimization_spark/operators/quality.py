@@ -967,3 +967,52 @@ def qd15_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "qd16_volume_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        stats AS (
+            SELECT avg(n_orders) AS mu, stddev_samp(n_orders) AS sd
+            FROM daily
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               round((n_orders - mu) / sd, 6) AS z,
+               CAST(abs(n_orders - mu) > 2 * sd AS INT) AS is_anomaly
+        FROM daily CROSS JOIN stats
+    """,
+    doc="Ingest-volume anomaly audit: daily arrival counts z-scored "
+    "against the table's own mean/stddev, |z| > 2 flagged — the "
+    "pipeline-health monitor that catches a dropped feed or a "
+    "double-delivery BEFORE value-level audits (qd05/qd08 outliers, "
+    "qd13 drift) even run, because it needs only counts.  One scan to "
+    "a day-keyed partial agg (the shuffle carries one row per day), "
+    "one broadcast of the two-number stats row.  Day is emitted as an "
+    "ISO string (the repo's date wire form); at 100 TB the daily "
+    "counts come free from partition-level metadata when the table is "
+    "date-partitioned (src03's layout) — the audit then reads ZERO "
+    "data files.",
+)
+def qd16_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    stats = daily.agg(
+        F.avg("n_orders").alias("mu"),
+        F.stddev_samp("n_orders").alias("sd"),
+    )
+    return daily.crossJoin(F.broadcast(stats)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round((F.col("n_orders") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        (F.abs(F.col("n_orders") - F.col("mu")) > 2 * F.col("sd"))
+        .cast("int")
+        .alias("is_anomaly"),
+    )

@@ -8,14 +8,14 @@ groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
 that equivalence is the point: one declarative plan, two execution modes.
 
 Most twins are hash-verified against deterministic batch oracles
-(st01-st05, st07, st10-st12 — a single staged file drains in one
+(st01-st05, st07, st10-st13 — a single staged file drains in one
 micro-batch, making even update/append-mode output batch-equivalent);
 the rest are rows-only where two-sided watermark timing genuinely
 forbids a deterministic twin (st06, st08, st09).
 
 Scale posture: in production these would read Kafka/cloud storage with
 watermarks bounding state; memory sink is test-only — a real deployment
-uses foreachBatch → parquet/Delta (st05 demonstrates exactly that).
+uses foreachBatch → parquet/Delta (st05 append, st13 keyed upsert).
 """
 
 from __future__ import annotations
@@ -742,3 +742,99 @@ def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "psi_total",
     )
+
+
+@register(
+    "st13_stream_upsert_sink",
+    oracle="""
+        SELECT user_id, event_type AS last_event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+               n_versions
+        FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_versions
+            FROM events
+        ) WHERE rn = 1
+    """,
+    # Deterministic: the staged fixture drains in one micro-batch, so
+    # the final table version is exactly the per-user latest row with
+    # (ts, event_id) as the total-order tiebreak — batch-equivalent to
+    # the window oracle.  The merge code itself is multi-batch-correct
+    # (ts-compared upsert against the previous version), which is what
+    # the versioned-directory dance exercises.
+    doc="foreachBatch KEYED UPSERT sink — the streaming-CDC apply "
+    "pattern st05's append sink doesn't cover: each micro-batch "
+    "reduces to per-key latest rows (window, (ts, event_id) tiebreak), "
+    "then ts-compared-merges into the previous table version and "
+    "writes a NEW versioned directory (copy-on-write snapshot — plain "
+    "parquet can't update in place, and a reader must never see a "
+    "half-written table; this is q37b's lakehouse emulation fed by a "
+    "stream, and on Delta/Iceberg the body of merge_epoch is one "
+    "MERGE INTO).  n_versions counts upserts absorbed per key.  At "
+    "100 TB: batch sizes are watermark-bounded, the merge join is "
+    "keyed (broadcast when the batch is small), and old versions are "
+    "qc18-compacted / vacuumed.",
+)
+def st13_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = _read_events_stream(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"st13_{uuid.uuid4().hex[:12]}")
+    state = {"version": -1}
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.select(
+                "user_id", "event_type", "ts", "event_id",
+                F.count("*").over(W.partitionBy("user_id")).alias("n_versions"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+                F.col("n_versions").cast("long").alias("n_versions"),
+            )
+        )
+        if state["version"] >= 0:
+            existing = sess.read.parquet(f"{base}/v{state['version']}")
+            b, e = latest.alias("b"), existing.alias("e")
+            pick_b = F.col("e.last_ts_us").isNull() | (
+                F.col("b.last_ts_us") >= F.col("e.last_ts_us")
+            )
+            merged = b.join(e, "user_id", "full").select(
+                "user_id",
+                F.when(F.col("b.last_ts_us").isNull(), F.col("e.last_event_type"))
+                .when(pick_b, F.col("b.last_event_type"))
+                .otherwise(F.col("e.last_event_type"))
+                .alias("last_event_type"),
+                F.greatest(
+                    F.coalesce(F.col("b.last_ts_us"), F.lit(-(1 << 62))),
+                    F.coalesce(F.col("e.last_ts_us"), F.lit(-(1 << 62))),
+                ).alias("last_ts_us"),
+                (
+                    F.coalesce(F.col("b.n_versions"), F.lit(0))
+                    + F.coalesce(F.col("e.n_versions"), F.lit(0))
+                ).cast("long").alias("n_versions"),
+            )
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(f"{base}/v{state['version'] + 1}")
+        state["version"] += 1
+
+    q = events.writeStream.foreachBatch(merge_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{base}/v{state['version']}")
