@@ -361,3 +361,209 @@ def qp4_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dup_keys)
         .unionByName(null_prices)
     )
+
+
+def _qp5_oracle() -> str:
+    """Render qp5's funnel oracle: q71's keep-first CTE + q72c's portable
+    min-hash family (generated, 16 hashes) + q75b's survivor rule, each
+    restricted to the previous stage's survivors."""
+    mins = ",\n                   ".join(
+        f"min(substr(md5(s || '#{i}'), 1, 16)) AS h{i}" for i in range(16)
+    )
+    bands = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{b*4} || '|' || h{b*4+1} || '|' "
+        f"|| h{b*4+2} || '|' || h{b*4+3}) AS band_sig FROM sig"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+        WITH s1 AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s1) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            {bands}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        lex_dropped AS (
+            SELECT DISTINCT c.db AS doc_id
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db
+            WHERE ({agree}) / 16.0 >= 0.5
+        ),
+        s2 AS (
+            SELECT * FROM s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM lex_dropped)
+        ),
+        s2e AS (
+            SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM embeddings e JOIN s2 ON s2.doc_id = e.vec_id
+        ),
+        sem_dropped AS (
+            SELECT DISTINCT b.vec_id AS doc_id
+            FROM s2e a JOIN s2e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) >= 0.35
+        ),
+        s3 AS (
+            SELECT * FROM s2
+            WHERE doc_id NOT IN (SELECT doc_id FROM sem_dropped)
+        )
+        SELECT 0 AS stage_idx, 'all' AS stage,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+        UNION ALL SELECT 1, 'exact',
+               CAST((SELECT count(*) FROM s1) AS BIGINT)
+        UNION ALL SELECT 2, 'lexical',
+               CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, 'semantic',
+               CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """
+
+
+@register(
+    "qp5_dedup_funnel",
+    oracle=_qp5_oracle(),
+    doc="The layered dedup FUNNEL a production corpus actually runs, "
+    "end-to-end and hash-verified at every stage boundary: exact "
+    "(md5 keep-first, q70/q71) → lexical near-dup (q72c's portable "
+    "banded MinHash over 3-gram shingles, est-Jaccard >= 0.5, "
+    "higher-id member of each pair dropped) → semantic (q75b's "
+    "SemDeDup rule over embedding cosine within blocks), each stage "
+    "restricted to the previous stage's survivors.  Output = docs "
+    "surviving each stage — the funnel report a data lead reads.  "
+    "Ordering matters and is the cheap-to-expensive schedule: exact "
+    "dedup costs one digest shuffle and typically removes the bulk; "
+    "LSH banding only signatures the survivors; the embedding join "
+    "touches only what lexical dedup kept.  At 100 TB each arrow is "
+    "the same plan shape as its standalone query — digests/signatures "
+    "shuffle, text bodies and vectors stay columnar at rest.",
+)
+def qp5_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import shingles
+    from ..functions.vector import dot, to_double_array
+    from ..sources import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32
+    )
+    n_all = d.select(F.count("*").alias("n"))
+    # Stage 1: exact keep-first.
+    w_exact = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    s1 = (
+        d.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # Stage 2: portable banded MinHash over survivors (q72c's family —
+    # distinct-shingle vocabulary memoization + broadcast-back).
+    sh = s1.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    vocab = sh.select("s").distinct().select(
+        "s",
+        *[
+            F.substring(
+                F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 16
+            ).alias(f"v{i}")
+            for i in range(16)
+        ],
+    )
+    sig = (
+        sh.join(F.broadcast(vocab), "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(16)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * 4 + r}") for r in range(4)])
+            ).alias("band_sig"),
+        )
+        for b in range(4)
+    ]
+    banded = sig.select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(16)],
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"h{i}") for i in range(16)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_sig").alias("band_sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    agree = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(16)
+    )
+    lex_dropped = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(agree / 16.0 >= 0.5)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(lex_dropped, "doc_id", "left_anti")
+    # Stage 3: SemDeDup over the lexical survivors' embeddings.
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    s2e = e.join(s2.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    ea = s2e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    eb = s2e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    sem_dropped = (
+        ea.join(
+            eb,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot(F.col("va"), F.col("vb")) >= 0.35)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(sem_dropped, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "all", d)
+        .unionByName(stage(1, "exact", s1))
+        .unionByName(stage(2, "lexical", s2))
+        .unionByName(stage(3, "semantic", s3))
+    )
