@@ -586,3 +586,166 @@ def q85b_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", score.alias("score"))
         .filter(F.col("score") >= 0.5)
     )
+
+
+def _mmr_greedy(pdf):
+    """Greedy MMR over ONE Arrow batch of precomputed, pre-rounded sims
+    (λ=0.7, k=5): score(d) = 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s),
+    lowest-id-wins ties.  All float inputs arrive rounded to 9 dp from
+    the RELATIONAL dot (sequential-order HOF), so the kernel does only
+    comparisons + one multiply-add per candidate — no numpy summation
+    whose pairwise order could diverge from the oracle's."""
+    import pandas as pd_local
+
+    qsim = {
+        int(r.ia): float(r.sim)
+        for r in pdf[pdf["src"] == "q"].itertuples()
+    }
+    psim = {
+        (int(r.ia), int(r.ib)): float(r.sim)
+        for r in pdf[pdf["src"] == "p"].itertuples()
+    }
+    selected: list[int] = []
+    ranks, ids, scores = [], [], []
+    for step in range(1, 6):
+        best_id, best_score = None, None
+        for v in sorted(qsim):
+            if v in selected:
+                continue
+            pen = max((psim[(v, s)] for s in selected), default=0.0)
+            score = round(0.7 * qsim[v] - 0.3 * pen, 6)
+            if best_score is None or score > best_score:
+                best_id, best_score = v, score
+        if best_id is None:
+            break
+        selected.append(best_id)
+        ranks.append(step)
+        ids.append(best_id)
+        scores.append(best_score)
+    yield pd_local.DataFrame(
+        {"rank": ranks, "vec_id": ids, "mmr_score": scores}
+    )
+
+
+@register(
+    "q85c_mmr_rerank",
+    oracle="""
+        WITH RECURSIVE
+        cand AS (
+            SELECT e.vec_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 9)
+                       AS qsim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY qsim DESC, e.vec_id ASC
+            LIMIT 12
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 9)
+                       AS psim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),
+        sel(step, vec_id, mmr_score, selected) AS (
+            SELECT 1, vec_id, round(0.7 * qsim, 6), [vec_id]
+            FROM cand c1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cand c2
+                WHERE c2.qsim > c1.qsim
+                   OR (c2.qsim = c1.qsim AND c2.vec_id < c1.vec_id)
+            )
+            UNION ALL
+            SELECT s.step + 1, w.vec_id, w.score,
+                   list_append(s.selected, w.vec_id)
+            FROM sel s,
+            LATERAL (
+                SELECT c.vec_id,
+                       round(0.7 * c.qsim - 0.3 * (
+                           SELECT max(p.psim) FROM pairs p
+                           WHERE p.ia = c.vec_id
+                             AND list_contains(s.selected, p.ib)
+                       ), 6) AS score
+                FROM cand c
+                WHERE NOT list_contains(s.selected, c.vec_id)
+            ) w
+            WHERE s.step < 5
+              AND NOT EXISTS (
+                SELECT 1 FROM (
+                    SELECT c.vec_id,
+                           round(0.7 * c.qsim - 0.3 * (
+                               SELECT max(p.psim) FROM pairs p
+                               WHERE p.ia = c.vec_id
+                                 AND list_contains(s.selected, p.ib)
+                           ), 6) AS score
+                    FROM cand c
+                    WHERE NOT list_contains(s.selected, c.vec_id)
+                ) w2
+                WHERE w2.score > w.score
+                   OR (w2.score = w.score AND w2.vec_id < w.vec_id)
+              )
+        )
+        SELECT step AS rank, vec_id, mmr_score FROM sel
+    """,
+    doc="Maximal Marginal Relevance diversity re-rank (Carbonell & "
+    "Goldstein 1998, public) over q85's retrieval: top-12 candidates "
+    "by exact cosine, then the greedy λ=0.7 trade-off between query "
+    "relevance and redundancy-vs-already-selected picks 5 — the "
+    "standard RAG answer-context diversifier.  Division of labor for "
+    "cross-engine determinism: ALL similarities come from the "
+    "relational sequential-order dot (rounded 9 dp — the same "
+    "expression DuckDB evaluates), so the Arrow kernel performs only "
+    "the O(k·n) greedy comparisons; the oracle replays the greedy as "
+    "a recursive CTE carrying the selected-set list.  Scale: the "
+    "candidate set is top-k (q85's broadcast+TakeOrdered, corpus "
+    "never shuffles); MMR itself touches k² pre-reduced rows — "
+    "constant work per query regardless of corpus size.",
+)
+def q85c_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    qsim = F.round(dot(to_double_array("embedding"), F.col("qvec")), 9)
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            to_double_array("embedding").alias("v"),
+            qsim.alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("vec_id").asc())
+        .limit(12)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            F.lit("p").alias("src"),
+            "ia",
+            "ib",
+            F.round(dot(F.col("va"), F.col("vb")), 9).alias("sim"),
+        )
+    )
+    qrows = cand.select(
+        F.lit("q").alias("src"),
+        F.col("vec_id").alias("ia"),
+        F.lit(-1).cast("long").alias("ib"),
+        F.col("qsim").alias("sim"),
+    )
+    return (
+        qrows.unionByName(pairs)
+        .groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda key, pdf: next(_mmr_greedy(pdf)),
+            schema="rank int, vec_id long, mmr_score double",
+        )
+    )

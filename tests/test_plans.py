@@ -381,3 +381,16 @@ def test_topk_per_group_uses_window_group_limit(spark):
     plan = explain_formatted(_df(spark, "q40_topk_per_group"))
     # Partial (map-side, pre-shuffle) AND final — both must be present.
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_aqe_coalesces_overpartitioned_shuffle(spark):
+    """The session's AQE posture, enforced: a 32-partition shuffle over a
+    small aggregate must show AQEShuffleRead(coalesced) in the final
+    adaptive plan — the runtime re-plan that keeps shuffle.partitions
+    sized for the 100 TB case without penalizing small stages."""
+    df = _df(spark, "q01_pricing_summary")
+    df.collect()
+    plan = explain_formatted(df)
+    assert "AdaptiveSparkPlan" in plan
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan
