@@ -8,10 +8,11 @@ groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
 that equivalence is the point: one declarative plan, two execution modes.
 
 Most twins are hash-verified against deterministic batch oracles
-(st01-st05, st07, st10-st13 — a single staged file drains in one
+(st01-st07, st10-st13 — a single staged file drains in one
 micro-batch, making even update/append-mode output batch-equivalent);
 the rest are rows-only where two-sided watermark timing genuinely
-forbids a deterministic twin (st06, st08, st09).
+forbids a deterministic twin (st08, st09 — two-sided watermark
+eviction timing).
 
 Scale posture: in production these would read Kafka/cloud storage with
 watermarks bounding state; memory sink is test-only — a real deployment
@@ -352,11 +353,22 @@ def st08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st06_stateful_apply_in_pandas",
-    oracle=None,
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    # Deterministic over the single-micro-batch fixture: with NoTimeout
+    # the function fires once per user holding ALL that user's rows, so
+    # the emitted running totals ARE the batch group totals.  The 4-dp
+    # wire rounding absorbs pandas-pairwise vs DuckDB-sequential
+    # summation-order noise (the q95/q96 convention).
     doc="Custom stateful streaming operator via applyInPandasWithState: "
     "per-user running event count + running value sum carried in "
     "GroupState across micro-batches (flatMapGroupsWithState twin).  "
-    "Append mode; state schema (count long, total double).",
+    "Append mode; state schema (count long, total double) — "
+    "hash-verified against the per-user batch-total oracle.",
 )
 def st06_stateful_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
