@@ -823,6 +823,34 @@ _PMH_R = 4
     "family and audits with this one.",
 )
 def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _sh, sig, banded = _pmh_sig_banded(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    eq = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (eq / float(_PMH_N)).alias("est"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est") >= 0.5)
+        .select("doc_a", "doc_b", F.round("est", 4).alias("est_jaccard"))
+    )
+
+
+def _pmh_sig_banded(spark: SparkSession, sf_dir: str):
+    """Shared portable-MinHash stages (q72c + the q72d audit): the
+    per-doc shingle relation, the 16-hash signature relation, and the
+    banded relation, all built from the memoized distinct-shingle
+    vocabulary (see q72c's doc for the scale rationale)."""
     from ..api import shingles
 
     # spread(32): the sf0.1 parquet is a single split, which would serialize
@@ -874,25 +902,238 @@ def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.band_sig").alias("band_sig"),
     )
+    return sh, sig, banded
+
+
+#: Exact-Jaccard threshold shared by the q72d audit's ground truth and
+#: the q74e lossless prefix join (0.5 = q72c's est-Jaccard gate, 0.6 =
+#: q74e's — both interpolated into their oracles).
+_AUDIT_TAU = 0.5
+_SETSIM_TAU = 0.6
+
+_PMH_ORACLE_STAGES = """
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   min(substr(md5(s || '#0'), 1, 16)) AS h0,
+                   min(substr(md5(s || '#1'), 1, 16)) AS h1,
+                   min(substr(md5(s || '#2'), 1, 16)) AS h2,
+                   min(substr(md5(s || '#3'), 1, 16)) AS h3,
+                   min(substr(md5(s || '#4'), 1, 16)) AS h4,
+                   min(substr(md5(s || '#5'), 1, 16)) AS h5,
+                   min(substr(md5(s || '#6'), 1, 16)) AS h6,
+                   min(substr(md5(s || '#7'), 1, 16)) AS h7,
+                   min(substr(md5(s || '#8'), 1, 16)) AS h8,
+                   min(substr(md5(s || '#9'), 1, 16)) AS h9,
+                   min(substr(md5(s || '#10'), 1, 16)) AS h10,
+                   min(substr(md5(s || '#11'), 1, 16)) AS h11,
+                   min(substr(md5(s || '#12'), 1, 16)) AS h12,
+                   min(substr(md5(s || '#13'), 1, 16)) AS h13,
+                   min(substr(md5(s || '#14'), 1, 16)) AS h14,
+                   min(substr(md5(s || '#15'), 1, 16)) AS h15
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 2 AS band, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) AS band_sig FROM sig
+            UNION ALL
+            SELECT doc_id, 3 AS band, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) AS band_sig FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+"""
+
+
+@register(
+    "q72d_lsh_quality_audit",
+    oracle=f"""
+        WITH {_PMH_ORACLE_STAGES},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= {_AUDIT_TAU}
+        ),
+        tp AS (
+            SELECT count(*) AS n_tp
+            FROM cand JOIN exact USING (doc_a, doc_b)
+        )
+        SELECT
+            CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+            CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+            CAST(n_tp AS BIGINT) AS n_true_pos,
+            round(n_tp * 1.0 / (SELECT count(*) FROM cand), 4) AS precision,
+            round(n_tp * 1.0 / (SELECT count(*) FROM exact), 4) AS recall
+        FROM tp
+    """,
+    doc="LSH quality audit, fully relational and hash-VERIFIED: the "
+    "q72c portable-MinHash banding stage's candidate pairs are scored "
+    f"against the EXACT shingle-Jaccard ground truth (J >= {_AUDIT_TAU}, "
+    "computed via the inverted-index shingle self-join — never "
+    "all-pairs row products), emitting one row of n_exact / "
+    "n_candidates / n_true_pos / precision / recall.  This is the "
+    "measurement loop a production dedup pipeline runs on a SAMPLE "
+    "before committing band/row parameters for a 100 TB sweep: both "
+    "sides of the comparison are deterministic md5 arithmetic, so the "
+    "quality metrics themselves — not just the mechanism — reproduce "
+    "bit-for-bit in any engine (unlike q72/q87's seeded-MLlib recall "
+    "tests, which pin bounds rather than values).  Scale shape: the "
+    "exact side joins on shingles whose document frequency is bounded "
+    "(p99 = 4 on the fixture; stopword-shingles would be capped by a "
+    "df filter at scale), so candidate generation AND verification "
+    "both stay near-linear in corpus size.",
+)
+def q72d_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, _sig, banded = _pmh_sig_banded(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
-    eq = sum(
-        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        sha.join(shb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= _AUDIT_TAU)
+        .select("doc_a", "doc_b")
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_tp = cand.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_true_pos")
+    )
+    return (
+        n_tp.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (eq / float(_PMH_N)).alias("est"),
+            "n_exact",
+            "n_candidates",
+            "n_true_pos",
+            F.round(F.col("n_true_pos") / F.col("n_candidates"), 4).alias("precision"),
+            F.round(F.col("n_true_pos") / F.col("n_exact"), 4).alias("recall"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("est") >= 0.5)
-        .select("doc_a", "doc_b", F.round("est", 4).alias("est_jaccard"))
+    )
+
+
+@register(
+    "q74e_setsim_prefix_join",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {_SETSIM_TAU}
+    """,
+    doc="Prefix-filtered set-similarity self-join (SSJoin/PPJoin family "
+    "— Chaudhuri et al. 2006, Xiao et al. 2008, public): every doc's "
+    "3-gram shingle set is globally ordered by (document frequency "
+    "ASC, shingle), and only the first |T| - ceil(tau*|T|) + 1 "
+    "shingles — the rarest ones — enter the candidate join; any pair "
+    f"with Jaccard >= {_SETSIM_TAU} provably shares a prefix shingle, "
+    "so candidates are then verified with an exact intersection count. "
+    "The ORACLE is the brute-force all-pairs Jaccard — hash-equality "
+    "with it proves the prefix filter is LOSSLESS, not just plausible. "
+    "ceil(round(tau*n, 6)) keeps the prefix length at the MATH ceiling "
+    "(0.6*n in binary floats can land a hair above the exact product "
+    "and shorten the prefix below the lossless bound).  Scale shape: "
+    "the df-ordered prefix puts only low-fanout shingles into the "
+    "join (rarest-first is WHY prefix filtering scales — candidate "
+    "fan-out is bounded by prefix-token df, p99 = 4 here), the "
+    "verify join touches candidates only, and the df ranking itself "
+    "is one groupBy + one window — near-linear end to end where "
+    "naive all-pairs is quadratic.",
+)
+def q74e_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..api import shingles
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "s").withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.round(F.col("n") * _SETSIM_TAU, 6)) + 1
+    )
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .filter(jac >= _SETSIM_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

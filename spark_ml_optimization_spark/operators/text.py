@@ -595,3 +595,97 @@ def q80b_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_label"
         ),
     )
+
+
+#: Winnowing parameters: k-gram size (words) and window width (grams).
+#: Guarantee (Schleimer et al. 2003): any shared run of at least
+#: k + w - 1 = 8 consecutive words produces at least one shared
+#: fingerprint — the detection floor is a tunable, not a heuristic.
+_WINNOW_K = 4
+_WINNOW_W = 5
+_WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "q79b_winnowing",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(array_to_string(w[i:i+{_WINNOW_K - 1}], '_')), 1, 8) AS h
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - {_WINNOW_K - 1})) AS u(i)
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp
+            FROM win WHERE pos <= n_grams - {_WINNOW_W - 1}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, "
+    f"SIGMOD 2003, public): hash every {_WINNOW_K}-word gram, slide a "
+    f"{_WINNOW_W}-gram window, keep each window's MINIMUM hash — any "
+    f"match of >= k+w-1 = {_WINNOW_K + _WINNOW_W - 1} consecutive words "
+    "between two docs is GUARANTEED to surface as a shared fingerprint "
+    "(the local-algorithm detection bound that plain 1-in-p hash "
+    "sampling cannot give).  Docs sharing >= "
+    f"{_WINNOW_MIN_SHARED} fingerprints are emitted as overlap "
+    "candidates — the copy/plagiarism/boilerplate detector that "
+    "complements set-level MinHash (q72c, whole-doc resemblance) and "
+    "span-level rolling-hash dedup (q74c, exact substrings).  The "
+    "windowed-min selection is expressed as the SAME window frame in "
+    "both engines, so the pair list is hash-verified end to end.  "
+    "Scale shape: one scan + per-doc window (no cross-doc shuffle "
+    "until the fingerprint equi-join), fingerprints are 8-hex-char "
+    "digests (~1/w of gram count per doc), and the pair join's "
+    "fan-out is bounded by per-fingerprint df exactly like q74e's "
+    "prefix join — near-linear, never all-pairs.",
+)
+def q79b_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
+    toks = F.split("text", " ")
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(_WINNOW_K)])),
+            1,
+            8,
+        ),
+    )
+    grams = d.select("doc_id", F.posexplode(gram_arr).alias("pos0", "h")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    fps = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (_WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+    )
