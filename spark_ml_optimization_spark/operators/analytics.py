@@ -913,3 +913,54 @@ def qa21_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_dominant_parts").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+@register(
+    "qa22_cbo_join_reorder",
+    oracle="""
+        SELECT r_name,
+               count(DISTINCT l_orderkey) AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region, customer, lineitem, nation, orders
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+          AND year(o_orderdate) = 1997
+        GROUP BY r_name
+    """,
+    doc="Join-ORDER optimization demo (the PAPERS.md join-ordering "
+    "topic): the star query is written with a deliberately hostile "
+    "FROM order — region, customer, lineitem, nation, orders — where "
+    "NO adjacent pair shares a join predicate, so the literal "
+    "left-deep order would be four cartesian products.  Catalyst's "
+    "ReorderJoin pulls the WHERE equi-predicates into join conditions "
+    "and, with CBO + joinReorder enabled over ANALYZEd catalog tables "
+    "(src06's stats path), CostBasedJoinReorder picks the star order "
+    "from per-table row counts + column NDVs: fact-to-orders first, "
+    "dims broadcast.  tests/test_plans.py pins the physical plan to "
+    "ZERO CartesianProduct and >= 3 broadcast joins — hand-ordering "
+    "joins is exactly what a 100 TB engine must NOT depend on, "
+    "because users write queries in semantic, not cost, order.  "
+    "(cbo confs are runtime SQLConfs, set-and-kept: they only act "
+    "where catalog stats exist, and temp-view queries carry none.)",
+)
+def qa22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.stats import analyze_tables
+
+    cats = analyze_tables(
+        spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem")
+    )
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    return spark.sql(
+        f"""
+        SELECT r_name,
+               count(DISTINCT l_orderkey) AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM {cats["region"]}, {cats["customer"]}, {cats["lineitem"]},
+             {cats["nation"]}, {cats["orders"]}
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+          AND year(o_orderdate) = 1997
+        GROUP BY r_name
+        """
+    )

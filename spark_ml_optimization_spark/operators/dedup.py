@@ -1261,3 +1261,90 @@ def q70b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@register(
+    "q84b_triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        )
+        SELECT
+            CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+            CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+            CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+            CAST(n_triangles AS BIGINT) AS n_triangles,
+            round(3.0 * n_triangles
+                  / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+                AS global_clustering
+        FROM tri
+    """,
+    doc="Triangle counting + global clustering coefficient over the "
+    "part co-purchase graph (parts sharing an order are adjacent): the "
+    "classic two-hop join-intersection — e1(a,b) ⋈ e2(b,c) ⋈ "
+    "e3(a,c) — with every edge oriented low-id → high-id so each "
+    "triangle is counted exactly once, plus the exact wedge count "
+    "Σ d(d-1)/2 for the 3T/W clustering ratio.  Completes the graph "
+    "family beside q84 (PageRank) and q74b (connected components); "
+    "clustering structure is a standard corpus-graph health signal "
+    "(citation/link graphs in curation).  Scale shape: the joins shuffle "
+    "on single node keys; at 100 TB the edge relation is ORIENTED BY "
+    "DEGREE (low-degree endpoint first, the standard O(m^1.5) "
+    "bound) instead of by id — same output, the orientation only "
+    "caps the per-key fan-out; the id orientation here mirrors the "
+    "oracle so both engines count identical join paths.",
+)
+def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

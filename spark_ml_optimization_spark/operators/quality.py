@@ -1016,3 +1016,121 @@ def qd16_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "qd17_profile_drift",
+    oracle="""
+        WITH prof AS (
+            SELECT
+                CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END
+                    AS side,
+                count(*) AS n_rows,
+                round(1.0 - count(o_totalprice) * 1.0 / count(*), 6)
+                    AS price_null_rate,
+                round(sum(o_totalprice) / count(o_totalprice), 4)
+                    AS price_mean,
+                count(DISTINCT o_custkey) AS custkey_distinct,
+                count(DISTINCT o_orderstatus) AS status_distinct,
+                count(DISTINCT o_orderpriority) AS priority_distinct
+            FROM orders GROUP BY 1
+        )
+        SELECT m.metric,
+               round(CASE m.metric
+                   WHEN 'n_rows' THEN r.n_rows
+                   WHEN 'price_null_rate' THEN r.price_null_rate
+                   WHEN 'price_mean' THEN r.price_mean
+                   WHEN 'custkey_distinct' THEN r.custkey_distinct
+                   WHEN 'status_distinct' THEN r.status_distinct
+                   ELSE r.priority_distinct END, 6) AS ref_val,
+               round(CASE m.metric
+                   WHEN 'n_rows' THEN c.n_rows
+                   WHEN 'price_null_rate' THEN c.price_null_rate
+                   WHEN 'price_mean' THEN c.price_mean
+                   WHEN 'custkey_distinct' THEN c.custkey_distinct
+                   WHEN 'status_distinct' THEN c.status_distinct
+                   ELSE c.priority_distinct END, 6) AS cur_val,
+               round(CASE m.metric
+                   WHEN 'n_rows' THEN c.n_rows - r.n_rows
+                   WHEN 'price_null_rate' THEN c.price_null_rate - r.price_null_rate
+                   WHEN 'price_mean' THEN c.price_mean - r.price_mean
+                   WHEN 'custkey_distinct' THEN c.custkey_distinct - r.custkey_distinct
+                   WHEN 'status_distinct' THEN c.status_distinct - r.status_distinct
+                   ELSE c.priority_distinct - r.priority_distinct END, 6)
+                   AS delta
+        FROM (VALUES ('n_rows'), ('price_null_rate'), ('price_mean'),
+                     ('custkey_distinct'), ('status_distinct'),
+                     ('priority_distinct')) AS m(metric)
+        CROSS JOIN (SELECT * FROM prof WHERE side = 'ref') r
+        CROSS JOIN (SELECT * FROM prof WHERE side = 'cur') c
+    """,
+    doc="Snapshot-to-snapshot PROFILE drift audit — the schema-level "
+    "companion to qd13's value-level PSI: row volume, null rates, "
+    "column means, and per-column distinct cardinalities are profiled "
+    "on the reference slice (orders through 1997) and the current "
+    "slice, emitted as long-form (metric, ref, cur, delta) rows — the "
+    "table a data-contract monitor diffs per ingest batch to catch "
+    "upstream schema/population changes (new enum value, nulls "
+    "appearing, cardinality explosion) before they poison training "
+    "data.  Scale shape: ONE scan of each slice aggregated to a "
+    "single profile row per side (distinct counts become "
+    "approx_count_distinct at 100 TB — same plan, documented "
+    "estimate), then a 6-row metric spine unpivots the comparison "
+    "driver-side-free; the shuffle carries two profile rows total.",
+)
+def qd17_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    prof = (
+        o.select(
+            F.when(F.year("o_orderdate") <= 1997, "ref").otherwise("cur").alias(
+                "side"
+            ),
+            "o_totalprice",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                1.0 - F.count("o_totalprice") * 1.0 / F.count("*"), 6
+            ).alias("price_null_rate"),
+            F.round(
+                F.sum("o_totalprice") / F.count("o_totalprice"), 4
+            ).alias("price_mean"),
+            F.countDistinct("o_custkey").alias("custkey_distinct"),
+            F.countDistinct("o_orderstatus").alias("status_distinct"),
+            F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        )
+    )
+    metrics = (
+        "n_rows",
+        "price_null_rate",
+        "price_mean",
+        "custkey_distinct",
+        "status_distinct",
+        "priority_distinct",
+    )
+    r = prof.filter(F.col("side") == "ref").alias("r")
+    c = prof.filter(F.col("side") == "cur").alias("c")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(f"r.{m}").cast("double").alias("ref_val"),
+                F.col(f"c.{m}").cast("double").alias("cur_val"),
+            )
+            for m in metrics
+        ]
+    )
+    return (
+        r.crossJoin(F.broadcast(c))
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.metric").alias("metric"),
+            F.round("p.ref_val", 6).alias("ref_val"),
+            F.round("p.cur_val", 6).alias("cur_val"),
+            F.round(F.col("p.cur_val") - F.col("p.ref_val"), 6).alias("delta"),
+        )
+    )

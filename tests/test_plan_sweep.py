@@ -30,6 +30,7 @@ from .conftest import SF_CORRECT
 #: construction runs real Spark jobs (fit/stream/materialize/iterate)
 _EAGER_PREFIXES = ("st", "src", "ml0", "ml1", "qc13", "qc18")
 _EAGER_NAMES = {
+    "qa22_cbo_join_reorder",  # ANALYZE TABLE stats collection at construction
     "q72_minhash_lsh_neardup",  # MLlib MinHashLSH fit
     "q87_ann_lsh",  # BucketedRandomProjectionLSH fit
     "q90_kmeans_clusters",  # KMeans fit

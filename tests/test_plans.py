@@ -394,3 +394,13 @@ def test_aqe_coalesces_overpartitioned_shuffle(spark):
     assert "AdaptiveSparkPlan" in plan
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_cbo_reorders_hostile_join_order(spark):
+    """qa22: the FROM order makes every adjacent pair predicate-free, so
+    the literal left-deep order would be four CartesianProducts; the
+    optimizer (ReorderJoin + CBO over ANALYZEd stats) must recover the
+    star shape — zero cartesians, dims broadcast."""
+    plan = explain_formatted(_df(spark, "qa22_cbo_join_reorder"))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
