@@ -165,3 +165,113 @@ def mm04_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
         F.max("n_frames").cast("int").alias("max_frames"),
     )
+
+
+def _phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """aHash-style perceptual hash over the first 256 payload bytes:
+    64 groups of 4 bytes, bit g = 1 iff mean(group) > mean(all read
+    bytes), compared integer-exactly as sum_g * L > total * cnt_g.
+    Returns (doc_id, phash int64 two's-complement, bucket = top 16
+    bits) per row."""
+    import numpy as np
+
+    for pdf in it:
+        n = len(pdf)
+        phashes = np.zeros(n, dtype=np.int64)
+        buckets = np.zeros(n, dtype=np.int64)
+        for i, payload in enumerate(pdf["payload"]):
+            raw = bytes(payload)[:256]
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            L = int(arr.size)
+            total = int(arr.sum())
+            sig = 0
+            for g in range(64):
+                seg = arr[g * 4 : (g + 1) * 4]
+                bit = 1 if seg.size and int(seg.sum()) * L > total * seg.size else 0
+                sig = (sig << 1) | bit
+            buckets[i] = sig >> 48
+            phashes[i] = sig - (1 << 64) if sig >= 1 << 63 else sig
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "phash": phashes, "bucket": buckets}
+        )
+
+
+@register(
+    "mm05_perceptual_hash_neardup",
+    oracle="""
+        WITH bytes AS (
+            SELECT doc_id, i AS pos, ascii(substr(text, i, 1)) AS v,
+                   least(len(text), 256) AS L
+            FROM documents
+            CROSS JOIN UNNEST(generate_series(1, least(len(text), 256))) u(i)
+        ),
+        groups AS (
+            SELECT doc_id, (pos - 1) // 4 AS g, sum(v) AS sum_g,
+                   count(*) AS cnt_g, any_value(L) AS L
+            FROM bytes GROUP BY doc_id, (pos - 1) // 4
+        ),
+        tot AS (SELECT doc_id, sum(sum_g) AS total FROM groups GROUP BY doc_id),
+        bits AS (
+            SELECT g.doc_id, g.g,
+                   CAST(g.sum_g * g.L > t.total * g.cnt_g AS INT) AS bit
+            FROM groups g JOIN tot t USING (doc_id)
+        ),
+        sig AS (
+            -- weights via HUGEINT shifts: ** would return DOUBLE and
+            -- quantize the low bits of the 64-bit fold
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bit = 1
+                                 THEN CAST(1 AS HUGEINT) << (63 - g)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS s,
+                   CAST(sum(CASE WHEN bit = 1 AND g < 16
+                                 THEN 1 << (15 - g) ELSE 0 END) AS BIGINT)
+                       AS bucket
+            FROM bits GROUP BY doc_id
+        ),
+        ph AS (
+            SELECT doc_id, bucket,
+                   CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN s - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE s END AS BIGINT) AS phash
+            FROM sig
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    """,
+    doc="Perceptual-hash near-duplicate pairs over media payloads — the "
+    "multimodal counterpart of lexical MinHash: an aHash-style 64-bit "
+    "signature (64 groups of 4 payload bytes; bit = group mean above "
+    "whole-payload mean, compared integer-exactly as cross-multiplied "
+    "sums) is computed by the Arrow-batched Python kernel, then "
+    "near-dups are found by a 16-bit-prefix bucket join + "
+    "bit_count(xor) Hamming filter (<= 8) — never all-pairs.  The "
+    "ORACLE re-derives every signature relationally from character "
+    "codes (the fixture payload is the doc's ASCII bytes, asserted "
+    "byte==char; a real deployment swaps the byte-mean kernel for a "
+    "DCT over mm03's decoded pixels — same signature/bucket/join "
+    "shape, same plan), folding bits through HUGEINT to the same "
+    "two's-complement int64 — kernel arithmetic, bucketing, and "
+    "Hamming filter are all hash-VERIFIED.  Scale: payload bytes stay "
+    "map-side (the shuffle carries 16 bytes/doc), bucket fan-out is "
+    "bounded like q74e's prefix join.",
+)
+def mm05_perceptual_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_binary(spark, sf_dir)
+    ph = b.select("doc_id", "payload").mapInPandas(
+        _phash_batch, schema="doc_id long, phash long, bucket long"
+    )
+    pa = ph.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "bucket"
+    )
+    pb = ph.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "bucket"
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        pa.join(pb, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )

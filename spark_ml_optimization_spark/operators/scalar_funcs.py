@@ -593,3 +593,37 @@ def q54b_hof_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_len_via_reduce"),
     )
+
+
+@register(
+    "q53c_bitwise_family",
+    oracle="""
+        SELECT o_orderpriority,
+               bit_and(o_orderkey % 256) AS k_and,
+               bit_or(o_orderkey % 256) AS k_or,
+               bit_xor(o_orderkey % 256) AS k_xor,
+               CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_bits,
+               CAST(max((o_orderkey % 1024) << 2) AS BIGINT) AS max_shifted
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Bitwise expression + aggregate family: &-fold / |-fold / "
+    "^-fold aggregates (bit_and/bit_or/bit_xor — the flag-intersection "
+    "/ union / parity reducers used on permission masks and feature "
+    "bitmaps), popcount (bit_count — the Hamming primitive mm05 and "
+    "qc17's bitmaps build on), and shifts, all over integer keys.  "
+    "Whole-stage-codegen'd single-agg scan; two's-complement semantics "
+    "match DuckDB exactly so the fold results hash-verify.",
+)
+def q53c_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    low = F.col("o_orderkey") % 256
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(low).alias("k_and"),
+        F.bit_or(low).alias("k_or"),
+        F.bit_xor(low).alias("k_xor"),
+        F.sum(F.bit_count("o_orderkey")).cast("long").alias("total_bits"),
+        F.max(F.shiftleft(F.col("o_orderkey") % 1024, 2)).cast("long").alias(
+            "max_shifted"
+        ),
+    )

@@ -665,20 +665,26 @@ def q79b_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ),
     )
-    grams = d.select("doc_id", F.posexplode(gram_arr).alias("pos0", "h")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "h"
-    )
+    # n_grams is just the token count minus k-1 — known BEFORE the
+    # explode, so no count-over-partition window (a second full window
+    # pass) is needed, and the md5 gram array is evaluated exactly once.
+    grams = d.select(
+        "doc_id",
+        (F.size(toks) - (_WINNOW_K - 1)).alias("n_grams"),
+        F.posexplode(gram_arr).alias("pos0", "h"),
+    ).select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
     fps = (
         grams.select(
             "doc_id",
             "pos",
+            "n_grams",
             F.min("h").over(win).alias("fp"),
-            F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
         )
         .filter(F.col("pos") <= F.col("n_grams") - (_WINNOW_W - 1))
         .select("doc_id", "fp")
         .distinct()
+        .cache()  # both sides of the pair self-join read this (~1/w of grams)
     )
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")

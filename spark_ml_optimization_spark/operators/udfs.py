@@ -403,3 +403,87 @@ def q95c_minmax_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "c_custkey", "c_nationkey", F.round("scaled_bal", 5).alias("scaled_bal")
     )
+
+
+def _spend_profile_cogroup(key, orders_pdf, cust_pdf):
+    """Cogrouped merge kernel, VECTORIZED within a hash bucket: the
+    orders-side rollup is a pandas groupby, the customer merge a single
+    pandas join — one Python call per bucket, not per entity (a per-
+    custkey cogroup pays ~1 ms of call+frame overhead per key: measured
+    20.1 s vs 1.3 s at sf0.1 for identical semantics)."""
+    import numpy as np
+
+    agg = (
+        orders_pdf.groupby("o_custkey")["o_totalprice"]
+        .agg(n="count", t="sum")
+        .reset_index()
+    )
+    m = cust_pdf.merge(agg, left_on="c_custkey", right_on="o_custkey", how="left")
+    total = m["t"].fillna(0.0)
+    acct = m["c_acctbal"]
+    ratio = (total / acct).where(acct != 0.0, np.nan).round(4)
+    return pd.DataFrame(
+        {
+            "custkey": m["c_custkey"],
+            "n_orders": m["n"].fillna(0).astype("int64"),
+            "acctbal": acct,
+            "total_spend": total.round(2),
+            "spend_ratio": ratio,
+        }
+    )
+
+
+@register(
+    "q95d_cogrouped_map",
+    oracle="""
+        SELECT c.c_custkey AS custkey,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+               c.c_acctbal AS acctbal,
+               round(coalesce(o.t, 0), 2) AS total_spend,
+               round(coalesce(o.t, 0) / nullif(c.c_acctbal, 0), 4)
+                   AS spend_ratio
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS t
+                   FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+    """,
+    doc="COGROUPED pandas map — df.groupBy(k).cogroup(other.groupBy(k))"
+    ".applyInPandas: both relations are co-shuffled on a 64-way hash "
+    "bucket of the entity key and each bucket's two row sets arrive as "
+    "a pandas pair in ONE Python call — the Arrow surface for custom "
+    "merge logic (as-of matching, per-entity reconciliation) that a "
+    "plain grouped map can't see both sides of.  Kernel: vectorized "
+    "per-customer order rollup (pandas groupby) merged with customer "
+    "attributes (pandas join) inside the bucket; oracle: the "
+    "equivalent left-join aggregate (FK orphans measured zero, so the "
+    "bucket union == customer keys).  The fixture kernel is "
+    "deliberately JOIN-EXPRESSIBLE so the cogroup machinery itself "
+    "hash-verifies; production reserves cogroup for kernels that are "
+    "not (per-key model scoring against reference curves, trajectory "
+    "alignment).  Scale: one co-shuffle of both sides — same exchange "
+    "cost as the equivalent join; bucketing the key keeps Python call "
+    "count at O(buckets) (per-entity calls: 20.1 s vs 1.3 s measured "
+    "at sf0.1) while state stays bounded by bucket size.",
+)
+def q95d_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cogroup on a HASH BUCKET of the entity key, not the key itself:
+    # both sides co-shuffle on 64 buckets and the kernel merges a whole
+    # bucket vectorized — the granularity a 100 TB cogroup runs at
+    # (per-entity kernel calls serialize on Python call overhead).
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 64).alias("bucket"), "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 64).alias("bucket"), "c_custkey", "c_acctbal"
+    )
+    return (
+        o.groupBy("bucket")
+        .cogroup(c.groupBy("bucket"))
+        .applyInPandas(
+            _spend_profile_cogroup,
+            schema=(
+                "custkey long, n_orders long, acctbal double, "
+                "total_spend double, spend_ratio double"
+            ),
+        )
+    )

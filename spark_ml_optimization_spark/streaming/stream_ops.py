@@ -850,3 +850,84 @@ def st13_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(f"{base}/v{state['version']}")
+
+
+_INGEST_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_incoming_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the deterministic 'incoming batch' for st14: every document
+    re-submitted under doc_id+1e6, with every 10th UPPERCASED (a changed
+    digest — genuinely new content); the rest are exact re-crawls of the
+    corpus.  Written once per sf_dir."""
+    if sf_dir not in _INGEST_STAGE_CACHE:
+        from ..sources import load_table
+
+        dst = tempfile.mkdtemp(prefix="incoming_docs_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.when(F.col("doc_id") % 10 == 0, F.upper("text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+        _INGEST_STAGE_CACHE[sf_dir] = dst
+    return _INGEST_STAGE_CACHE[sf_dir]
+
+
+@register(
+    "st14_stream_ingest_dedup",
+    oracle="""
+        WITH corpus AS (SELECT DISTINCT md5(text) AS d FROM documents),
+        incoming AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN upper(text)
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT i.doc_id, md5(i.text) AS text_md5
+        FROM incoming i
+        LEFT JOIN corpus c ON md5(i.text) = c.d
+        WHERE c.d IS NULL
+    """,
+    # Deterministic: append-mode stream-static anti join over one staged
+    # micro-batch emits each surviving row exactly once.
+    doc="Streaming INGEST DEDUP GATE — the streaming twin of qc11's "
+    "incremental batch-vs-corpus dedup and the front door of a "
+    "continuously-crawling training-data pipeline: incoming documents "
+    "stream in, an md5 content digest is computed map-side, and a "
+    "stream-static LEFT ANTI join against the existing corpus digest "
+    "dimension drops every already-known text before it costs storage "
+    "or downstream compute.  The staged batch re-submits the whole "
+    "corpus with every 10th doc uppercased, so exactly the mutated "
+    "10% survive — planted ground truth, hash-verified.  Scale: the "
+    "static side is a 16-byte-digest dimension (broadcast or "
+    "digest-bucketed at 100 TB); the stream side shuffles digests, "
+    "never bodies; state is ZERO because anti-join against a static "
+    "side needs no watermark bookkeeping.",
+)
+def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    configure(spark)
+    staged = _stage_incoming_docs(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    incoming = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .withColumn("text_md5", F.md5("text"))
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("corpus_md5"))
+        .distinct()
+    )
+    fresh = incoming.join(
+        corpus, incoming.text_md5 == corpus.corpus_md5, "left_anti"
+    ).select("doc_id", "text_md5")
+    return _run_to_memory(fresh, "append")
