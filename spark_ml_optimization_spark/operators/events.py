@@ -698,3 +698,88 @@ def q67c_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").rlike(r"signup(>\w+)*>purchase").cast("int").alias("converted"),
         F.col("path").rlike("error>error").cast("int").alias("double_error"),
     )
+
+
+@register(
+    "q66b_interval_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+            FROM events
+            GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT day, t0 AS t, 1 AS pos, 1 AS net FROM iv
+            UNION ALL
+            SELECT day, t1, 0, -1 FROM iv
+        ),
+        per_t AS (
+            SELECT day, t, sum(pos) AS n_starts, sum(net) AS net
+            FROM deltas GROUP BY day, t
+        ),
+        running AS (
+            SELECT day, t, n_starts,
+                   sum(net) OVER (PARTITION BY day ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - net + n_starts
+                       AS peak_here,
+                   net
+            FROM per_t
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_boundaries,
+               CAST(max(peak_here) AS BIGINT) AS max_concurrency
+        FROM running
+        GROUP BY day
+    """,
+    doc="Interval-overlap CONCURRENCY via the sweep-line recipe — 'how "
+    "many users were active at once', the classic interval question "
+    "that naive approaches answer with an interval×interval self-join: "
+    "per-user daily activity spans become +1/-1 boundary events, a "
+    "running sum ordered by time is the live concurrency, and the "
+    "daily max is one window + one agg.  Determinism at shared "
+    "timestamps is by construction: boundaries collapse per distinct "
+    "(day, t) with all starts applied before any end (peak_here = "
+    "running_net_before + starts_at_t), so no engine-dependent "
+    "ordering within ties can change the result.  Scale shape: one "
+    "groupBy to intervals, one union, one day-partitioned window over "
+    "BOUNDARY counts (2 rows per interval, never interval pairs) — "
+    "the self-join alternative is quadratic in overlap density.",
+)
+def q66b_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    iv = e.groupBy("user_id", "day").agg(
+        F.min("us").alias("t0"), F.max("us").alias("t1")
+    )
+    deltas = iv.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("pos"), F.lit(1).alias("net")
+    ).unionAll(
+        iv.select("day", F.col("t1").alias("t"), F.lit(0), F.lit(-1))
+    )
+    per_t = deltas.groupBy("day", "t").agg(
+        F.sum("pos").alias("n_starts"), F.sum("net").alias("net")
+    )
+    w = W.partitionBy("day").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    running = per_t.select(
+        "day",
+        "t",
+        (F.sum("net").over(w) - F.col("net") + F.col("n_starts")).alias(
+            "peak_here"
+        ),
+    )
+    return running.groupBy("day").agg(
+        F.countDistinct("t").cast("long").alias("n_boundaries"),
+        F.max("peak_here").cast("long").alias("max_concurrency"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_boundaries",
+        "max_concurrency",
+    )

@@ -552,18 +552,36 @@ def qp5_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(sem_dropped, "doc_id", "left_anti")
-
-    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count("*").cast("long").alias("n_docs"),
-        )
-
-    return (
-        stage(0, "all", d)
-        .unionByName(stage(1, "exact", s1))
-        .unionByName(stage(2, "lexical", s2))
-        .unionByName(stage(3, "semantic", s3))
+    # Single-pass funnel accounting: a union of four per-stage aggregates
+    # would recompute every upstream stage per branch (the signature
+    # pipeline twice, the window thrice — measured 14.2 s vs 8 s at
+    # sf0.1); instead, flag every doc with its drop stage via two
+    # left joins and take all four counts from ONE scan of the flags.
+    flags = (
+        d.select("doc_id")
+        .join(s1.select("doc_id", F.lit(1).alias("s1")), "doc_id", "left")
+        .join(lex_dropped.select("doc_id", F.lit(1).alias("ld")), "doc_id", "left")
+        .join(sem_dropped.select("doc_id", F.lit(1).alias("sd")), "doc_id", "left")
+    )
+    survives_s1 = F.col("s1").isNotNull()
+    survives_s2 = survives_s1 & F.col("ld").isNull()
+    survives_s3 = survives_s2 & F.col("sd").isNull()
+    counts = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(survives_s1.cast("long")).alias("n1"),
+        F.sum(survives_s2.cast("long")).alias("n2"),
+        F.sum(survives_s3.cast("long")).alias("n3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(("all", "exact", "lexical", "semantic"))
+        ]
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_docs"
     )
