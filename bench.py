@@ -174,7 +174,11 @@ def main() -> int:
             for sq in spark.streams.active:
                 sq.stop()
             spark.catalog.clearCache()
-            if i % 10 == 9:
+            # Every 5 (was 10): this round's VM showed 5-10x in-suite
+            # spikes concentrated mid-suite (q7x dedup stretch: q74
+            # 25.1 s in-suite vs 2.3 s isolated, same code/session) —
+            # a full GC on the 48g heap costs ~0.2 s, cheap insurance.
+            if i % 5 == 4:
                 spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

@@ -1130,3 +1130,67 @@ def ml24_sql_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("chars_per_token"), 4).alias("avg_chars_per_token"),
         )
     )
+
+
+from pyspark.ml import Transformer as _Transformer
+
+
+class ClipTransformer(_Transformer):
+    """Custom MLlib Transformer — the extension point for org-specific
+    pipeline stages.  Transform is PURE Catalyst column expressions
+    (least/greatest clamp), so unlike typical custom stages it stays in
+    whole-stage codegen and is DuckDB-hash-verifiable; kernels that need
+    numpy belong in a pandas_udf inside the stage instead."""
+
+    def __init__(self, input_col: str, output_col: str, lo: float, hi: float):
+        super().__init__()
+        self._input_col = input_col
+        self._output_col = output_col
+        self._lo = lo
+        self._hi = hi
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return dataset.withColumn(
+            self._output_col,
+            F.greatest(
+                F.least(F.col(self._input_col), F.lit(self._hi)), F.lit(self._lo)
+            ),
+        )
+
+
+@register(
+    "ml25_custom_transformer",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(avg(greatest(least(c_acctbal, 5000.0), 0.0)), 4)
+                   AS avg_clipped_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="CUSTOM Transformer stage inside a Pipeline — the pyspark.ml "
+    "extension surface (subclass Transformer, implement _transform): a "
+    "fixed-bound clipping stage composed ahead of an aggregate, "
+    "demonstrating that org-specific stages participate in "
+    "Pipeline.fit/transform like built-ins.  The stage body is pure "
+    "Catalyst (least/greatest), so the whole pipeline stays codegen'd "
+    "and hash-verifies against SQL — the design rule for custom "
+    "stages at 100 TB: expression-only transforms unless the kernel "
+    "genuinely needs numpy (then: pandas_udf inside the stage, Arrow-"
+    "batched).  Learned bounds belong in an Estimator twin whose fit "
+    "computes percentiles (qd06's winsorize is that relational twin).",
+)
+def ml25_custom_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    clip = ClipTransformer("c_acctbal", "clipped_bal", 0.0, 5000.0)
+    model = Pipeline(stages=[clip]).fit(c)
+    return (
+        model.transform(c)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("clipped_bal"), 4).alias("avg_clipped_bal"),
+        )
+    )

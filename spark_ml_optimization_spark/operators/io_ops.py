@@ -598,3 +598,62 @@ if avro_connector_available():
             ]
         )
         return spark.read.schema(schema).format("avro").load(path)
+
+
+@register(
+    "src17_recursive_glob_read",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY o_orderstatus
+    """,
+    doc="Recursive + glob-filtered file discovery: orders are written as "
+    "a two-level nested directory tree (year/status) with a decoy "
+    ".json dropped alongside, then read back with "
+    "recursiveFileLookup=true + pathGlobFilter='*.parquet' and an "
+    "explicit schema.  This is the ingest posture for lake paths a "
+    "Spark job doesn't own: directory names can't be trusted as "
+    "partition metadata (mixed file types, arbitrary nesting, no "
+    "catalog), so discovery is recursive, type-filtered, and "
+    "schema-pinned — recursiveFileLookup deliberately DISABLES "
+    "partition inference, which is why every column lives in the leaf "
+    "files and the 1997 restriction is a data filter, not a partition "
+    "prune (the documented trade-off vs src03's owned, partitioned "
+    "sink).  Hash-verified against the direct fixture aggregate.",
+)
+def src17_recursive_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    path = _scratch(f"nested_orders_{sf_dir.replace('/', '_')}")
+    if not os.path.isdir(path):
+        # Two-level nested tree via partitionBy on DERIVED copies (yr,
+        # st), so every original column — o_orderstatus included — stays
+        # inside the leaf files: recursive discovery reads leaves only
+        # and must not depend on recovering hive partition values.
+        (
+            o.withColumn("st", F.col("o_orderstatus"))
+            .write.mode("overwrite")
+            .partitionBy("yr", "st")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            fh.write('{"decoy": true}\n')
+    schema = load_table(spark, sf_dir, "orders").schema
+    back = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+    return (
+        back.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
