@@ -1063,3 +1063,108 @@ def qc20_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "qc21_leakage_safe_split",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            WITH tok AS (
+                SELECT DISTINCT doc_id, lang, source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM tok a
+                JOIN tok b ON a.token = b.token AND a.lang = b.lang
+                          AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+                  >= 0.8
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(node, root) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+        ), comp AS (
+            SELECT node AS doc_id, min(root) AS component
+            FROM reach GROUP BY node
+        ), rep AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        ), labeled AS (
+            SELECT doc_id, rep,
+                   CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) < 'e'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rep
+        ), leaks AS (
+            SELECT count(*) AS leaked FROM (
+                SELECT rep FROM labeled
+                GROUP BY rep HAVING count(DISTINCT split) > 1
+            )
+        )
+        SELECT split,
+               CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((SELECT leaked FROM leaks) AS BIGINT) AS leaked_clusters
+        FROM labeled GROUP BY split
+    """,
+    doc="LEAKAGE-SAFE train/val/test split — the assignment unit is the "
+    "near-duplicate CLUSTER (q74b's connected components over the "
+    "exact-Jaccard pair graph; singletons are their own cluster), not "
+    "the document: hash-splitting per document puts one near-dup in "
+    "train and its twin in test, silently inflating eval (the "
+    "train-test contamination Lee et al. 2022 measure), so the split "
+    "key is the cluster representative's md5 (first hex digit: <'c' "
+    "train ~75%, <'e' val ~12.5%, else test).  The output carries "
+    "leaked_clusters — clusters spanning >1 split — computed "
+    "relationally: 0 BY CONSTRUCTION, and the audit column proves it "
+    "in the same hash-verified result.  Scale: components come from "
+    "the iterative min-label CC (near-linear, LSH-pair input); the "
+    "split itself is one map-side expression on the representative — "
+    "no RNG, reproducible under any partitioning, same recipe as "
+    "qc03's sampler.",
+)
+def qc21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import all_queries
+
+    comp = (
+        all_queries()["q74b_dup_components"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "component")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    tag = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    labeled = rep.withColumn(
+        "split",
+        F.when(tag < "c", "train").when(tag < "e", "val").otherwise("test"),
+    )
+    leaks = (
+        labeled.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("leaked_clusters"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )

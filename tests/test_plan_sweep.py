@@ -37,6 +37,7 @@ _EAGER_NAMES = {
     "q92_ann_ivf",  # KMeans coarse quantizer fit
     "q92b_ann_pq",  # per-subspace codebook fits
     "q74b_dup_components",  # iterative connected components
+    "qc21_leakage_safe_split",  # runs q74b's iterative CC at construction
     "q84_pagerank",  # iterative power method
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction

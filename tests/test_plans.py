@@ -404,3 +404,23 @@ def test_cbo_reorders_hostile_join_order(spark):
     plan = explain_formatted(_df(spark, "qa22_cbo_join_reorder"))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_setsim_prefix_join_reuses_cached_shingles(spark):
+    """q74e: the shared shingle relation must come back from cache for
+    its many consumers after materialization — losing the cache silently
+    re-derives the explode+hash per branch (measured 54 s vs ~5 s at
+    sf0.1)."""
+    df = _df(spark, "q74e_setsim_prefix_join")
+    df.collect()  # materialize the caches through the first execution
+    plan = explain_formatted(df)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_triangle_count_reuses_cached_edges(spark):
+    """q84b: the edge list and the oriented-edge relation each feed
+    multiple joins; both must read from cache after materialization."""
+    df = _df(spark, "q84b_triangle_count")
+    df.collect()
+    plan = explain_formatted(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan
