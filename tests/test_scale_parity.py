@@ -40,6 +40,19 @@ SCALE_SENSITIVE = [
     # planted (sf0.1: 5000 -> 4992 -> 4756 -> 4416); re-pin the full
     # exact->lexical->semantic composition at bench scale.
     "qp5_dedup_funnel",
+    # round-7 heavies whose output density depends on planted dups /
+    # graph size: the lossless-prefix-join claim (q74e: ~256 pairs at
+    # sf0.1 vs 25 at sf0.01), winnowing overlap pairs (q79b), the LSH
+    # precision/recall audit's counts (q72d), the 1.9M-triangle exact
+    # count under real co-purchase density (q84b), perceptual-hash
+    # Hamming pairs (mm05), and the cluster-keyed split whose
+    # leakage-audit only bites where multi-doc clusters exist (qc21).
+    "q74e_setsim_prefix_join",
+    "q79b_winnowing",
+    "q72d_lsh_quality_audit",
+    "q84b_triangle_count",
+    "mm05_perceptual_hash_neardup",
+    "qc21_leakage_safe_split",
 ]
 
 TABLES = (
