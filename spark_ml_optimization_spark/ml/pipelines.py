@@ -1194,3 +1194,49 @@ def ml25_custom_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("clipped_bal"), 4).alias("avg_clipped_bal"),
         )
     )
+
+
+@register(
+    "ml26_bucketizer_stage",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 100000 THEN 1
+                    WHEN o_totalprice < 200000 THEN 2
+                    ELSE 3 END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="MLlib Bucketizer stage, HASH-VERIFIED — the discretization "
+    "feature stage with explicit literal splits ([-inf, 50k, 100k, "
+    "200k, +inf], left-closed right-open buckets, exactly the CASE "
+    "ladder in the oracle), composed with a per-bucket profile.  Most "
+    "MLlib stages are rows-only by nature (fitted state, RNG); "
+    "Bucketizer with literal splits is pure deterministic expression "
+    "work, so this pins the MLlib TRANSFORM MACHINERY itself (split "
+    "boundary semantics included) against SQL — the boundary-rule "
+    "regression a version bump would silently introduce is exactly "
+    "what the hash catches.  Fitted-split discretization "
+    "(QuantileDiscretizer) stays rows-only by design: Spark's exact-"
+    "rank and SQL interpolated quantiles differ at boundary elements.",
+)
+def ml26_bucketizer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import Bucketizer
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    b = Bucketizer(
+        splits=[float("-inf"), 50000.0, 100000.0, 200000.0, float("inf")],
+        inputCol="o_totalprice",
+        outputCol="bucket",
+    )
+    return (
+        b.transform(o)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

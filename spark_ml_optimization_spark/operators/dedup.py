@@ -1380,3 +1380,93 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q72e_mergeable_minhash",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, lang, source,
+                         string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        partials AS (
+            SELECT lang, source,
+                   min(substr(md5(s || '#0'), 1, 16)) AS p0,
+                   min(substr(md5(s || '#1'), 1, 16)) AS p1,
+                   min(substr(md5(s || '#2'), 1, 16)) AS p2,
+                   min(substr(md5(s || '#3'), 1, 16)) AS p3
+            FROM sh GROUP BY lang, source
+        ),
+        merged AS (
+            SELECT lang, min(p0) AS h0, min(p1) AS h1,
+                   min(p2) AS h2, min(p3) AS h3
+            FROM partials GROUP BY lang
+        ),
+        direct AS (
+            SELECT lang,
+                   min(substr(md5(s || '#0'), 1, 16)) AS d0,
+                   min(substr(md5(s || '#1'), 1, 16)) AS d1,
+                   min(substr(md5(s || '#2'), 1, 16)) AS d2,
+                   min(substr(md5(s || '#3'), 1, 16)) AS d3
+            FROM sh GROUP BY lang
+        )
+        SELECT m.lang, m.h0, m.h1, m.h2, m.h3,
+               CAST(m.h0 = d.d0 AND m.h1 = d.d1 AND m.h2 = d.d2
+                    AND m.h3 = d.d3 AS INT) AS merge_matches_direct
+        FROM merged m JOIN direct d USING (lang)
+    """,
+    doc="MinHash MERGEABILITY — the algebraic property that makes the "
+    "sketch distributable: minhash(A ∪ B) = elementwise-min of "
+    "minhash(A), minhash(B), so per-shard partial signatures combine "
+    "into the corpus signature without revisiting data.  Demonstrated "
+    "relationally at corpus level: per-(lang, source) partial "
+    "signatures (the 'per-shard' aggregation) are min-merged per lang "
+    "and compared against the signature computed directly over all "
+    "shingles — merge_matches_direct = 1 for every row, INSIDE the "
+    "hash-verified result.  This is the exact shape of a 100 TB "
+    "corpus-sketch rollup (qc07's HLL union is the cardinality "
+    "sibling): shard partials are partition-local, the rollup moves "
+    "4 × 16-hex values per shard, and incremental ingest min-merges "
+    "yesterday's signature with the new batch's.",
+)
+def q72e_mergeable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import shingles
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        32,
+    )
+    sh = d.select(
+        "lang", "source", F.explode(shingles("text", 3)).alias("s")
+    ).cache()  # both the partial path and the direct path read this
+    hashes = [
+        F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 16).alias(
+            f"x{i}"
+        )
+        for i in range(4)
+    ]
+    hashed = sh.select("lang", "source", *hashes)
+    partials = hashed.groupBy("lang", "source").agg(
+        *[F.min(f"x{i}").alias(f"p{i}") for i in range(4)]
+    )
+    merged = partials.groupBy("lang").agg(
+        *[F.min(f"p{i}").alias(f"h{i}") for i in range(4)]
+    )
+    direct = hashed.groupBy("lang").agg(
+        *[F.min(f"x{i}").alias(f"d{i}") for i in range(4)]
+    )
+    match = (
+        (F.col("h0") == F.col("d0"))
+        & (F.col("h1") == F.col("d1"))
+        & (F.col("h2") == F.col("d2"))
+        & (F.col("h3") == F.col("d3"))
+    ).cast("int")
+    return (
+        merged.join(direct, "lang")
+        .select("lang", "h0", "h1", "h2", "h3", match.alias("merge_matches_direct"))
+    )

@@ -107,6 +107,11 @@ def get_spark(app_name: str = "spark_ml_optimization_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # JVM flags (GC choice etc.) — start-time only, so env-injected here;
+    # an already-running session (driver-owned) is unaffected.
+    java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)

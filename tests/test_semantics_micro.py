@@ -176,3 +176,31 @@ def test_avro_roundtrip_when_connector_present(spark):
 
     df = all_queries()["src16_avro_roundtrip"].fn(spark, SF_CORRECT)
     assert df.count() > 0
+
+
+def test_winnowing_guarantee_detects_planted_run(spark):
+    """Schleimer et al.'s local guarantee: any shared run of at least
+    k + w - 1 = 8 consecutive words MUST surface as >= 1 shared
+    fingerprint.  Two otherwise-disjoint docs share a planted 10-word
+    run; q79b's kernel on a temp view must report the pair."""
+    from spark_ml_optimization_spark.operators import text as text_ops
+
+    # Long enough that the >= 3 shared-fingerprint emission threshold is
+    # cleared comfortably (the bare k+w-1 guarantee yields >= 1 per
+    # shared window span; a 30-word run spans ~23 interior windows).
+    run = " ".join(
+        f"w{i}" for i in range(30)
+    )
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {run}"), (2, f"{run} {filler_b}")],
+        ["doc_id", "text"],
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="winnow_micro_") 
+    docs.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = text_ops.q79b_winnowing(spark, path).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs, out
