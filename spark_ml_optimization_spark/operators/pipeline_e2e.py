@@ -527,6 +527,7 @@ def qp5_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(agree / 16.0 >= 0.5)
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
+        .cache()  # narrow id set, read by BOTH stage-2 and the funnel flags
     )
     s2 = s1.join(lex_dropped, "doc_id", "left_anti")
     # Stage 3: SemDeDup over the lexical survivors' embeddings.
