@@ -783,3 +783,104 @@ def q66b_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boundaries",
         "max_concurrency",
     )
+
+
+@register(
+    "q67d_survival_curve",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id,
+                   date_diff('day', min(CAST(ts AS TIMESTAMP)),
+                             max(CAST(ts AS TIMESTAMP))) AS t_days,
+                   max(CAST(ts AS TIMESTAMP)) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        horizon AS (SELECT max(CAST(ts AS TIMESTAMP)) AS h FROM events),
+        labeled AS (
+            SELECT s.t_days,
+                   CAST(s.last_ts < h - INTERVAL 24 HOUR AS INT) AS churned
+            FROM spans s CROSS JOIN horizon
+        ),
+        n_total AS (SELECT count(*) AS n FROM labeled),
+        km AS (
+            SELECT t_days, sum(churned) AS d, count(*) AS ended_here
+            FROM labeled GROUP BY t_days
+        ),
+        risk AS (
+            SELECT t_days, d,
+                   (SELECT n FROM n_total)
+                     - coalesce(sum(ended_here) OVER (ORDER BY t_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS n_risk
+            FROM km
+        )
+        SELECT t_days,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               round(exp(sum(CASE WHEN d < n_risk
+                                  THEN ln(1 - d * 1.0 / n_risk)
+                                  ELSE NULL END)
+                         OVER (ORDER BY t_days
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 6) AS survival
+        FROM risk WHERE d > 0 ORDER BY t_days
+    """,
+    doc="Kaplan-Meier SURVIVAL curve over user lifetimes — the censoring-"
+    "aware retention statistic (naive churn rates over-count users "
+    "still active at the observation horizon): duration = days between "
+    "a user's first and last event, churned iff the last event "
+    "precedes the horizon by > 24 h (otherwise CENSORED — still "
+    "alive), and S(t) = Π (1 - d_t/n_t) over event times, computed as "
+    "exp of a running ln-sum (identical expression both engines; "
+    "libm's last-ULP differences vanish at the 6-dp wire rounding).  "
+    "The d == n_at_risk edge (curve hits zero) cannot occur while any "
+    "user is censored; both engines share the sum-skips-NULL "
+    "convention regardless.  Scale shape: one user-keyed agg (spans), "
+    "a broadcast horizon scalar, a duration-keyed agg, then windows "
+    "over AT MOST max-duration rows (30 here; bounded by the "
+    "observation window, not the user count) — the single-reducer "
+    "window is over the tiny duration spine, never over users.",
+)
+def q67d_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    spans = e.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("t_days"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    labeled = spans.crossJoin(F.broadcast(horizon)).select(
+        "t_days",
+        (F.col("last_ts") < F.col("h") - F.expr("INTERVAL 24 HOURS"))
+        .cast("int")
+        .alias("churned"),
+    )
+    n_total = labeled.agg(F.count("*").alias("n"))
+    km = labeled.groupBy("t_days").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("ended_here")
+    )
+    w_prev = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, -1)
+    risk = km.crossJoin(F.broadcast(n_total)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("ended_here").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_run = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1 - F.col("d") * 1.0 / F.col("n_risk")),
+    )
+    return (
+        risk.select(
+            "t_days",
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_churned"),
+            F.round(F.exp(F.sum(term).over(w_run)), 6).alias("survival"),
+        )
+        .filter(F.col("n_churned") > 0)
+        .orderBy("t_days")
+    )

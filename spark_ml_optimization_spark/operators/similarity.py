@@ -749,3 +749,44 @@ def q85c_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="rank int, vec_id long, mmr_score double",
         )
     )
+
+
+@register(
+    "q85d_filtered_vector_search",
+    oracle="""
+        SELECT
+            e.vec_id,
+            e.label,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0 AND e.label IN (1, 3, 5)
+        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="FILTERED vector search — top-10 cosine for query vec_id=0 "
+    "restricted by a metadata predicate (label IN (1,3,5)), the "
+    "pre-filter form every production vector store needs (post-"
+    "filtering a global top-k under-fills or empties the result when "
+    "the predicate is selective).  In this engine filtered search is "
+    "FREE because vectors are rows in a relation: the label predicate "
+    "is a pushed scan filter ahead of the same broadcast-query dot + "
+    "TakeOrdered shape as q85 — no separate filtered-index machinery, "
+    "no selectivity cliff.  At 100 TB with an IVF layout (q92), the "
+    "same predicate prunes cell partitions before centroid routing.",
+)
+def q85d_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    score = dot(to_double_array("embedding"), F.col("qvec"))
+    return (
+        e.filter((F.col("vec_id") != 0) & F.col("label").isin(1, 3, 5))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
