@@ -39,6 +39,7 @@ _EAGER_NAMES = {
     "q74b_dup_components",  # iterative connected components
     "qc21_leakage_safe_split",  # runs q74b's iterative CC at construction
     "q84_pagerank",  # iterative power method
+    "q84c_bfs_shortest_paths",  # iterative frontier rounds + checkpoints
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
