@@ -1134,3 +1134,85 @@ def qd17_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p.cur_val") - F.col("p.ref_val"), 6).alias("delta"),
         )
     )
+
+
+@register(
+    "qd18_key_churn_audit",
+    oracle="""
+        WITH ref AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) <= 1997
+        ),
+        cur AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) > 1997
+        )
+        SELECT
+            CAST((SELECT count(*) FROM ref) AS BIGINT) AS n_ref_keys,
+            CAST((SELECT count(*) FROM cur) AS BIGINT) AS n_cur_keys,
+            CAST((SELECT count(*) FROM cur
+                  WHERE o_custkey IN (SELECT o_custkey FROM ref)) AS BIGINT)
+                AS n_retained,
+            CAST((SELECT count(*) FROM cur
+                  WHERE o_custkey NOT IN (SELECT o_custkey FROM ref))
+                 AS BIGINT) AS n_new,
+            CAST((SELECT count(*) FROM ref
+                  WHERE o_custkey NOT IN (SELECT o_custkey FROM cur))
+                 AS BIGINT) AS n_churned,
+            round((SELECT count(*) FROM cur
+                   WHERE o_custkey IN (SELECT o_custkey FROM ref)) * 1.0
+                  / (SELECT count(*) FROM ref), 6) AS retention_rate
+        FROM (SELECT 1)
+    """,
+    doc="Entity KEY CHURN between snapshots — the set-level companion "
+    "to qd17's value-profile drift: distinct customer keys in the "
+    "reference slice (orders through 1997) vs the current slice, "
+    "split into retained / new / churned with a retention rate.  A "
+    "sudden key-churn spike is the classic silent upstream-rekeying "
+    "incident (ids re-minted, joins silently emptying) that value "
+    "profiles miss entirely.  Scale shape: two distinct-aggregations "
+    "(digest-width keys) + one semi/anti join pair on the distinct "
+    "key sets — never row-level; at 100 TB both key sets also have "
+    "HLL twins (qc07) when exactness can yield to one pass.",
+)
+def qd18_key_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ref = (
+        o.filter(F.year("o_orderdate") <= 1997)
+        .select("o_custkey")
+        .distinct()
+        .cache()  # read by three counting branches
+    )
+    cur = (
+        o.filter(F.year("o_orderdate") > 1997)
+        .select("o_custkey")
+        .distinct()
+        .cache()
+    )
+    n_ref = ref.agg(F.count("*").cast("long").alias("n_ref_keys"))
+    n_cur = cur.agg(F.count("*").cast("long").alias("n_cur_keys"))
+    retained = cur.join(ref, "o_custkey", "left_semi").agg(
+        F.count("*").cast("long").alias("n_retained")
+    )
+    new = cur.join(ref, "o_custkey", "left_anti").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    churned = ref.join(cur, "o_custkey", "left_anti").agg(
+        F.count("*").cast("long").alias("n_churned")
+    )
+    return (
+        n_ref.crossJoin(F.broadcast(n_cur))
+        .crossJoin(F.broadcast(retained))
+        .crossJoin(F.broadcast(new))
+        .crossJoin(F.broadcast(churned))
+        .select(
+            "n_ref_keys",
+            "n_cur_keys",
+            "n_retained",
+            "n_new",
+            "n_churned",
+            F.round(F.col("n_retained") * 1.0 / F.col("n_ref_keys"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

@@ -627,3 +627,51 @@ def q53c_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_shifted"
         ),
     )
+
+
+@register(
+    "q56c_content_addressed_ids",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5('doc:' || CAST(n_chars AS VARCHAR)
+                               || ':' || text) AS hx
+            FROM documents
+        )
+        SELECT doc_id,
+               substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+               || substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-'
+               || substr(hx, 21, 12) AS content_uuid,
+               substr(hx, 1, 2) AS shard
+        FROM h
+    """,
+    doc="Content-addressed ID minting: a namespaced digest "
+    "(md5 over 'doc:' || length || ':' || text — the length prefix "
+    "prevents concat ambiguity between fields) formatted as a UUID "
+    "and a 2-hex-char shard key — the stable, RNG-free identifier "
+    "scheme a 100 TB pipeline needs so re-crawls, retries, and "
+    "re-partitions mint the SAME id for the same content (uuid4 or "
+    "monotonically_increasing_id are both partitioning-dependent "
+    "poison for reproducible lineage).  Pure codegen expression; "
+    "shard = first digest byte gives 256-way uniform layout.",
+)
+def q56c_content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(
+        F.concat(
+            F.lit("doc:"), F.col("n_chars").cast("string"), F.lit(":"), F.col("text")
+        )
+    )
+    h = d.select("doc_id", hx.alias("hx"))
+    uuid_fmt = F.concat_ws(
+        "-",
+        F.substring("hx", 1, 8),
+        F.substring("hx", 9, 4),
+        F.substring("hx", 13, 4),
+        F.substring("hx", 17, 4),
+        F.substring("hx", 21, 12),
+    )
+    return h.select(
+        "doc_id",
+        uuid_fmt.alias("content_uuid"),
+        F.substring("hx", 1, 2).alias("shard"),
+    )
