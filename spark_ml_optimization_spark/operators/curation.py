@@ -1168,3 +1168,57 @@ def qc21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaks))
     )
+
+
+@register(
+    "qc22_dedup_savings_report",
+    oracle="""
+        WITH ranked AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+               CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_after,
+               round(1.0 - sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+                           * 1.0 / sum(n_tokens), 6) AS savings_rate
+        FROM ranked GROUP BY source
+    """,
+    doc="Dedup SAVINGS report per source — the accounting table that "
+    "justifies (or kills) a dedup stage: token volume before vs after "
+    "global exact keep-first dedup, attributed to each source "
+    "(duplicates crossing sources debit the LATER source, matching "
+    "keep-first survivorship — the source shipping re-crawls of "
+    "another's pages is the one that shows savings).  One window + "
+    "one agg; only token COUNTS and 16-byte digests shuffle.  The "
+    "near-dup extension swaps rn for qp5's funnel membership — same "
+    "report shape, same per-source attribution.",
+)
+def qc22_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first = F.when(F.col("rn") == 1, 1).otherwise(0)
+    kept_tokens = F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(first).cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        kept_tokens.cast("long").alias("tokens_after"),
+        F.round(1.0 - kept_tokens * 1.0 / F.sum("n_tokens"), 6).alias(
+            "savings_rate"
+        ),
+    )

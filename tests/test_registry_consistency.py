@@ -46,5 +46,5 @@ def test_registry_size_pinned():
         avro_connector_available,
     )
 
-    expected = 286 + (1 if avro_connector_available() else 0)
+    expected = 287 + (1 if avro_connector_available() else 0)
     assert len(registry.all_queries()) == expected
