@@ -940,8 +940,12 @@ def qa21_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ZERO CartesianProduct and >= 3 broadcast joins — hand-ordering "
     "joins is exactly what a 100 TB engine must NOT depend on, "
     "because users write queries in semantic, not cost, order.  "
-    "(cbo confs are runtime SQLConfs, set-and-kept: they only act "
-    "where catalog stats exist, and temp-view queries carry none.)",
+    "The cbo confs are set only for the duration of planning: the "
+    "physical plan is forced (queryExecution().executedPlan(), a "
+    "pure-planning step — no jobs) while CBO is on, then the prior "
+    "conf values are restored so later queries on ANALYZEd catalog "
+    "tables (src06) plan under the session's normal optimizer "
+    "settings regardless of suite order.",
 )
 def qa22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.stats import analyze_tables
@@ -949,18 +953,29 @@ def qa22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     cats = analyze_tables(
         spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem")
     )
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_jr = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    return spark.sql(
-        f"""
-        SELECT r_name,
-               count(DISTINCT l_orderkey) AS n_orders,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM {cats["region"]}, {cats["customer"]}, {cats["lineitem"]},
-             {cats["nation"]}, {cats["orders"]}
-        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND o_custkey = c_custkey AND l_orderkey = o_orderkey
-          AND year(o_orderdate) = 1997
-        GROUP BY r_name
-        """
-    )
+    try:
+        df = spark.sql(
+            f"""
+            SELECT r_name,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM {cats["region"]}, {cats["customer"]}, {cats["lineitem"]},
+                 {cats["nation"]}, {cats["orders"]}
+            WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+              AND year(o_orderdate) = 1997
+            GROUP BY r_name
+            """
+        )
+        # Materialize the (lazy-val-cached) physical plan NOW, while
+        # CBO+joinReorder are on — the returned DataFrame keeps the
+        # cost-reordered plan after the confs are restored below.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_jr)

@@ -259,7 +259,12 @@ def _phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def mm05_perceptual_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _with_binary(spark, sf_dir)
-    ph = b.select("doc_id", "payload").mapInPandas(
+    # A zero-length payload has no signature: the kernel would emit
+    # phash=0/bucket=0 while the oracle's generate_series over len=0
+    # emits no row at all, so two-plus empty payloads would create
+    # Spark-only hamming-0 pairs.  Drop them before the kernel (the
+    # oracle's per-byte CTE already excludes empty docs implicitly).
+    ph = b.select("doc_id", "payload").filter(F.length("payload") > 0).mapInPandas(
         _phash_batch, schema="doc_id long, phash long, bucket long"
     )
     pa = ph.select(

@@ -657,14 +657,24 @@ def q79b_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
     toks = F.split("text", " ")
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
-        lambda i: F.substring(
-            F.md5(F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(_WINNOW_K)])),
-            1,
-            8,
+    # Guard docs shorter than k tokens: sequence(1, size-k+1) with a
+    # negative span would DESCEND (Spark defaults step to -1 when
+    # start > stop) and element_at(toks, 0) then raises at runtime,
+    # while the oracle's generate_series simply emits no rows.  An
+    # empty array makes posexplode emit no rows — same semantics.
+    gram_arr = F.when(
+        F.size(toks) >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(_WINNOW_K)])
+                ),
+                1,
+                8,
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     # n_grams is just the token count minus k-1 — known BEFORE the
     # explode, so no count-over-partition window (a second full window
     # pass) is needed, and the md5 gram array is evaluated exactly once.
