@@ -91,32 +91,87 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decoder — deterministic fake standing in for PIL/libav.
+_PPM_PAD = 144  # max pixel bytes: width<=8 * height<=6 * 3 channels
 
-    A real deployment replaces this body with e.g.::
 
-        img = PIL.Image.open(io.BytesIO(payload))   # real decode
-        return img.width, img.height, np.asarray(img).mean()
+def _with_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a GENUINE binary-PPM (P6) image payload per row.
 
-    The fake derives (width, height, mean_intensity) from the payload
-    bytes so the full pipeline stays testable and deterministic.
+    The image is synthesized deterministically — width 4+doc_id%5,
+    height 3+doc_id%4, one RGB sample byte per char of the (padded)
+    document text — but the payload is a fully valid P6 file: ASCII
+    `P6\\n{w} {h}\\n255\\n` header followed by exactly w*h*3 raw
+    sample bytes.  Any PPM reader (PIL included) opens it; the decode
+    kernel below parses it from bytes with no image library.
     """
-    w = 16 + payload[0] % 64 if payload else 16
-    h = 16 + payload[-1] % 64 if payload else 16
-    mean = (sum(payload[:256]) / min(len(payload), 256)) if payload else 0.0
-    return w, h, round(mean, 6)
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 5 + 4).cast("int")
+    h = (F.col("doc_id") % 4 + 3).cast("int")
+    pixels = F.substring(F.rpad(F.col("text"), _PPM_PAD, "."), F.lit(1), w * h * 3)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode(
+            F.concat(F.format_string("P6\n%d %d\n255\n", w, h), pixels), "UTF-8"
+        ).alias("payload"),
+    )
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-numpy decode of a binary-PPM (P6) image.
+
+    Parses the header from raw bytes per the Netpbm spec — magic,
+    width, height, maxval as whitespace-separated ASCII tokens,
+    '#'-to-newline comments legal anywhere in the header, raster
+    starting after exactly one whitespace byte following maxval —
+    then reads w*h*3 uint8 samples.  Returns (width, height,
+    mean_intensity) with the mean computed as exact-int sum / count
+    (one IEEE division, bit-reproducible against a SQL oracle).
+    A deployment with compressed formats swaps this for PIL/libav;
+    the mapInPandas plumbing around it is format-agnostic.
+    """
+    import numpy as np
+
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        if payload[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {toks[0]!r}")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit-per-sample PPM supported")
+    off = i + 1  # exactly one whitespace byte separates maxval and raster
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, float(int(px.astype(np.int64).sum())) / px.size
 
 
 def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        decoded = [_decode_image_stub(p) for p in pdf["payload"]]
+        decoded = [_decode_ppm(bytes(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
+                "width": pd.array([d[0] for d in decoded], dtype="int32"),
+                "height": pd.array([d[1] for d in decoded], dtype="int32"),
                 "mean_intensity": [d[2] for d in decoded],
             }
         )
@@ -124,15 +179,46 @@ def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "mm03_decode_features",
-    oracle=None,  # decode is a stubbed media kernel — rows-only; the
-    # Arrow plumbing (binary in, features out) is what's under test.
-    doc="Media decode + feature extraction through mapInPandas: binary "
-    "payloads enter the Python worker as Arrow batches, fixed-schema "
-    "features (width/height/mean_intensity) come out; decode itself is "
-    "the documented STUB (_decode_image_stub).",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   rpad(text, {_PPM_PAD}, '.') AS padded
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, ascii(substr(d.padded, i, 1)) AS v
+            FROM dims d
+            CROSS JOIN UNNEST(generate_series(1, d.width * d.height * 3)) u(i)
+        )
+        SELECT d.doc_id, d.media_type, d.width, d.height,
+               CAST(sum(p.v) AS DOUBLE) / (d.width * d.height * 3)
+                   AS mean_intensity
+        FROM dims d JOIN px p USING (doc_id)
+        GROUP BY d.doc_id, d.media_type, d.width, d.height
+    """,
+    doc="Media decode + feature extraction through mapInPandas — now a "
+    "REAL decoder, not a stub: _with_ppm plants genuine binary-PPM "
+    "(P6) images (valid header + raster; PIL would open them) and the "
+    "Arrow-batched kernel parses width/height/maxval from the raw "
+    "header bytes and computes mean sample intensity with pure numpy "
+    "(_decode_ppm).  The ORACLE re-derives every feature relationally "
+    "from the known construction — width/height from doc_id, mean "
+    "from character codes of the padded text (fixture text is ASCII, "
+    "so byte == char code; the exact-int sum / count division is one "
+    "IEEE op in both engines) — so header parsing, raster offset "
+    "arithmetic, and the intensity mean are all hash-VERIFIED.  A "
+    "compressed-format deployment swaps _decode_ppm for PIL/libav; "
+    "schema, batch shape, and plan are unchanged.  Scale: payloads "
+    "never shuffle — decode is map-side, only (id, 2 ints, 1 double) "
+    "emerge.",
 )
 def mm03_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _with_binary(spark, sf_dir)
+    b = _with_ppm(spark, sf_dir)
     return b.select("doc_id", "media_type", "payload").mapInPandas(
         _decode_batch,
         schema="doc_id long, media_type string, width int, height int, mean_intensity double",
