@@ -34,16 +34,25 @@ def dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col: str | Column, n: int = 3, sep: str = " ") -> Column:
-    """Distinct word n-gram shingle array built with pure HOFs."""
+    """Distinct word n-gram shingle array built with pure HOFs.
+
+    Guarded for short texts: with fewer than n tokens,
+    sequence(1, size-n+1) would DESCEND through 0 (Spark defaults the
+    step to -1 when start > stop) and element_at(toks, 0) throws at
+    runtime — such rows yield an empty array instead (same contract as
+    word_grams below; adversarial-fixture finding)."""
     toks = F.split(text_col, sep)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                "_", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    "_", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_neardup_pairs(

@@ -156,7 +156,9 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return bits
 
     for pdf in it:
-        sigs = np.zeros(len(pdf), dtype=np.uint64)
+        n = len(pdf)
+        sigs = np.zeros(n, dtype=np.uint64)
+        keep = np.ones(n, dtype=bool)
         weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
         for i, text in enumerate(pdf["text"].tolist()):
             # Single-space split + empty filter, matching the oracle's
@@ -165,11 +167,20 @@ def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             toks = set(text.split(" "))
             toks.discard("")
             if not toks:
+                # A zero-token doc has NO signature — the oracle's token
+                # CTE emits no row for it; emitting simhash=0 here would
+                # be a Spark-only row (adversarial-fixture finding).
+                keep[i] = False
                 continue
             mat = np.stack([token_bits(t) for t in toks])  # n × 64 of {0,1}
             votes = mat.sum(axis=0) * 2 - len(toks)  # ±1 majority per bit
             sigs[i] = np.uint64((weights * (votes > 0)).sum())
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs.astype(np.int64)})
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy()[keep],
+                "simhash": sigs[keep].astype(np.int64),
+            }
+        )
 
 
 @register(
@@ -729,18 +740,22 @@ def q73b_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
             sigs = np.zeros(len(texts), dtype=np.uint64)
+            keep = np.ones(len(texts), dtype=bool)
             for i, text in enumerate(texts):
                 # Match the oracle's string_split(text, ' ') + empty filter
                 # (see _simhash_batch) — not bare str.split().
                 toks = set(text.split(" "))
                 toks.discard("")
                 if not toks:
+                    # No tokens → no signature row (mirrors _simhash_batch
+                    # and the oracle's token CTE).
+                    keep[i] = False
                     continue
                 mat = np.stack([token_bits(t) for t in toks])
                 votes = mat.sum(axis=0) * 2 - len(toks)
                 sigs[i] = np.uint64((weights * (votes > 0)).sum())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids), pa.array(sigs.astype(np.int64))],
+                [pa.array(doc_ids[keep]), pa.array(sigs[keep].astype(np.int64))],
                 names=["doc_id", "simhash"],
             )
 
