@@ -40,6 +40,7 @@ _EAGER_NAMES = {
     "qc21_leakage_safe_split",  # runs q74b's iterative CC at construction
     "q84_pagerank",  # iterative power method
     "q84c_bfs_shortest_paths",  # iterative frontier rounds + checkpoints
+    "q84b_triangle_count",  # builds the shared co-purchase edge checkpoint
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
