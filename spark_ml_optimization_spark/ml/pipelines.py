@@ -497,10 +497,16 @@ def ml12_pipeline_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = IDF(inputCol="tf", outputCol="features")
     lr = LogisticRegression(maxIter=10, family="multinomial")
     pipe = Pipeline(stages=[tok, tf, idf, lr])
+    # Grid kept to the FEATURE-stage axis only (2 cells × 2 folds =
+    # 4 pipeline fits, one parallelism-4 wave): tuning a feature param
+    # through the pipeline is exactly what ml03 (estimator-axis CV)
+    # does not show, so the two demos no longer pay for overlapping
+    # estimator-axis cells (round-3 verdict #4: 4.9 s → ~2.5 s with
+    # identical semantics; a production sweep re-widens the lists).
     grid = (
         ParamGridBuilder()
         .addGrid(tf.numFeatures, [1 << 10, 1 << 13])
-        .addGrid(lr.regParam, [0.01, 0.1])
+        .addGrid(lr.regParam, [0.01])
         .build()
     )
     cv = CrossValidator(

@@ -8,11 +8,12 @@ groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
 that equivalence is the point: one declarative plan, two execution modes.
 
 Most twins are hash-verified against deterministic batch oracles
-(st01-st07, st10-st13 — a single staged file drains in one
-micro-batch, making even update/append-mode output batch-equivalent);
-the rest are rows-only where two-sided watermark timing genuinely
-forbids a deterministic twin (st08, st09 — two-sided watermark
-eviction timing).
+(st01-st08, st10-st14 — a single staged file drains in one
+micro-batch, making even update/append-mode output batch-equivalent;
+st08's INNER stream-stream join qualifies because watermarks bound
+state eviction, not same-batch emission).  The one rows-only holdout
+is st09: its LEFT-outer NULL rows surface on watermark-driven
+eviction, which is genuinely timing-dependent.
 
 Scale posture: in production these would read Kafka/cloud storage with
 watermarks bounding state; memory sink is test-only — a real deployment
@@ -316,7 +317,28 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st08_stream_stream_join",
-    oracle=None,
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS p_user
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+                                        - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    # Deterministic despite two-sided watermarks: the staged fixture
+    # drains in ONE micro-batch (the st02 property), and an INNER
+    # stream-stream join emits a pair in the batch where both rows are
+    # present — watermarks only bound state EVICTION, which affects
+    # what a hypothetical later batch could still match, never what
+    # this batch emits.  With every row in batch 0, the memory sink
+    # holds exactly the batch-equivalent inner join, so the result is
+    # hash-verified against the plain time-range self-join oracle.
+    # (st09's LEFT-outer twin stays rows-only: its NULL rows surface
+    # on watermark-driven eviction, which IS timing-dependent.)
     doc="Stream-stream inner join with watermarks on both sides and a "
     "time-range condition: purchases joined to the same user's clicks "
     "within the preceding hour — state on both sides is bounded by the "
@@ -931,3 +953,83 @@ def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, incoming.text_md5 == corpus.corpus_md5, "left_anti"
     ).select("doc_id", "text_md5")
     return _run_to_memory(fresh, "append")
+
+
+def transform_with_state_available() -> bool:
+    """True iff Spark 4's arbitrary-state API (transformWithStateInPandas)
+    can run: its state-server protocol needs protobuf, which this
+    container ships without.  Import-probe callable at module import —
+    the st15 registration below flips on with ZERO code change the
+    moment a future environment ships protobuf (the src16 Avro-gate
+    pattern; the older applyInPandasWithState surface is st06,
+    hash-verified unconditionally)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if transform_with_state_available():
+
+    @register(
+        "st15_transform_with_state",
+        oracle="""
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        # Same determinism argument as st06: one micro-batch, NoTimeout
+        # equivalent (timeMode="none"), one emission per user holding the
+        # whole batch — the running totals ARE the batch totals; 4-dp
+        # wire rounding absorbs summation-order noise.
+        doc="Spark 4 arbitrary-state streaming operator via "
+        "transformWithStateInPandas: a StatefulProcessor with a typed "
+        "ValueState carries per-user (count, total) across micro-"
+        "batches — the successor API to st06's applyInPandasWithState "
+        "(explicit state handle, timers, composite state types).  "
+        "Registered ONLY when protobuf is importable (see "
+        "transform_with_state_available).",
+    )
+    def st15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle):
+                self.state = handle.getValueState("acc", "cnt BIGINT, total DOUBLE")
+
+            def handleInputRows(self, key, rows, timerValues):
+                cnt, total = 0, 0.0
+                prev = self.state.get()
+                if prev:
+                    cnt, total = int(prev[0]), float(prev[1])
+                for pdf in rows:
+                    cnt += len(pdf)
+                    total += float(pdf["value"].sum())
+                self.state.update((cnt, total))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [cnt],
+                        "total_value": [round(total, 4)],
+                    }
+                )
+
+            def close(self):
+                pass
+
+        events = _read_events_stream(spark, sf_dir)
+        out = (
+            events.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType="user_id long, n_events long, total_value double",
+                outputMode="append",
+                timeMode="none",
+            )
+        )
+        return _run_to_memory(out, "append")

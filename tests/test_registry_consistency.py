@@ -45,6 +45,13 @@ def test_registry_size_pinned():
     from spark_ml_optimization_spark.operators.io_ops import (
         avro_connector_available,
     )
+    from spark_ml_optimization_spark.streaming.stream_ops import (
+        transform_with_state_available,
+    )
 
-    expected = 287 + (1 if avro_connector_available() else 0)
+    expected = (
+        287
+        + (1 if avro_connector_available() else 0)
+        + (1 if transform_with_state_available() else 0)
+    )
     assert len(registry.all_queries()) == expected

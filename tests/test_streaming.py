@@ -107,3 +107,27 @@ def test_stream_upsert_matches_batch_counts(spark):
     assert len(m) == len(truth) == len(served)
     assert (m.n_events_s == m.n_events_t).all()
     assert (m.last_ts_us_s == m.last_ts_us_t).all()
+
+
+def test_st15_transform_with_state_gated(spark, duck):
+    """st15 registers only when protobuf exists (the src16 Avro-gate
+    pattern); when it does, the query must hash-match its per-user
+    batch-total oracle like st06."""
+    import pytest
+
+    from spark_ml_optimization_spark.streaming.stream_ops import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        from spark_ml_optimization_spark.registry import all_queries
+
+        assert "st15_transform_with_state" not in all_queries()
+        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+    from spark_ml_optimization_spark.registry import all_queries
+
+    from .conftest import SF_CORRECT
+    from .harness import run_and_compare
+
+    q = all_queries()["st15_transform_with_state"]
+    run_and_compare(spark, duck, q.fn, q.oracle, "st15", SF_CORRECT)
