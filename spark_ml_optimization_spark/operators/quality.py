@@ -1216,3 +1216,58 @@ def qd18_key_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "qd19_calibration_audit",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(n_chars AS DOUBLE) / (n_chars + 256) AS score,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        binned AS (
+            SELECT CAST(floor(score * 10) AS BIGINT) AS bin, score, y
+            FROM scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(score), 4) AS avg_score,
+               round(sum(y) * 1.0 / count(*), 6) AS pos_rate,
+               round(abs(avg(score) - sum(y) * 1.0 / count(*)), 4)
+                   AS calibration_gap
+        FROM binned
+        GROUP BY bin
+    """,
+    doc="Classifier CALIBRATION audit (reliability diagram) — the "
+    "ML-ops check beside ml23's PR curve: scores bucketed into "
+    "confidence deciles, each bin reporting mean predicted score vs "
+    "empirical positive rate and their gap (the per-bin term of "
+    "expected calibration error).  A quality/toxicity filter whose "
+    "0.9-bin is right 60% of the time silently mis-prunes a corpus — "
+    "this is the table that catches it.  The score here is a "
+    "DETERMINISTIC monotone length-based proxy x/(x+256) (pure "
+    "rational arithmetic — bit-identical across engines, so bin "
+    "edges can't flake; a real model's scores arrive as a column and "
+    "the audit is unchanged), labels = the 'en' indicator.  Scale: "
+    "one map-side score expression + one 10-group agg; the shuffle "
+    "carries 10 rows.  avg(score) is 4-dp-rounded on both sides (the "
+    "aggregate-double summation-order convention); pos_rate is exact "
+    "int/int.",
+)
+def qd19_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    score = F.col("n_chars").cast("double") / (F.col("n_chars") + 256)
+    y = (F.col("lang") == "en").cast("int")
+    binned = d.select(
+        F.floor(score * 10).cast("long").alias("bin"),
+        score.alias("score"),
+        y.alias("y"),
+    )
+    pos_rate = F.sum("y") * 1.0 / F.count("*")
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(F.avg("score") - pos_rate), 4).alias("calibration_gap"),
+    )

@@ -254,3 +254,34 @@ def q18b_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1997-01-01 00:00:00", "floor": 150000.0},
     )
+
+
+@register(
+    "q18c_identifier_clause",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Spark 4 IDENTIFIER() clause: table AND column names arrive as "
+    "bound parameters (IDENTIFIER(:tbl) / IDENTIFIER(:col)) instead of "
+    "string-concatenated SQL — the injection-safe way to template "
+    "object names, completing q18b's value-parameter surface.  "
+    "Identifier binding happens at parse time, so the plan is "
+    "identical to the literal query (same pushdown, same agg) — "
+    "templating costs nothing at any scale.",
+)
+def q18c_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(IDENTIFIER(:col)), 2) AS total_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY l_returnflag
+        """,
+        args={"tbl": "lineitem", "col": "l_quantity"},
+    )

@@ -705,3 +705,127 @@ def q79b_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "q83c_ngram_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        firsts AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS novelty
+        FROM sh JOIN firsts f USING (s)
+        GROUP BY sh.doc_id
+    """,
+    doc="Per-document n-gram NOVELTY score — the 'how much of this "
+    "ingest batch is genuinely new text' accounting a crawl pipeline "
+    "runs before paying for downstream processing: a doc's novelty is "
+    "the fraction of its distinct 3-gram shingles whose FIRST corpus "
+    "occurrence (min doc_id = ingest order) is the doc itself.  "
+    "Near-1 = fresh content, near-0 = recombined boilerplate — the "
+    "span-level complement of q74c's duplicated-span ratio (which "
+    "needs >=2 docs sharing a span; novelty attributes every shared "
+    "span to its earliest owner).  Docs with <3 tokens have no "
+    "shingles and are absent by construction on both sides.  Scale "
+    "shape: one shingle explode (map-side), one min-agg keyed by "
+    "shingle, one join back on the same key — two shuffles of "
+    "(shingle, doc_id) pairs, never all-pairs; at 100 TB the shingle "
+    "string is xxhash64-digested so shuffle keys are 8 bytes, and "
+    "min(doc_id) is replaced by min(ingest_ts, doc_id) for the same "
+    "first-owner semantics across crawls.",
+)
+def q83c_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import shingles
+    from ..sources import spread
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), 32)
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    novel = F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel * 1.0 / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "q80c_script_mix",
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   n_chars,
+                   len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                       / n_chars AS lower_r,
+                   len(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+                       / n_chars AS upper_r,
+                   len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / n_chars AS digit_r,
+                   len(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+                       / n_chars AS space_r
+            FROM documents
+            WHERE n_chars > 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(lower_r), 4) AS avg_lower,
+               round(avg(upper_r), 4) AS avg_upper,
+               round(avg(digit_r), 4) AS avg_digit,
+               round(avg(space_r), 4) AS avg_space,
+               round(avg(1.0 - lower_r - upper_r - digit_r - space_r), 4)
+                   AS avg_other
+        FROM per_doc
+        GROUP BY lang
+    """,
+    doc="Character-CLASS mix per language — the script-level sanity "
+    "check under q80's token-level language ID: per-doc fractions of "
+    "lowercase / uppercase / digit / space / other characters (strip-"
+    "and-measure regexp counting, identical char-class semantics in "
+    "both engines), averaged per language.  Catches mis-tagged or "
+    "mojibake sources (a 'zh'-tagged shard that is 90% ASCII "
+    "lowercase; a prose shard that is 40% digits = tables/logs) "
+    "before they poison a mixture.  Zero-length docs are excluded on "
+    "both sides (division guard).  Scale: pure map-side regexp "
+    "arithmetic + one lang-keyed agg; only 5 doubles per doc shuffle.  "
+    "4-dp rounding absorbs float-avg summation order (the repo "
+    "aggregate-double convention).",
+)
+def q80c_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+
+    def ratio(cls: str):
+        return F.length(F.regexp_replace("text", f"[^{cls}]", "")) * 1.0 / F.col(
+            "n_chars"
+        )
+
+    per = d.select(
+        "lang",
+        ratio("a-z").alias("lower_r"),
+        ratio("A-Z").alias("upper_r"),
+        ratio("0-9").alias("digit_r"),
+        ratio(" ").alias("space_r"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("lower_r"), 4).alias("avg_lower"),
+        F.round(F.avg("upper_r"), 4).alias("avg_upper"),
+        F.round(F.avg("digit_r"), 4).alias("avg_digit"),
+        F.round(F.avg("space_r"), 4).alias("avg_space"),
+        F.round(
+            F.avg(1.0 - F.col("lower_r") - F.col("upper_r") - F.col("digit_r") - F.col("space_r")),
+            4,
+        ).alias("avg_other"),
+    )

@@ -112,6 +112,16 @@ def get_spark(app_name: str = "spark_ml_optimization_spark") -> SparkSession:
     java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # Periodic ContextCleaner GC (default 30min) tightened to 2min: a
+    # 280-query single-JVM suite accumulates dropped-RDD/shuffle/state
+    # debt between the bench harness's explicit per-5-query System.gc()
+    # calls, and long pytest sessions have no explicit GC at all — the
+    # migrating 5-10x in-suite spikes (BASELINE.md round-7) shrink when
+    # the cleaner keeps pace.  Env-overridable for A/B runs.
+    builder = builder.config(
+        "spark.cleaner.periodicGC.interval",
+        os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)
