@@ -1223,3 +1223,70 @@ def qc22_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "savings_rate"
         ),
     )
+
+
+@register(
+    "qc23_contamination_attribution",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(w[i:i+{_NGRAM - 1}], ' ') AS g
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w) - {_NGRAM - 1}))
+                AS t(i)
+        ),
+        pairs AS (
+            SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc,
+                   count(*) AS shared
+            FROM (SELECT doc_id, g FROM grams WHERE source = 'src0') b
+            JOIN (SELECT doc_id, g FROM grams WHERE source <> 'src0') c
+              USING (g)
+            GROUP BY 1, 2
+        )
+        SELECT bench_doc,
+               CAST(count(*) AS BIGINT) AS n_contaminating_docs,
+               CAST(max(shared) AS BIGINT) AS max_shared_grams,
+               CAST(sum(shared) AS BIGINT) AS total_gram_hits
+        FROM pairs GROUP BY bench_doc
+    """,
+    doc="Contamination ATTRIBUTION — qc01's complement, viewed from the "
+    "benchmark's side: for every eval document (source='src0' stands "
+    "in for the suite), how many corpus documents share a 3-gram with "
+    "it, the worst single-document overlap, and total gram hits.  "
+    "qc01 answers 'which corpus docs must I drop'; THIS table answers "
+    "'which eval items are already burned and by how much' — the "
+    "report an eval-integrity review reads before trusting a score "
+    "(Lee et al. 2022 measure exactly this attribution).  Scale: "
+    "per-doc-distinct grams are map-side; the gram equi-join's "
+    "fan-out is bounded by per-gram document frequency (q74e's "
+    "prefix-join bound) and the benchmark side is eval-suite-sized "
+    "(broadcastable at any corpus scale); aggregates carry counts "
+    "only.",
+)
+def qc23_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(api.word_grams(F.split("text", " "), _NGRAM, distinct=True)).alias("g"),
+    )
+    bench = grams.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    corpus = grams.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_doc"), "g"
+    )
+    pairs = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count("*").alias("shared"))
+    )
+    return pairs.groupBy("bench_doc").agg(
+        F.count("*").cast("long").alias("n_contaminating_docs"),
+        F.max("shared").cast("long").alias("max_shared_grams"),
+        F.sum("shared").cast("long").alias("total_gram_hits"),
+    )

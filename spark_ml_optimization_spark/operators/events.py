@@ -884,3 +884,97 @@ def q67d_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_churned") > 0)
         .orderBy("t_days")
     )
+
+
+#: Attribution window for q65b (15 min in microseconds).
+_ASOF_TOL_US = 900_000_000
+
+
+@register(
+    "q65b_asof_tolerance",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   max(value) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY 1, 2
+        )
+        SELECT p.event_id, p.user_id, p.purchase_value,
+               CASE WHEN c.us IS NOT NULL
+                         AND p.us - c.us <= {_ASOF_TOL_US}
+                    THEN c.us END AS click_us,
+               CASE WHEN c.us IS NOT NULL
+                         AND p.us - c.us <= {_ASOF_TOL_US}
+                    THEN c.click_value END AS click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.us >= c.us
+    """,
+    doc="As-of join with a TOLERANCE window (15 min): every purchase "
+    "left-joined to the user's latest click at-or-before it, but the "
+    "match is kept only when the click is within the attribution "
+    "window — the exact semantics of pandas.merge_asof(tolerance=...) "
+    "and kdb wj, done Spark-first: clicks are first deduped to one row "
+    "per (user, instant) (max value — making the as-of predecessor "
+    "unique and tie-stable), then a union-ordered window carries "
+    "last(ignorenulls) click instant+value onto purchases, and the "
+    "tolerance is a map-side null-out.  The ORACLE is DuckDB's NATIVE "
+    "ASOF LEFT JOIN — a genuinely different algorithm (sorted binary "
+    "search vs windowed scan) hash-agreeing on every row, the "
+    "strongest cross-dialect pin in the events family.  Scale: one "
+    "shuffle on user_id, no join at all on the Spark side; state is "
+    "one (instant, value) pair per user regardless of history length.",
+)
+def q65b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("us"), "value")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "us",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            F.col("us").alias("c_us"),
+            "click_value",
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("long").alias("c_us"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_purchase").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("c_us", ignorenulls=True).over(w).alias("last_c_us"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_c_val"),
+    )
+    within = F.col("us") - F.col("last_c_us") <= _ASOF_TOL_US
+    return tagged.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.when(within, F.col("last_c_us")).alias("click_us"),
+        F.when(within, F.col("last_c_val")).alias("click_value"),
+    )

@@ -1271,3 +1271,94 @@ def qd19_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(F.abs(F.avg("score") - pos_rate), 4).alias("calibration_gap"),
     )
+
+
+@register(
+    "qd20_anomaly_episodes",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        stats AS (
+            SELECT avg(n_orders) AS mu, stddev_samp(n_orders) AS sd
+            FROM daily
+        ),
+        flagged AS (
+            SELECT day, n_orders,
+                   (n_orders - mu) / sd AS z
+            FROM daily CROSS JOIN stats
+            WHERE abs(n_orders - mu) > 2 * sd
+        ),
+        runs AS (
+            SELECT *,
+                   CASE WHEN lag(day) OVER (ORDER BY day) IS NULL
+                             OR date_diff('day', lag(day) OVER (ORDER BY day),
+                                          day) > 3
+                        THEN 1 ELSE 0 END AS is_new
+            FROM flagged
+        ),
+        episodes AS (
+            SELECT *,
+                   sum(is_new) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ep
+            FROM runs
+        )
+        SELECT CAST(min(day) AS VARCHAR) AS start_day,
+               CAST(max(day) AS VARCHAR) AS end_day,
+               CAST(count(*) AS BIGINT) AS n_anomalous_days,
+               round(max(abs(z)), 6) AS peak_abs_z
+        FROM episodes GROUP BY ep
+    """,
+    doc="Anomaly EPISODE grouping — the alerting unit above qd16's "
+    "per-day flags: anomalous days (same |z| > 2 rule, same stats) "
+    "are clustered into episodes by a gap-and-island pass (a new "
+    "episode starts when >3 calendar days separate anomalies), each "
+    "reporting its span, length, and peak |z|.  One page-duty alert "
+    "per INCIDENT instead of one per day is the difference between a "
+    "monitor people read and one they mute; the 3-day bridge absorbs "
+    "weekends/holidays inside one incident.  Scale: daily counts are "
+    "one partial agg (or free from partition metadata, qd16); the "
+    "island pass windows over DAYS — a few thousand rows per decade "
+    "regardless of corpus size.",
+)
+def qd20_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("timestamp").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    stats = daily.agg(
+        F.avg("n_orders").alias("mu"), F.stddev_samp("n_orders").alias("sd")
+    )
+    flagged = (
+        daily.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("n_orders") - F.col("mu")) > 2 * F.col("sd"))
+        .select("day", "n_orders", ((F.col("n_orders") - F.col("mu")) / F.col("sd")).alias("z"))
+    )
+    w = W.orderBy("day")
+    runs = flagged.select(
+        "*",
+        F.when(
+            F.lag("day").over(w).isNull()
+            | (F.datediff(F.col("day"), F.lag("day").over(w)) > 3),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ep = runs.select(
+        "*",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("ep"),
+    )
+    return ep.groupBy("ep").agg(
+        F.min(F.col("day").cast("string")).alias("start_day"),
+        F.max(F.col("day").cast("string")).alias("end_day"),
+        F.count("*").cast("long").alias("n_anomalous_days"),
+        F.round(F.max(F.abs("z")), 6).alias("peak_abs_z"),
+    ).drop("ep")
