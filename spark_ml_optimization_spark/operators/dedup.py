@@ -1616,3 +1616,60 @@ def q84c_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@register(
+    "q84d_degree_distribution",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+            ) GROUP BY node
+        ),
+        hist AS (
+            SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1
+        ),
+        fit AS (
+            SELECT regr_slope(ln(n_nodes), bucket) AS slope FROM hist
+        )
+        SELECT h.bucket, h.n_nodes, round(f.slope, 6) AS loglog_slope
+        FROM hist h CROSS JOIN fit f
+    """,
+    doc="Degree distribution of the co-purchase graph + a log-log tail "
+    "fit — the graph-health profile read before ANY iterative "
+    "algorithm is launched on it (q84/q84b/q84c): nodes histogrammed "
+    "into log2 degree buckets, and the regr_slope of ln(count) vs "
+    "bucket quantifies how heavy the hub tail is (a slope near 0 "
+    "means hubs — the signal to pre-aggregate or salt before the "
+    "wedge joins; q84b's 34 s → 6 s degree-orientation fix was "
+    "exactly a response to what this profile shows).  Reuses the "
+    "FAMILY'S shared checkpointed edge artifact, so in-suite it costs "
+    "one degree agg + a 12-row fit.  Scale: degrees are one "
+    "partial-agg pass over edges; the histogram is O(log(max_degree)) "
+    "rows.",
+)
+def q84d_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_nodes"))
+    fit = hist.agg(
+        F.regr_slope(F.log("n_nodes"), F.col("bucket").cast("double")).alias("slope")
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "bucket", "n_nodes", F.round("slope", 6).alias("loglog_slope")
+    )

@@ -675,3 +675,40 @@ def q56c_content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         uuid_fmt.alias("content_uuid"),
         F.substring("hx", 1, 2).alias("shard"),
     )
+
+
+@register(
+    "q55e_variant_explode",
+    oracle="""
+        SELECT event_id,
+               0 AS pos,
+               'k' AS key,
+               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+                   AS value_long
+        FROM events
+        WHERE event_id < 3000
+    """,
+    doc="Spark 4 variant_explode table function: a variant OBJECT "
+    "lateral-exploded into (pos, key, value) rows — the generic "
+    "walk-an-open-schema primitive that q55d's typed variant_get "
+    "cannot express when field names are unknown at query time "
+    "(telemetry payloads, A/B config blobs).  Values come back as "
+    "VARIANT and are typed at the edge (cast to BIGINT here).  The "
+    "fixture props are the fixed {\"k\": int} shape, so the oracle "
+    "mirrors by regex; production payloads just produce more rows "
+    "per record — same lateral plan.  Scale: parse once into "
+    "variant, explode map-side; no shuffle until whatever aggregates "
+    "the pairs.",
+)
+def q55e_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v = e.select("event_id", F.parse_json("props").alias("vp"))
+    v.createOrReplaceTempView("q55e_variants")
+    return v.sparkSession.sql(
+        """
+        SELECT event_id, t.pos, t.key,
+               cast(t.value AS BIGINT) AS value_long
+        FROM q55e_variants,
+             LATERAL variant_explode(vp) AS t(pos, key, value)
+        """
+    )

@@ -1033,3 +1033,36 @@ if transform_with_state_available():
             )
         )
         return _run_to_memory(out, "append")
+
+
+@register(
+    "st16_stream_topk",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC
+        LIMIT 10
+    """,
+    # Complete-mode is the one streaming output mode that permits a
+    # global sort+limit after aggregation; over the finite one-batch
+    # fixture the final emission is the batch answer — deterministic
+    # (id tiebreak), hash-verified.
+    doc="Streaming TOP-K: complete-mode per-user counts with a global "
+    "ORDER BY + LIMIT after the aggregation — the live-leaderboard "
+    "shape (top talkers, hottest keys, worst error sources).  Sort is "
+    "legal ONLY in complete mode, where every trigger re-emits the "
+    "full result; at scale the state is the per-key aggregate (bounded "
+    "by key cardinality), and the sort runs over aggregated rows, "
+    "never raw events — for unbounded key spaces the production form "
+    "swaps in an approx_top_k sketch per trigger (q28b's operator).",
+)
+def st16_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    return _run_to_memory(top, "complete")
