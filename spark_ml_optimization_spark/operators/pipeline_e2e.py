@@ -586,3 +586,183 @@ def qp5_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(stages).alias("s")).select(
         "s.stage_idx", "s.stage", "s.n_docs"
     )
+
+
+def _qp6_oracle() -> str:
+    return """
+        WITH base AS (SELECT * FROM documents WHERE n_chars > 0),
+        s1 AS (
+            SELECT * FROM base
+            WHERE len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                  / n_chars >= 0.815
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s1) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        firsts AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+        nov AS (
+            SELECT sh.doc_id,
+                   sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+                       / count(*) AS novelty
+            FROM sh JOIN firsts f USING (s) GROUP BY sh.doc_id
+        ),
+        s2 AS (
+            SELECT s1.* FROM s1 JOIN nov USING (doc_id)
+            WHERE nov.novelty >= 0.4
+        ),
+        bgrams AS (
+            SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g
+            FROM (SELECT string_split(text, ' ') AS w
+                  FROM base WHERE source = 'src0') t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (
+                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM s2 WHERE source <> 'src0') t
+                CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+            ) c JOIN bgrams b USING (g)
+        ),
+        s3 AS (
+            SELECT * FROM s2
+            WHERE source <> 'src0'
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        packed AS (
+            SELECT lang,
+                   floor(COALESCE(sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512) AS seq_id
+            FROM s3
+        ),
+        seqs AS (
+            SELECT count(*) AS n FROM (
+                SELECT DISTINCT lang, seq_id FROM packed
+            )
+        )
+        SELECT 'p0_ingested' AS stage,
+               CAST((SELECT count(*) FROM base) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'p1_script_gate', CAST((SELECT count(*) FROM s1) AS BIGINT)
+        UNION ALL
+        SELECT 'p2_novelty_gate', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT 'p3_decontaminated', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        UNION ALL
+        SELECT 'p4_train_sequences', CAST((SELECT n FROM seqs) AS BIGINT)
+    """
+
+
+@register(
+    "qp6_quality_gate_pipeline",
+    oracle=_qp6_oracle(),
+    doc="The QUALITY-GATE pipeline composing the round-4 operator "
+    "family end-to-end, hash-verified at every stage boundary: "
+    "character-class script gate (q80c's arithmetic, lowercase ratio "
+    ">= 0.815 — drops mojibake/table-like rows) → n-gram novelty "
+    "gate (q83c's first-owner attribution over the survivors, "
+    "novelty >= 0.4 — drops recombined boilerplate) → benchmark "
+    "decontamination (qc01's broadcast gram anti-join, benchmark = "
+    "source 'src0' from the RAW corpus — an eval suite does not "
+    "shrink because training docs were filtered) → token-budget "
+    "packing (qc04, 512-token sequences).  Output = the funnel "
+    "report: docs surviving each gate + final trainable sequence "
+    "count.  Ordering is cheap-to-expensive: the script gate is one "
+    "map-side regexp pass and runs FIRST so the shingle/gram stages "
+    "only pay for plausible text — same discipline as qp5's dedup "
+    "funnel (exact before LSH before embeddings).  Every per-stage "
+    "plan is its standalone query's plan; gate thresholds compare "
+    "bit-identical int/int divisions, so no boundary can flake.",
+)
+def qp6_quality_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..api import shingles, word_grams
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    lower_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")) * 1.0 / F.col("n_chars")
+    )
+    s1 = base.filter(lower_ratio >= 0.815)
+    # The shingle relation feeds BOTH the first-owner agg and the join
+    # back; the surviving-id sets feed every later stage AND the funnel
+    # counts (which would otherwise recompute the whole upstream subtree
+    # per count) — cache exactly these NARROW relations (the BASELINE.md
+    # rule; measured 8.3 s → 1.3 s best-of-2 at sf0.1).
+    sh = s1.select("doc_id", F.explode(shingles("text", 3)).alias("s")).cache()
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    nov = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+                * 1.0
+                / F.count("*")
+            ).alias("novelty")
+        )
+    )
+    s2_ids = (
+        nov.filter(F.col("novelty") >= 0.4).select("doc_id").cache()
+    )
+    s2 = s1.join(s2_ids, "doc_id")
+    bench = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode(word_grams(F.split("text", " "), 3, distinct=True)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = s2.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(word_grams(F.split("text", " "), 3, distinct=True)).alias("g")
+    )
+    contaminated = corpus_grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    s3_ids = (
+        s2.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .cache()
+    )
+    s3 = base.join(s3_ids, "doc_id")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seqs = (
+        s3.select(
+            "lang",
+            F.floor(
+                F.coalesce(
+                    F.sum(F.size(F.split("text", " "))).over(w), F.lit(0)
+                )
+                / 512
+            ).alias("seq_id"),
+        )
+        .select("lang", "seq_id")
+        .distinct()
+        .agg(F.count("*").alias("n"))
+    )
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("p0_ingested", base)
+        .unionByName(stage("p1_script_gate", s1))
+        .unionByName(stage("p2_novelty_gate", s2))
+        .unionByName(stage("p3_decontaminated", s3))
+        .unionByName(
+            seqs.select(
+                F.lit("p4_train_sequences").alias("stage"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    )
