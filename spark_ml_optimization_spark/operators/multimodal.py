@@ -4,13 +4,14 @@ decode / feature-extract / frame-sample plumbing.
 SURVEY.md §2.11 + BASELINE.json north-star ("multimodal columns").
 
 Model: one row = one entity; media lives in a BinaryType column next to
-typed metadata columns (format, n_frames, …).  The fixtures carry no real
-media, so payloads are derived deterministically from document text
-(UTF-8 bytes) — the *Spark plumbing* (BinaryType schema, Arrow batch
-shape through mapInPandas, partitioning, metadata joins) is real and
-tested; the pixel/sample decoding itself is a clearly-marked STUB
-(`_decode_image_stub`) because no image/audio libs exist in this
-container.  Swapping the stub for PIL/librosa changes no plan shape.
+typed metadata columns (format, n_frames, …).  mm01/mm02/mm04/mm05 use
+text-byte payloads; mm03/mm06 plant GENUINE binary-PPM (P6) images and
+decode them with a real pure-numpy parser (`_decode_ppm` — header
+tokenizer, raster offset arithmetic, exact-int means), so the decode/
+feature-extract/resize surface carries no stub: every kernel is
+hash-verified against a relational char-code oracle.  Compressed
+formats (PNG/JPEG/WAV) would swap the parser for PIL/librosa — no
+plan shape changes (no such lib ships in this container).
 
 Scale posture: media bytes never enter a shuffle — every operator either
 processes them map-side (mapInPandas) or drops them before any groupBy/
@@ -365,4 +366,111 @@ def mm05_perceptual_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 8)
+    )
+
+
+def _thumb_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """2x2 thumbnail grid over decoded PPM rasters: the image is split
+    into 2x2 blocks of floor(w/2) x floor(h/2) pixels (remainder row/
+    column ignored), each cell reporting its mean sample value across
+    all three channels — exact integer sum / count, one IEEE division
+    (the mm03 reproducibility rule)."""
+    import numpy as np
+
+    out_doc, out_gx, out_gy, out_mean = [], [], [], []
+    for pdf in it:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = _decode_ppm_dims(bytes(payload))
+            px, off = _ppm_raster(bytes(payload))
+            arr = np.frombuffer(px, dtype=np.uint8, count=w * h * 3, offset=off)
+            img = arr.reshape(h, w, 3).astype(np.int64)
+            bw, bh = w // 2, h // 2
+            for gy in range(2):
+                for gx in range(2):
+                    block = img[gy * bh : (gy + 1) * bh, gx * bw : (gx + 1) * bw, :]
+                    out_doc.append(doc_id)
+                    out_gx.append(gx)
+                    out_gy.append(gy)
+                    out_mean.append(float(int(block.sum())) / block.size)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "gx": pd.array(out_gx, dtype="int32"),
+                "gy": pd.array(out_gy, dtype="int32"),
+                "cell_mean": out_mean,
+            }
+        )
+        out_doc, out_gx, out_gy, out_mean = [], [], [], []
+
+
+def _decode_ppm_dims(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, maxval) from a P6 header — shares _decode_ppm's
+    parser by delegating to it for the dims."""
+    w, h, _mean = _decode_ppm(payload)
+    return w, h, 255
+
+
+def _ppm_raster(payload: bytes) -> tuple[bytes, int]:
+    """(payload, raster_offset) — re-walk the header tokens to find
+    where the raster starts (same tokenizer as _decode_ppm)."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    return payload, i + 1
+
+
+@register(
+    "mm06_thumbnail_grid",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS w,
+                   CAST(3 + doc_id % 4 AS INT) AS h,
+                   rpad(text, {{pad}}, '.') AS padded
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h,
+                   (i - 1) // 3 % d.w AS x,
+                   (i - 1) // (3 * d.w) AS y,
+                   ascii(substr(d.padded, i, 1)) AS v
+            FROM dims d
+            CROSS JOIN UNNEST(generate_series(1, d.w * d.h * 3)) u(i)
+        )
+        SELECT doc_id,
+               CAST(x // (w // 2) AS INT) AS gx,
+               CAST(y // (h // 2) AS INT) AS gy,
+               CAST(sum(v) AS DOUBLE) / count(*) AS cell_mean
+        FROM px
+        WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+        GROUP BY doc_id, w, h, x // (w // 2), y // (h // 2)
+    """.replace("{pad}", str(_PPM_PAD)),
+    doc="Thumbnail/RESIZE over real image payloads — the decode→"
+    "downscale step of a multimodal pipeline, with genuine raster "
+    "arithmetic: each PPM (mm03's payloads) is split into a 2x2 grid "
+    "of floor(w/2)xfloor(h/2) pixel blocks (remainder row/column "
+    "dropped, standard integer downscale) and each cell emits its "
+    "mean sample value — numpy block-sum / count, one IEEE division.  "
+    "The ORACLE re-derives every cell from character codes with pure "
+    "positional arithmetic (byte i → pixel (x,y,channel) → grid "
+    "cell), so the reshape, block slicing, and mean are all "
+    "hash-verified.  Swap the 2x2 grid for area-averaged WxH and "
+    "this IS production thumbnailing; payloads never shuffle — 4 "
+    "rows of (id, 2 ints, 1 double) leave the kernel per image.",
+)
+def mm06_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_ppm(spark, sf_dir)
+    return b.select("doc_id", "payload").mapInPandas(
+        _thumb_batch, schema="doc_id long, gx int, gy int, cell_mean double"
     )

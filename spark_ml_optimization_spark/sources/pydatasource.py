@@ -15,7 +15,12 @@ handles distribution, schema enforcement, and Arrow transfer.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth's multiplicative hash constant — the whole "dataset".
 _MULT = 2654435761
@@ -58,3 +63,72 @@ def register_sensor_source(spark: SparkSession) -> None:
     same name, so plain re-registration is already idempotent — no
     memoization (an id(spark) cache can go stale after GC id reuse)."""
     spark.dataSource.register(SensorSource)
+
+
+def _build_sensor_stream_source():
+    """The streaming classes are defined DYNAMICALLY (function scope) so
+    cloudpickle serializes them BY VALUE: Spark runs the streaming
+    source's offset/prefetch logic in a separate
+    python_streaming_source_runner process that does not share the
+    driver's sys.path, so a module-level class (pickled by reference)
+    raises ModuleNotFoundError there.  Batch sources (SensorSource
+    above) deserialize in executors that inherit the driver's path, so
+    they can stay module-level."""
+
+    class _SensorStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked streaming reader over the deterministic
+        generator: each micro-batch emits the next CHUNK ids until
+        TOTAL, then reports no new data (so processAllAvailable
+        terminates).  Offsets are plain dicts — Spark checkpoints
+        them, and readBetweenOffsets replays any range exactly (the
+        contract that makes the source exactly-once compatible)."""
+
+        CHUNK = 2000
+        TOTAL = 6000
+
+        def initialOffset(self) -> dict:
+            return {"next": 0}
+
+        def read(self, start: dict):
+            lo = int(start["next"])
+            hi = min(lo + self.CHUNK, self.TOTAL)
+            return self._rows(lo, hi), {"next": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(int(start["next"]), int(end["next"]))
+
+        @staticmethod
+        def _rows(lo: int, hi: int):
+            # iter(list), not a generator: the prefetch wrapper needs a
+            # real iterator (it calls next() on no-progress batches)
+            # that is ALSO picklable (cached batches ship to the JVM
+            # planner) — a generator fails the pickle, a bare list
+            # fails the next().  Hash constants inlined so the dynamic
+            # class captures no module globals.
+            return iter(
+                [
+                    (
+                        i,
+                        (i * 2654435761) % 2**32 % 97,
+                        round(((i * 2654435761) % 2**32 % 1000) / 10.0, 1),
+                    )
+                    for i in range(lo, hi)
+                ]
+            )
+
+    class SensorStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sensor_stream"
+
+        def schema(self) -> str:
+            return "reading_id BIGINT, sensor_id INT, temp DOUBLE"
+
+        def simpleStreamReader(self, schema):
+            return _SensorStreamReader()
+
+    return SensorStreamSource
+
+
+def register_sensor_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(_build_sensor_stream_source())

@@ -1066,3 +1066,49 @@ def st16_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return _run_to_memory(top, "complete")
+
+
+@register(
+    "src18_python_stream_source",
+    oracle="""
+        WITH sensor AS (
+            SELECT i AS reading_id,
+                   CAST((i * 2654435761) % 4294967296 % 97 AS INT)
+                       AS sensor_id,
+                   round(((i * 2654435761) % 4294967296 % 1000) / 10.0, 1)
+                       AS temp
+            FROM range(0, 6000) t(i)
+        )
+        SELECT sensor_id % 10 AS sensor_group,
+               CAST(count(*) AS BIGINT) AS n_readings,
+               round(avg(temp), 4) AS avg_temp,
+               round(max(temp), 1) AS max_temp
+        FROM sensor
+        GROUP BY sensor_id % 10
+    """,
+    doc="STREAMING Python data source (Spark 4 SimpleDataSourceStream"
+    "Reader): src12's deterministic sensor generator re-exposed as an "
+    "offset-tracked micro-batch stream — initialOffset/read advance a "
+    "checkpointable {'next': n} offset 2000 rows per trigger until "
+    "6000, readBetweenOffsets replays any range exactly (the "
+    "exactly-once replay contract), and processAllAvailable "
+    "terminates because read() reports no progress at end-of-stream.  "
+    "Complete-mode per-sensor-group aggregate over the drained "
+    "stream equals the batch formula, so the entire path — offset "
+    "management, Python micro-batch reader, Arrow transfer, stateful "
+    "agg — is hash-verified against the arithmetic oracle.  This is "
+    "the extension point for streaming ingest Spark has no built-in "
+    "reader for (internal queues, vendor APIs).",
+)
+def src18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_sensor_stream_source
+
+    configure(spark)
+    register_sensor_stream_source(spark)
+    readings = spark.readStream.format("sensor_stream").load()
+    agg = readings.groupBy((F.col("sensor_id") % 10).alias("sensor_group")).agg(
+        F.count("*").cast("long").alias("n_readings"),
+        F.round(F.avg("temp"), 4).alias("avg_temp"),
+        F.round(F.max("temp"), 1).alias("max_temp"),
+    )
+    return _run_to_memory(agg, "complete")

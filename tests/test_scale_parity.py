@@ -53,6 +53,18 @@ SCALE_SENSITIVE = [
     "q84b_triangle_count",
     "mm05_perceptual_hash_neardup",
     "qc21_leakage_safe_split",
+    # round-4 additions whose output density depends on corpus/graph
+    # size: first-owner novelty shifts with vocabulary saturation
+    # (q83c), contamination pair fan-out with gram df (qc23), the
+    # quality-gate funnel only filters meaningfully under sf0.1
+    # duplicate/boilerplate pressure (qp6), the degree histogram and
+    # its log-log fit with graph size (q84d), and as-of tolerance
+    # matches with event density (q65b).
+    "q83c_ngram_novelty",
+    "qc23_contamination_attribution",
+    "qp6_quality_gate_pipeline",
+    "q84d_degree_distribution",
+    "q65b_asof_tolerance",
 ]
 
 TABLES = (
