@@ -1249,3 +1249,83 @@ def ml26_bucketizer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "ml27_roc_auc_relational",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(n_chars AS DOUBLE) / (n_chars + 256) AS s,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        per_score AS (
+            SELECT s, count(*) AS n, sum(y) AS pos
+            FROM scored GROUP BY s
+        ),
+        ranked AS (
+            SELECT s, n, pos,
+                   COALESCE(sum(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM per_score
+        ),
+        tot AS (
+            SELECT sum(pos) AS n1, sum(n) - sum(pos) AS n0,
+                   sum(pos * (cum_before + (n + 1) / 2.0)) AS rank_sum
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               round((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+                   AS auc
+        FROM tot
+    """,
+    doc="ROC AUC computed RELATIONALLY via the Mann-Whitney U "
+    "statistic — the scale-sane AUC: no threshold sweep, no sort of "
+    "raw rows; scores aggregate to (score, n, n_pos) (one hash agg), "
+    "a cumulative window over the DISTINCT-score relation assigns "
+    "tie-corrected average ranks (min-rank + (n+1)/2 — the standard "
+    "midrank), and AUC = (rank_sum - n1(n1+1)/2) / (n1*n0).  "
+    "Completes ml23's PR curve with the other standard ranking "
+    "metric, hash-verified: every quantity is integer counts and "
+    "exact half-integers, so both engines compute the identical "
+    "double before the final division (scores are qd19's "
+    "deterministic rational proxy; a real model's score column drops "
+    "in unchanged).  Scale: the window runs over distinct scores "
+    "(sketchable via fixed-width binning at 100 TB with bounded AUC "
+    "error), never over rows — MLlib's "
+    "BinaryClassificationEvaluator does the same thing with an "
+    "RDD sort, this is the Catalyst form.",
+)
+def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("n_chars").cast("double") / (F.col("n_chars") + 256)).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "s", "n", "pos", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before")
+    )
+    tot = ranked.agg(
+        F.sum("pos").alias("n1"),
+        (F.sum("n") - F.sum("pos")).alias("n0"),
+        F.sum(F.col("pos") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)).alias(
+            "rank_sum"
+        ),
+    )
+    return tot.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )

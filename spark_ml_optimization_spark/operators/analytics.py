@@ -979,3 +979,66 @@ def qa22_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_jr)
+
+
+@register(
+    "qa23_idle_rich_accounts",
+    oracle="""
+        WITH sel AS (
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+                   c_nationkey % 7 AS cntrycode
+            FROM customer
+            WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+        ),
+        avg_bal AS (
+            SELECT sum(cents) * 1.0 / count(*) AS a
+            FROM sel WHERE cents > 0
+        ),
+        idle AS (
+            SELECT s.cntrycode, s.cents
+            FROM sel s
+            WHERE s.cents > (SELECT a FROM avg_bal)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o WHERE o.o_custkey = s.c_custkey
+              )
+        )
+        SELECT cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(cents) / 100.0, 2) AS totacctbal
+        FROM idle GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (global-lost-customers): customers in selected "
+    "'country codes' (nationkey buckets standing in for phone "
+    "prefixes) whose balance exceeds the positive-balance AVERAGE of "
+    "that population and who have NO orders — a scalar-aggregate "
+    "subquery feeding a decorrelated anti-join, completing the hard "
+    "TPC-H quartet beside qa20 (Q21), qa21 (Q20), qa15 (Q17).  "
+    "Catalyst plans the NOT EXISTS as a left-anti hash join and the "
+    "scalar average as a broadcast 1-row relation.  Money arithmetic "
+    "runs in CENTS (exact BIGINT sums) so the > average threshold is "
+    "a bit-identical comparison in both engines — an average of "
+    "doubles would make the boundary summation-order-dependent (the "
+    "adversarial-parity rule).  Scale: one scan of customer, "
+    "broadcast threshold, anti-join keyed on custkey.",
+)
+def qa23_idle_rich_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    sel = c.filter((F.col("c_nationkey") % 7).isin(0, 1, 2, 3)).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        (F.col("c_nationkey") % 7).alias("cntrycode"),
+    )
+    avg_bal = sel.filter(F.col("cents") > 0).agg(
+        (F.sum("cents") * 1.0 / F.count("*")).alias("a")
+    )
+    idle = (
+        sel.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("cents") > F.col("a"))
+        .join(o, sel.c_custkey == o.o_custkey, "left_anti")
+    )
+    return idle.groupBy("cntrycode").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.round(F.sum("cents") / 100.0, 2).alias("totacctbal"),
+    )
