@@ -1290,3 +1290,85 @@ def qc23_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("shared").cast("long").alias("max_shared_grams"),
         F.sum("shared").cast("long").alias("total_gram_hits"),
     )
+
+
+@register(
+    "qc24_postdedup_mixture_replan",
+    oracle=f"""
+        WITH weights(lang, w) AS (
+            VALUES ('en', 0.5), ('zh', 0.2), ('es', 0.15),
+                   ('fr', 0.1), ('de', 0.05)
+        ),
+        ranked AS (
+            SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        tok AS (
+            SELECT lang,
+                   CAST(sum(n_tokens) AS BIGINT) AS pre_tokens,
+                   CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+                        AS BIGINT) AS post_tokens
+            FROM ranked GROUP BY lang
+        )
+        SELECT t.lang, t.pre_tokens, t.post_tokens,
+               least(t.pre_tokens,
+                     CAST(floor(w.w * {_WATERFILL_BUDGET}) AS BIGINT))
+                   AS pre_alloc,
+               least(t.post_tokens,
+                     CAST(floor(w.w * {_WATERFILL_BUDGET}) AS BIGINT))
+                   AS post_alloc,
+               CAST(t.post_tokens <
+                    CAST(floor(w.w * {_WATERFILL_BUDGET}) AS BIGINT)
+                    AS INT) AS starved_after_dedup
+        FROM tok t JOIN weights w USING (lang)
+    """,
+    doc="POST-dedup mixture replan — the step qc19 and qc22 exist to "
+    "feed: the waterfill allocation recomputed against tokens that "
+    "SURVIVE exact keep-first dedup, next to the naive pre-dedup "
+    "allocation.  A language whose corpus is duplicate-heavy can "
+    "afford its target share on paper and starve after dedup "
+    "(starved_after_dedup flags exactly that) — allocating against "
+    "pre-dedup counts over-promises the mixture, the classic "
+    "planning bug this table catches before a training run.  Same "
+    "round-before-floor and exact-token-count rules as qc19/qc22; "
+    "scale shape is theirs too (digest window + lang agg + literal "
+    "broadcast weights).",
+)
+def qc24_postdedup_mixture_replan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w_d = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.row_number().over(w_d).alias("rn"),
+    )
+    tok = ranked.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("pre_tokens"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("post_tokens"),
+    )
+    weights = F.create_map(
+        *[F.lit(x) for kv in _WATERFILL_WEIGHTS.items() for x in kv]
+    )
+    target = F.floor(F.round(weights[F.col("lang")] * _WATERFILL_BUDGET, 6)).cast(
+        "long"
+    )
+    return (
+        tok.withColumn("target", target)
+        .where(F.col("target").isNotNull())
+        .select(
+            "lang",
+            "pre_tokens",
+            "post_tokens",
+            F.least("pre_tokens", "target").alias("pre_alloc"),
+            F.least("post_tokens", "target").alias("post_alloc"),
+            (F.col("post_tokens") < F.col("target")).cast("int").alias(
+                "starved_after_dedup"
+            ),
+        )
+    )

@@ -1362,3 +1362,83 @@ def qd20_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_anomalous_days"),
         F.round(F.max(F.abs("z")), 6).alias("peak_abs_z"),
     ).drop("ep")
+
+
+@register(
+    "qd21_order_reconciliation",
+    oracle="""
+        WITH line_tot AS (
+            SELECT l_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 + l_tax)
+                                  * (1 - l_discount) * 1e6, 0) AS BIGINT))
+                       AS line_micros
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderstatus,
+                   CAST(round(o.o_totalprice * 1e6, 0) AS BIGINT)
+                       AS order_micros,
+                   lt.line_micros
+            FROM orders o LEFT JOIN line_tot lt
+              ON o.o_orderkey = lt.l_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN line_micros IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lineless,
+               CAST(sum(CASE WHEN line_micros IS NOT NULL
+                              AND abs(line_micros - order_micros) * 100
+                                  > order_micros
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mismatched,
+               round(sum(COALESCE(line_micros, 0)) / 1e6, 2)
+                   AS total_line_revenue,
+               round(sum(order_micros) / 1e6, 2) AS total_header_revenue
+        FROM j GROUP BY o_orderstatus
+    """,
+    doc="Cross-TABLE reconciliation audit — the header-vs-detail "
+    "consistency check every warehouse ingest runs (does the order "
+    "header total equal the sum of its lines?): per-order lineitem "
+    "revenue (price x (1+tax) x (1-discount)) vs o_totalprice, "
+    "reported per order status as lineless-header counts, >1% "
+    "mismatch counts, and both revenue totals.  Complements qd02 "
+    "(key-level referential integrity) with VALUE-level integrity.  "
+    "All money arithmetic runs in integer MICROS (each line's product "
+    "is one identical IEEE expression, then exact BIGINT sums), so "
+    "per-order totals and the 1% threshold are bit-identical in both "
+    "engines regardless of summation order — the qa23 rule.  Scale: "
+    "one partial agg on the fact keyed by orderkey (the join key it "
+    "already shares with orders), one status-keyed rollup; counts "
+    "and two BIGINTs shuffle.",
+)
+def qd21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_micros = F.round(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 1e6,
+        0,
+    ).cast("long")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(line_micros).alias("line_micros")
+    )
+    j = o.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1e6, 0).cast("long").alias("order_micros"),
+        "o_orderkey",
+    ).join(line_tot, o.o_orderkey == line_tot.l_orderkey, "left")
+    mismatched = (
+        F.col("line_micros").isNotNull()
+        & (F.abs(F.col("line_micros") - F.col("order_micros")) * 100 > F.col("order_micros"))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("line_micros").isNull().cast("int")).cast("long").alias("n_lineless"),
+        F.sum(mismatched.cast("int")).cast("long").alias("n_mismatched"),
+        F.round(F.sum(F.coalesce("line_micros", F.lit(0))) / 1e6, 2).alias(
+            "total_line_revenue"
+        ),
+        F.round(F.sum("order_micros") / 1e6, 2).alias("total_header_revenue"),
+    )

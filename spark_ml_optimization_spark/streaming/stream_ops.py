@@ -1112,3 +1112,31 @@ def src18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("temp"), 1).alias("max_temp"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "st17_dedup_within_watermark",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # Which physical row survives is engine-arbitrary; the KEY SET is
+    # not — emit keys only (the st04 key-set-oracle convention), making
+    # the dropDuplicatesWithinWatermark surface hash-verifiable.
+    doc="dropDuplicatesWithinWatermark (Spark 3.5+): keyed streaming "
+    "dedup whose state is bounded by the WATERMARK WINDOW instead of "
+    "growing forever — the API for at-least-once sources that can "
+    "only replay within a bounded lag (vs plain dropDuplicates, whose "
+    "state holds every key ever seen: st04).  Single drained batch, "
+    "deduped (user, event_type) key set emitted, hash-verified "
+    "against SELECT DISTINCT.  At scale the state store holds one "
+    "entry per key seen within the watermark horizon — sized by "
+    "rate x lag, not by history.",
+)
+def st17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
