@@ -283,10 +283,11 @@ def _phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "mm05_perceptual_hash_neardup",
-    oracle="""
-        WITH bytes AS (
+#: Relational re-derivation of the aHash signature from character codes
+#: — shared by mm05's pair oracle and qp7's pipeline oracle (defines
+#: CTEs bytes/groups/tot/bits/sig/ph; expects a `documents` view).
+_PHASH_ORACLE_CTES = """
+        bytes AS (
             SELECT doc_id, i AS pos, ascii(substr(text, i, 1)) AS v,
                    least(len(text), 256) AS L
             FROM documents
@@ -304,8 +305,6 @@ def _phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             FROM groups g JOIN tot t USING (doc_id)
         ),
         sig AS (
-            -- weights via HUGEINT shifts: ** would return DOUBLE and
-            -- quantize the low bits of the 64-bit fold
             SELECT doc_id,
                    CAST(sum(CASE WHEN bit = 1
                                  THEN CAST(1 AS HUGEINT) << (63 - g)
@@ -322,6 +321,13 @@ def _phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                              ELSE s END AS BIGINT) AS phash
             FROM sig
         )
+"""
+
+
+@register(
+    "mm05_perceptual_hash_neardup",
+    oracle=f"""
+        WITH {_PHASH_ORACLE_CTES}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         FROM ph a JOIN ph b ON a.bucket = b.bucket AND a.doc_id < b.doc_id

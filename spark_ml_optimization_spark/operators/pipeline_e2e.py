@@ -766,3 +766,117 @@ def qp6_quality_gate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _qp7_oracle() -> str:
+    from .multimodal import _PHASH_ORACLE_CTES, _PPM_PAD
+
+    return f"""
+        WITH {_PHASH_ORACLE_CTES},
+        dropped AS (
+            SELECT DISTINCT b.doc_id AS drop_id
+            FROM ph a JOIN ph b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        ),
+        cat AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ),
+        surv AS (
+            SELECT c.doc_id, c.media_type
+            FROM cat c
+            WHERE c.doc_id NOT IN (SELECT drop_id FROM dropped)
+        ),
+        dims AS (
+            SELECT s.doc_id, s.media_type,
+                   CAST(4 + s.doc_id % 5 AS INT) AS width,
+                   CAST(3 + s.doc_id % 4 AS INT) AS height,
+                   rpad(d.text, {_PPM_PAD}, '.') AS padded
+            FROM surv s JOIN documents d USING (doc_id)
+        ),
+        px AS (
+            SELECT d.doc_id, d.media_type,
+                   ascii(substr(d.padded, i, 1)) AS v,
+                   d.width * d.height * 3 AS n_px
+            FROM dims d
+            CROSS JOIN UNNEST(generate_series(1, d.width * d.height * 3)) u(i)
+        ),
+        means AS (
+            SELECT doc_id, media_type,
+                   CAST(sum(v) AS DOUBLE) / any_value(n_px) AS mean_intensity
+            FROM px GROUP BY doc_id, media_type
+        )
+        SELECT c.media_type,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(c.n_bytes) AS BIGINT) AS total_bytes,
+               CAST(count(m.doc_id) AS BIGINT) AS n_survivors,
+               round(avg(m.mean_intensity), 4) AS avg_intensity
+        FROM cat c LEFT JOIN means m USING (doc_id)
+        GROUP BY c.media_type
+    """
+
+
+@register(
+    "qp7_media_pipeline",
+    oracle=_qp7_oracle(),
+    doc="The MULTIMODAL e2e pipeline — catalog → perceptual near-dup "
+    "prune → decode — composing the mm family the way a media corpus "
+    "build runs it, hash-verified at every boundary: (1) catalog "
+    "stats per media type over raw payload bytes (mm01/mm04); (2) "
+    "near-duplicate pruning by mm05's aHash kernel + 16-bit-prefix "
+    "bucket join, dropping the higher id of each Hamming<=8 pair "
+    "(keep-first survivorship, the qp5 rule); (3) REAL PPM decode of "
+    "only the survivors (mm03's kernel — prune-then-decode is the "
+    "100 TB ordering: decode is the expensive stage, so it runs on "
+    "the post-dedup set).  Output per media type: catalog size/bytes, "
+    "survivor count, mean decoded intensity.  Payload bytes never "
+    "shuffle at any stage — signatures (16 B), ids, and 3 scalars "
+    "move; the decode is map-side mapInPandas on an id-pruned scan.",
+)
+def qp7_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import _decode_batch, _phash_batch, _with_binary, _with_ppm
+
+    cat = _with_binary(spark, sf_dir).select(
+        "doc_id", "media_type", F.length("payload").cast("long").alias("n_bytes")
+    )
+    ph = (
+        _with_binary(spark, sf_dir)
+        .select("doc_id", "payload")
+        .filter(F.length("payload") > 0)
+        .mapInPandas(_phash_batch, schema="doc_id long, phash long, bucket long")
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "bucket")
+    pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "bucket")
+    dropped = (
+        pa.join(pb, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= 8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv_ids = cat.select("doc_id").join(dropped, "doc_id", "left_anti")
+    decoded = (
+        _with_ppm(spark, sf_dir)
+        .join(surv_ids, "doc_id")
+        .select("doc_id", "media_type", "payload")
+        .mapInPandas(
+            _decode_batch,
+            schema="doc_id long, media_type string, width int, height int, mean_intensity double",
+        )
+        .select("doc_id", "mean_intensity")
+    )
+    return (
+        cat.join(decoded, "doc_id", "left")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.count("mean_intensity").cast("long").alias("n_survivors"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+        )
+    )
