@@ -60,6 +60,12 @@ ADV_FAMILIES = [
     "q79b_winnowing",            # winnow guard on <4-token docs
     "mm03_decode_features",      # PPM decode of degenerate/empty text
     "mm05_perceptual_hash_neardup",  # empty payload -> no phantom pair
+    # round-4 wave-5 luck-sensitive additions:
+    "q65b_asof_tolerance",       # exact-tolerance / same-instant / tie clicks
+    "qd19_calibration_audit",    # deterministic bin edges under score ties
+    "ml27_roc_auc_relational",   # midrank correction under pos/neg score ties
+    "qd21_order_reconciliation", # exact-match and exactly-1% headers
+    "qa23_idle_rich_accounts",   # balance exactly AT the cent-exact average
 ]
 
 
@@ -122,6 +128,13 @@ def _build_documents() -> tuple[pa.Table, int]:
         for d in range(n_docs):
             rows.append((next_id, _tokens(n_tok, salt=next_id), lang, f"src{d % 3}"))
             next_id += 1
+    # ml27/qd19 tie plant: one POSITIVE ('en') and one NEGATIVE ('fr')
+    # doc with IDENTICAL n_chars -> identical score -> the Mann-Whitney
+    # midrank correction and the shared calibration bin are load-bearing.
+    tie_text = "tied score doc with fixed length"
+    rows.append((next_id, tie_text, "en", "src1"))
+    rows.append((next_id + 1, tie_text, "fr", "src1"))
+    next_id += 2
     base = {}
     for _, text, lang, _src in rows:
         base[lang] = base.get(lang, 0) + len(text.split(" "))
@@ -153,6 +166,13 @@ def _build_orders() -> pa.Table:
     for j in range(30):
         rows.append((100 + j, 1, "O", 2000.0 + j, cur_day, "1-URGENT"))
     rows.append((130, 1, "O", 199.0, cur_day, "1-URGENT"))
+    # qd21 reconciliation plants (lineitems under _build_lineitem):
+    # 200 = header EXACTLY equals its line sum (diff 0, not mismatched);
+    # 201 = diff exactly 1% of header (boundary: NOT > -> clean);
+    # 202 = diff 1.01% (just over -> mismatched).
+    rows.append((200, 1, "R", 500.0, ref_day, "1-URGENT"))
+    rows.append((201, 1, "R", 100.0, ref_day, "1-URGENT"))
+    rows.append((202, 1, "R", 100.0, ref_day, "1-URGENT"))
     return pa.table(
         {
             "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
@@ -180,6 +200,12 @@ def _build_lineitem() -> pa.Table:
         for v in vals:
             rows.append((k, 1, 1, 1, v, 1000.0 + v * 3.0, 0.0, 0.0, flag, "O"))
             k += 1
+    # qd21 reconciliation lines (tax/discount 0 so line total == price):
+    # order 200 reconciles exactly; 201 misses by exactly 1%; 202 by
+    # 1.01% — the >1% threshold's both sides, in exact integer micros.
+    rows.append((200, 1, 1, 1, 5.0, 500.0, 0.0, 0.0, "G", "O"))
+    rows.append((201, 1, 1, 1, 5.0, 101.0, 0.0, 0.0, "G", "O"))
+    rows.append((202, 1, 1, 1, 5.0, 101.01, 0.0, 0.0, "G", "O"))
     ship = datetime.datetime(1995, 1, 1)
     return pa.table(
         {
@@ -198,6 +224,69 @@ def _build_lineitem() -> pa.Table:
     )
 
 
+def _build_events() -> pa.Table:
+    """As-of tolerance boundary plants (q65b, TOL = 15 min):
+    same-instant click/purchase, a purchase at EXACTLY TOL after its
+    click (<= matches), one at TOL+1µs (does not), two same-instant
+    clicks with different values (max-value tie rule), a click only
+    AFTER its user's purchase, and a user with no clicks at all."""
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    tol = datetime.timedelta(minutes=15)
+    us1 = datetime.timedelta(microseconds=1)
+    t1 = datetime.datetime(2026, 1, 2, 0, 0, 0)
+    t2 = datetime.datetime(2026, 1, 3, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "click", 5.0),
+        (2, t0, 1, "purchase", 100.0),          # same instant -> match
+        (3, t0 + tol, 1, "purchase", 101.0),    # exactly TOL -> match
+        (4, t0 + tol + us1, 1, "purchase", 102.0),  # TOL+1µs -> NULL
+        (5, t1, 2, "click", 3.0),
+        (6, t1, 2, "click", 7.0),               # same-instant tie -> max 7
+        (7, t1 + m, 2, "purchase", 50.0),
+        (8, t1 - m, 2, "purchase", 51.0),       # click only after -> NULL
+        (9, t2, 3, "purchase", 60.0),           # user has no clicks
+        (10, t2 + m, 3, "click", 1.0),
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+
+
+def _build_customer() -> pa.Table:
+    """qa23 plants: positive selected balances {2.00, 2.00, 1.00, 3.00}
+    -> cent-exact average 200; a customer balance EXACTLY at the
+    average must be excluded (strict >), negatives/zeros never enter
+    the average, an unselected nationkey bucket is filtered, and the
+    one with-orders customer (custkey 1, referenced by adv orders)
+    exercises the anti-join."""
+    rows = [
+        (1, "a", 0, 2.00, "BUILDING"),   # has orders -> anti-joined away
+        (2, "b", 1, 2.00, "BUILDING"),   # == average -> excluded
+        (3, "c", 2, 1.00, "BUILDING"),
+        (4, "d", 3, 3.00, "BUILDING"),   # the single survivor
+        (5, "e", 4, 9.99, "BUILDING"),   # bucket 4: not selected
+        (6, "f", 7, -5.00, "BUILDING"),  # negative: outside the average
+        (7, "g", 1, 0.00, "BUILDING"),   # zero: outside the average
+    ]
+    return pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("adv_sf")
@@ -205,6 +294,8 @@ def adv_dir(tmp_path_factory):
     pq.write_table(docs, str(d / "documents.parquet"))
     pq.write_table(_build_orders(), str(d / "orders.parquet"))
     pq.write_table(_build_lineitem(), str(d / "lineitem.parquet"))
+    pq.write_table(_build_events(), str(d / "events.parquet"))
+    pq.write_table(_build_customer(), str(d / "customer.parquet"))
     return str(d)
 
 
@@ -213,7 +304,7 @@ def adv_duck(adv_dir):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("documents", "orders", "lineitem"):
+    for t in ("documents", "orders", "lineitem", "events", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{adv_dir}/{t}.parquet')"
         )
@@ -293,3 +384,30 @@ def test_edges_are_load_bearing(spark, adv_duck, adv_dir):
         < round(r["temp_weight"] * 1e6) // (10**6 // _BUDGET)
     ]
     assert on_cliff, "no language landed on the floor cliff — filler search broken"
+
+    # 7. q65b: the planted tolerance boundaries resolve exactly as
+    # specified (exactly-TOL matches, TOL+1µs does not, same-instant
+    # ties take the max-value click, click-after and no-click are NULL).
+    q65b = registry.all_queries()["q65b_asof_tolerance"]
+    by_id = {r["event_id"]: r for r in q65b.fn(spark, adv_dir).collect()}
+    assert by_id[2]["click_value"] == 5.0, "same-instant click must match"
+    assert by_id[3]["click_value"] == 5.0, "exactly-TOL click must match"
+    assert by_id[4]["click_value"] is None, "TOL+1µs click must NOT match"
+    assert by_id[7]["click_value"] == 7.0, "same-instant tie must take max"
+    assert by_id[8]["click_value"] is None, "click-after must not match"
+    assert by_id[9]["click_value"] is None, "no-click user must be NULL"
+
+    # 8. qa23: only the above-average no-orders customer survives; the
+    # balance exactly AT the cent-exact average is excluded.
+    qa23 = registry.all_queries()["qa23_idle_rich_accounts"]
+    surv = {(r["cntrycode"], r["numcust"]) for r in qa23.fn(spark, adv_dir).collect()}
+    assert surv == {(3, 1)}, f"qa23 boundary plants resolved wrong: {surv}"
+
+    # 9. qd21: the exactly-1%-off header is CLEAN, the 1.01% one is not.
+    qd21 = registry.all_queries()["qd21_order_reconciliation"]
+    g = {r["o_orderstatus"]: r for r in qd21.fn(spark, adv_dir).collect()}
+    # orders 200/201/202 carry their own status 'R': 200 diff=0 and
+    # 201 diff exactly 1% are CLEAN, 202 at 1.01% is the one mismatch.
+    assert g["R"]["n_orders"] == 3, g["R"]
+    assert g["R"]["n_lineless"] == 0, g["R"]
+    assert g["R"]["n_mismatched"] == 1, g["R"]
