@@ -1372,3 +1372,64 @@ def qc24_postdedup_mixture_replan(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "qc26_curriculum_order",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                       AS difficulty
+            FROM documents
+        ),
+        phased AS (
+            SELECT *,
+                   ntile(10) OVER (ORDER BY difficulty ASC, doc_id ASC)
+                       AS phase
+            FROM scored
+        )
+        SELECT phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(difficulty), 4) AS avg_difficulty,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
+        FROM phased GROUP BY phase
+    """,
+    doc="CURRICULUM ordering — the easy-to-hard training schedule "
+    "(Bengio et al. 2009, standard LM-pretraining practice): docs "
+    "ranked by a deterministic difficulty proxy (mean token length — "
+    "int/int division, bit-identical both engines; a model-based "
+    "difficulty column drops in unchanged) with doc_id tiebreak, then "
+    "ntile(10) cuts the ranking into equal-count phases; the output "
+    "is the phase manifest a training loop consumes (counts, "
+    "difficulty band, token budget per phase).  Deterministic: no "
+    "RNG, tie-stable, reproducible across engines — hash-verified "
+    "including the ntile boundaries.  Scale: one global rank is the "
+    "honest cost of a total curriculum (one range-partitioned sort "
+    "of (score, id) pairs — sortWithinPartitions + range exchange, "
+    "never text); per-(lang, shard) curricula drop the global "
+    "exchange like qc04's packing.",
+)
+def qc26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("difficulty"),
+    )
+    w = W.orderBy(F.col("difficulty").asc(), F.col("doc_id").asc())
+    phased = scored.withColumn("phase", F.ntile(10).over(w))
+    return phased.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("difficulty"), 4).alias("avg_difficulty"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_tokens").cast("long").alias("phase_tokens"),
+    )

@@ -978,3 +978,79 @@ def q65b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("last_c_us")).alias("click_us"),
         F.when(within, F.col("last_c_val")).alias("click_value"),
     )
+
+
+@register(
+    "q68e_conversion_latency",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_purchase,
+                   CASE WHEN event_type = 'click'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS c_us
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+        ),
+        tagged AS (
+            SELECT *,
+                   last_value(c_us IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us ASC, is_purchase ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_c_us
+            FROM e
+        ),
+        lat AS (
+            SELECT (us - last_c_us) // 60000000 AS minutes
+            FROM tagged
+            WHERE is_purchase = 1 AND last_c_us IS NOT NULL
+        )
+        SELECT CAST(CASE WHEN minutes >= 60 THEN 60
+                         ELSE (minutes // 5) * 5 END AS BIGINT)
+                   AS latency_bucket_min,
+               CAST(count(*) AS BIGINT) AS n_conversions
+        FROM lat GROUP BY 1
+    """,
+    doc="Conversion-LATENCY distribution: minutes between each purchase "
+    "and the same user's latest prior click, histogrammed into 5-min "
+    "buckets with a 60+ overflow bucket — the time-to-convert report "
+    "that prices attribution windows (q65b's 15-min tolerance is a "
+    "POLICY; this table is the evidence for choosing it).  Same "
+    "join-free union-window shape as q65 (one user-keyed shuffle; "
+    "integer-µs arithmetic end to end, so bucket edges are exact in "
+    "both engines).  Purchases with no prior click are excluded — "
+    "they have no latency (q67's funnel counts them).",
+)
+def q68e_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+        F.when(F.col("event_type") == "click", us).alias("c_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_purchase").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = (
+        base.select(
+            "*", F.last("c_us", ignorenulls=True).over(w).alias("last_c_us")
+        )
+        .filter((F.col("is_purchase") == 1) & F.col("last_c_us").isNotNull())
+        .select(
+            F.floor((F.col("us") - F.col("last_c_us")) / 60000000).alias("minutes")
+        )
+    )
+    bucket = F.when(F.col("minutes") >= 60, 60).otherwise(
+        F.floor(F.col("minutes") / 5) * 5
+    )
+    return lat.groupBy(bucket.cast("long").alias("latency_bucket_min")).agg(
+        F.count("*").cast("long").alias("n_conversions")
+    )
