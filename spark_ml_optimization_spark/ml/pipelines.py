@@ -1329,3 +1329,97 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "ml29_operating_point",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(n_chars AS DOUBLE) / (n_chars + 256) AS s,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        per_score AS (
+            SELECT s, count(*) AS n, sum(y) AS pos
+            FROM scored GROUP BY s
+        ),
+        tot AS (SELECT sum(pos) AS n1 FROM per_score),
+        cum AS (
+            SELECT s,
+                   sum(pos) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   sum(n - pos) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM per_score
+        ),
+        f1s AS (
+            SELECT s AS threshold, tp, fp, (SELECT n1 FROM tot) - tp AS fn,
+                   2.0 * tp / (tp + fp + (SELECT n1 FROM tot)) AS f1
+            FROM cum
+        )
+        SELECT round(threshold, 6) AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(tp * 1.0 / (tp + fp), 6) AS precision,
+               round(tp * 1.0 / (tp + fn), 6) AS recall,
+               round(f1, 6) AS f1
+        FROM f1s
+        ORDER BY f1 DESC, threshold DESC
+        LIMIT 1
+    """,
+    doc="OPERATING-POINT selection — the decision step after ml23's PR "
+    "curve and ml27's AUC: every distinct score is a candidate "
+    "threshold (predict positive at s >= t); reverse-cumulative "
+    "windows over the per-score aggregates give TP/FP at each, and "
+    "the row with maximum F1 (largest-threshold tiebreak) is the "
+    "operating point a deployed filter actually runs at.  All counts "
+    "are exact integers, F1 is one division of identical doubles, so "
+    "the argmax cannot flake across engines.  Scale: same shape as "
+    "ml27 — one hash agg to distinct scores, one tiny window, one "
+    "top-1; never a per-threshold scan of raw rows.",
+)
+def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("n_chars").cast("double") / (F.col("n_chars") + 256)).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_score.agg(F.sum("pos").alias("n1"))
+    w = W.orderBy(F.col("s").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_score.select(
+        "s",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    f1s = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("n1") - F.col("tp")).alias("fn"),
+        (2.0 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("n1"))).alias("f1"),
+    )
+    return (
+        f1s.orderBy(F.col("f1").desc(), F.col("threshold").desc())
+        .limit(1)
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias(
+                "recall"
+            ),
+            F.round("f1", 6).alias("f1"),
+        )
+    )

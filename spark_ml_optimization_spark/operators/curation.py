@@ -1433,3 +1433,62 @@ def qc26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_tokens").cast("long").alias("phase_tokens"),
     )
+
+
+@register(
+    "qc27_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, u.t
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents) x
+            CROSS JOIN UNNEST(x.w) AS u(t)
+            WHERE u.t <> ''
+        ),
+        vocab AS (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+        ),
+        tot AS (SELECT sum(c) AS n FROM vocab),
+        surprisal AS (
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   avg(-ln(v.c * 1.0 / (SELECT n FROM tot)) / ln(2))
+                       AS bits_per_token
+            FROM tok JOIN vocab v USING (t)
+            GROUP BY tok.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(bits_per_token, 4) AS bits_per_token
+        FROM surprisal
+    """,
+    doc="Unigram SURPRISAL score — the language-model-free perplexity "
+    "proxy a curation pipeline uses to rank docs by 'how typical is "
+    "this text of the corpus': each token contributes -log2 of its "
+    "corpus unigram probability, averaged per document (bits/token).  "
+    "Low = formulaic/boilerplate, high = rare-token-heavy (both "
+    "tails are candidates for inspection; the standard cheap stand-in "
+    "for a trained LM scorer, whose logprob column drops in "
+    "unchanged).  Empty tokens excluded on both sides (the q73 "
+    "tokenizer rule).  Scale: vocabulary agg + broadcast-able "
+    "vocab join back (the q72c memoization shape — vocabulary ≪ "
+    "occurrences by Heaps' law, q77b), one doc-keyed partial agg; "
+    "only counts shuffle.  4-dp rounding absorbs ln() last-ulp and "
+    "avg summation-order differences (report column, not a gate).",
+)
+def qc27_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    bits = -F.log(F.col("c") * 1.0 / F.col("n")) / F.log(F.lit(2.0))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )
