@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import _REGISTRY, register
 from ..sources import load_table, spread
 
 
@@ -1672,4 +1672,99 @@ def q84d_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hist.crossJoin(F.broadcast(fit)).select(
         "bucket", "n_nodes", F.round("slope", 6).alias("loglog_slope")
+    )
+
+
+# qc28's oracle embeds q74b's recursive-CTE component derivation as a
+# subquery — one source of truth for the CC semantics on both sides
+# (the Spark side reuses the memoized _dup_component_labels artifact).
+_QC28_ORACLE = f"""
+    WITH comp AS ({_REGISTRY["q74b_dup_components"].oracle}),
+    members AS (
+        SELECT c.doc_id, c.component,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)
+        WHERE c.component IN (
+            SELECT component FROM comp
+            GROUP BY component HAVING count(*) >= 2
+        )
+    ),
+    per_cluster AS (
+        SELECT component,
+               count(*) AS n_members,
+               sum(n_tokens) AS cluster_tokens,
+               min_by(n_tokens, doc_id) AS keep_first_tokens,
+               max_by(n_tokens, n_chars * 1000000000 + (999999999 - doc_id))
+                   AS keep_longest_tokens
+        FROM members GROUP BY component
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_clustered_docs,
+           CAST(sum(cluster_tokens) AS BIGINT) AS total_cluster_tokens,
+           CAST(sum(keep_first_tokens) AS BIGINT) AS tokens_keep_first,
+           CAST(sum(keep_longest_tokens) AS BIGINT) AS tokens_keep_longest,
+           CAST(sum(keep_longest_tokens) - sum(keep_first_tokens)
+                AS BIGINT) AS policy_delta_tokens
+    FROM per_cluster
+"""
+
+
+@register(
+    "qc28_canonical_policy_audit",
+    oracle=_QC28_ORACLE,
+    doc="CANONICAL-SELECTION policy audit over near-dup clusters — the "
+    "decision table behind every dedup stage's 'which member "
+    "survives' rule: for each multi-doc component (q74b's connected "
+    "components, reused from the family's memoized artifact — the "
+    "fixpoint never reruns), compare keep-FIRST (min doc_id, the "
+    "reproducible default qp5/qc22 use) against keep-LONGEST (max "
+    "n_chars, id tiebreak — the recall-preserving policy crawl "
+    "pipelines often prefer) by retained token mass.  A positive "
+    "policy_delta says keep-first is discarding longer members — "
+    "the measured cost of the cheap policy.  All counts/token sums "
+    "are exact integers; the argmin/argmax are min_by/max_by with "
+    "deterministic struct tiebreaks on BOTH engines.  Scale: one "
+    "join of the (tiny) cluster membership against doc metadata, "
+    "two-level agg; bodies never move.",
+)
+def qc28_canonical_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _dup_component_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n_members"))
+    members = (
+        labels.join(sizes.filter(F.col("n_members") >= 2), "component")
+        .join(d, "doc_id")
+    )
+    per_cluster = members.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_tokens").alias("cluster_tokens"),
+        F.min(F.struct("doc_id", "n_tokens")).getField("n_tokens").alias(
+            "keep_first_tokens"
+        ),
+        F.max(
+            F.struct(
+                (
+                    F.col("n_chars") * F.lit(1000000000)
+                    + (F.lit(999999999) - F.col("doc_id"))
+                ).alias("k"),
+                F.col("n_tokens"),
+            )
+        )
+        .getField("n_tokens")
+        .alias("keep_longest_tokens"),
+    )
+    return per_cluster.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_clustered_docs"),
+        F.sum("cluster_tokens").cast("long").alias("total_cluster_tokens"),
+        F.sum("keep_first_tokens").cast("long").alias("tokens_keep_first"),
+        F.sum("keep_longest_tokens").cast("long").alias("tokens_keep_longest"),
+        (F.sum("keep_longest_tokens") - F.sum("keep_first_tokens"))
+        .cast("long")
+        .alias("policy_delta_tokens"),
     )

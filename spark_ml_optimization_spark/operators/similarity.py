@@ -857,3 +857,99 @@ def q92c_ann_ivf_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", "cell", F.round("score", 6).alias("score"))
     )
+
+
+def _sim_band_bits(emb):
+    """Two 4-bit LSH bands from deterministic difference hyperplanes:
+    band bit j = sign(e[2j-1] - e[2j]) — a fixed, engine-reproducible
+    member of the random-hyperplane family (seeded projections swap in
+    at deployment; the banding algebra is what's under test)."""
+    def band(idx0: int):
+        b = F.lit(0)
+        for j in range(4):
+            i = idx0 + 2 * j
+            b = b * 2 + (
+                F.element_at(emb, i) > F.element_at(emb, i + 1)
+            ).cast("int")
+        return b
+
+    return band(1), band(9)
+
+
+@register(
+    "q87b_lsh_banded_relational",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(embedding[1] > embedding[2] AS INT) * 8
+                   + CAST(embedding[3] > embedding[4] AS INT) * 4
+                   + CAST(embedding[5] > embedding[6] AS INT) * 2
+                   + CAST(embedding[7] > embedding[8] AS INT) AS b1,
+                   CAST(embedding[9] > embedding[10] AS INT) * 8
+                   + CAST(embedding[11] > embedding[12] AS INT) * 4
+                   + CAST(embedding[13] > embedding[14] AS INT) * 2
+                   + CAST(embedding[15] > embedding[16] AS INT) AS b2
+            FROM embeddings
+        ),
+        qv AS (SELECT v AS qvec, b1 AS qb1, b2 AS qb2
+               FROM coded WHERE vec_id = 0),
+        cand AS (
+            SELECT c.vec_id, c.label,
+                   CASE WHEN c.b1 = q.qb1 AND c.b2 = q.qb2 THEN 'both'
+                        WHEN c.b1 = q.qb1 THEN 'b1' ELSE 'b2' END
+                       AS band_match,
+                   list_dot_product(c.v, q.qvec) AS score
+            FROM coded c CROSS JOIN qv q
+            WHERE c.vec_id <> 0 AND (c.b1 = q.qb1 OR c.b2 = q.qb2)
+        )
+        SELECT vec_id, label, band_match, round(score, 6) AS score
+        FROM cand
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 5
+    """,
+    doc="BANDED-LSH approximate nearest neighbors with the whole "
+    "mechanism hash-verified: two 4-bit signature bands from "
+    "deterministic difference hyperplanes (sign(e_i - e_j) — a fixed "
+    "member of the random-hyperplane family), candidates = vectors "
+    "matching the query in ANY band (the OR-construction that gives "
+    "LSH its recall: P[candidate] = 1-(1-p^r)^b), exact re-rank to "
+    "top-5 on the shortlist.  q87 keeps MLlib's seeded "
+    "BucketedRandomProjectionLSH (recall-tested, rows-only); THIS "
+    "variant pins banding, OR-candidate semantics, and shortlist "
+    "re-rank bit-for-bit — together with q92c (multi-probe IVF) the "
+    "two standard ANN index families are now both mechanics-verified.  "
+    "Scale: with a query SET, each band is an equi-join key on a "
+    "band-signature table (two shuffles of 1-byte keys, union, "
+    "dedup); the single-query form here broadcast-filters one scan.",
+)
+def q87b_lsh_banded_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    b1, b2 = _sim_band_bits(emb)
+    coded = e.select(
+        "vec_id", "label", emb.alias("v"), b1.alias("b1"), b2.alias("b2")
+    )
+    q = coded.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qvec"), F.col("b1").alias("qb1"), F.col("b2").alias("qb2")
+    )
+    cand = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter((F.col("b1") == F.col("qb1")) | (F.col("b2") == F.col("qb2")))
+        .select(
+            "vec_id",
+            "label",
+            F.when(
+                (F.col("b1") == F.col("qb1")) & (F.col("b2") == F.col("qb2")), "both"
+            )
+            .when(F.col("b1") == F.col("qb1"), "b1")
+            .otherwise("b2")
+            .alias("band_match"),
+            dot(F.col("v"), F.col("qvec")).alias("score"),
+        )
+    )
+    return (
+        cand.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "label", "band_match", F.round("score", 6).alias("score"))
+    )

@@ -61,6 +61,11 @@ SCALE_SENSITIVE = [
     # its log-log fit with graph size (q84d), and as-of tolerance
     # matches with event density (q65b).
     "q83c_ngram_novelty",
+    # qc28 only has multi-doc clusters to audit where near-dups are
+    # planted (sf0.01 is near-empty), q87b's band-candidate density
+    # shifts with corpus size.
+    "qc28_canonical_policy_audit",
+    "q87b_lsh_banded_relational",
     "qc23_contamination_attribution",
     "qp6_quality_gate_pipeline",
     "q84d_degree_distribution",
