@@ -424,3 +424,27 @@ def test_triangle_count_reuses_cached_edges(spark):
     df.collect()
     plan = explain_formatted(df)
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_ann_mechanics_variants_are_broadcast_only(spark):
+    """q92c (multi-probe IVF) and q87b (banded LSH): the single-query
+    forms must be ONE corpus scan + a broadcast of the 1-row query +
+    TakeOrderedAndProject — any SortMergeJoin/ShuffledHashJoin means
+    the cell/band prune fell off the map side."""
+    for name in ("q92c_ann_ivf_relational", "q87b_lsh_banded_relational"):
+        plan = explain_formatted(_df(spark, name))
+        assert "SortMergeJoin" not in plan, f"{name}: {plan}"
+        assert "ShuffledHashJoin" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+            f"{name}: query row not broadcast\n{plan}"
+        )
+        assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+
+
+def test_surprisal_vocab_join_is_broadcast(spark):
+    """qc27: the vocabulary relation must broadcast back onto the token
+    stream (the q72c memoization shape) — a shuffled join would move
+    every token occurrence for a vocabulary-sized lookup."""
+    plan = explain_formatted(_df(spark, "qc27_unigram_surprisal"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
