@@ -1492,3 +1492,80 @@ def qc27_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bits), 4).alias("bits_per_token"),
         )
     )
+
+
+@register(
+    "qc25_dsir_importance",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, substr(md5(u.t), 1, 2) AS b
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                  FROM documents) x
+            CROSS JOIN UNNEST(x.w) AS u(t)
+            WHERE u.t <> ''
+        ),
+        buckets AS (
+            SELECT b,
+                   count(*) AS raw_c,
+                   count(*) FILTER (WHERE lang = 'en') AS tgt_c
+            FROM tok GROUP BY b
+        ),
+        tot AS (
+            SELECT sum(raw_c) AS r_total, sum(tgt_c) AS t_total FROM buckets
+        ),
+        scored AS (
+            SELECT tok.doc_id, tok.lang,
+                   count(*) AS n_tokens,
+                   sum(ln(((bk.tgt_c + 1.0) / (t.t_total + 256.0))
+                        / ((bk.raw_c + 1.0) / (t.r_total + 256.0)))) AS llr
+            FROM tok JOIN buckets bk USING (b) CROSS JOIN tot t
+            GROUP BY tok.doc_id, tok.lang
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(llr, 4) AS log_importance
+        FROM scored
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): each document "
+    "scores sum over tokens of ln(p_target(h(t)) / p_raw(h(t))) under "
+    "hashed bag-of-unigram distributions — target = the lang='en' "
+    "slice (stands in for any high-quality seed corpus), raw = the "
+    "whole corpus, h = first-two-md5-hex-chars (256 buckets, portable "
+    "across engines), Laplace add-one smoothing.  Positive = "
+    "target-like, negative = raw-typical; a resampler keeps docs "
+    "proportionally to exp(llr).  4-dp rounding absorbs "
+    "summation-order ulps (report column, not a gate — the qc27 "
+    "rule).  Scale: the bucket table is FIXED SIZE (256 rows) however "
+    "large the corpus — one partial-agg pass builds it, it broadcasts "
+    "back, and the per-doc score is a second map-side pass + doc-keyed "
+    "partial agg; only (doc_id, bucket) pairs ever shuffle, never "
+    "text.  The hashed-feature trick is exactly what lets DSIR run on "
+    "a full CommonCrawl-scale corpus.",
+)
+def qc25_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("t"),
+    ).select("doc_id", "lang", F.substring(F.md5("t"), 1, 2).alias("b"))
+    buckets = tok.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.count_if(F.col("lang") == "en").alias("tgt_c"),
+    )
+    tot = buckets.agg(
+        F.sum("raw_c").alias("r_total"), F.sum("tgt_c").alias("t_total")
+    )
+    term = F.log(
+        ((F.col("tgt_c") + 1.0) / (F.col("t_total") + 256.0))
+        / ((F.col("raw_c") + 1.0) / (F.col("r_total") + 256.0))
+    )
+    return (
+        tok.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 4).alias("log_importance"),
+        )
+    )

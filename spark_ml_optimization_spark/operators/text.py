@@ -829,3 +829,190 @@ def q80c_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_other"),
     )
+
+
+@register(
+    "q81b_bm25_retrieval",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+                   len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS tf_spark,
+                   len(list_filter(string_split(text, ' '), t -> t = 'join')) AS tf_join,
+                   len(list_filter(string_split(text, ' '), t -> t = 'window')) AS tf_window
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+                   count(*) FILTER (WHERE tf_join > 0) AS df_join,
+                   count(*) FILTER (WHERE tf_window > 0) AS df_window
+            FROM base
+        )
+        SELECT b.doc_id, b.lang, CAST(b.dl AS BIGINT) AS dl,
+               CAST((CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_terms,
+               round(
+                   ln((s.n - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0)
+                     * (b.tf_spark * 2.2) / (b.tf_spark + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+                 + ln((s.n - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0)
+                     * (b.tf_join * 2.2) / (b.tf_join + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+                 + ln((s.n - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0)
+                     * (b.tf_window * 2.2) / (b.tf_window + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)),
+                 6) AS bm25
+        FROM base b CROSS JOIN stats s
+        WHERE tf_spark + tf_join + tf_window > 0
+    """,
+    doc="BM25 retrieval scoring (Robertson-Sparck Jones, the lexical "
+    "ranking function behind Lucene/Elasticsearch; k1=1.2, b=0.75) for "
+    "the fixed query {spark, join, window}: per-doc term frequencies "
+    "computed map-side as filter-HOF counts (no explode, no shuffle of "
+    "token rows), corpus stats (N, avgdl, per-term df) as ONE scalar "
+    "aggregate broadcast back.  The score is a FIXED-ORDER sum of the "
+    "three per-term contributions (conditional columns, not a "
+    "nondeterministic-order SUM over exploded rows) so the 6-dp wire "
+    "value is bit-stable across engines; the row gate (>=1 query term "
+    "present) is integer-exact.  Scale: one full scan + one 1-row "
+    "aggregate — the per-query cost of a search over 100 TB is a "
+    "map-only pass, and the df/avgdl statistics are index-time "
+    "artifacts a real deployment precomputes (qc10's heavy-hitter "
+    "vocabulary is exactly that side table).",
+)
+def q81b_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("dl"),
+        tf("spark").alias("tf_spark"),
+        tf("join").alias("tf_join"),
+        tf("window").alias("tf_window"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count_if(F.col("tf_spark") > 0).alias("df_spark"),
+        F.count_if(F.col("tf_join") > 0).alias("df_join"),
+        F.count_if(F.col("tf_window") > 0).alias("df_window"),
+    )
+
+    def contrib(tf_col: str, df_col: str):
+        idf = F.log(
+            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
+        )
+        return idf * (F.col(tf_col) * 2.2) / (
+            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+
+    hit = (
+        F.when(F.col("tf_spark") > 0, 1).otherwise(0)
+        + F.when(F.col("tf_join") > 0, 1).otherwise(0)
+        + F.when(F.col("tf_window") > 0, 1).otherwise(0)
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf_spark") + F.col("tf_join") + F.col("tf_window") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("dl").cast("long").alias("dl"),
+            hit.cast("long").alias("n_hit_terms"),
+            F.round(
+                contrib("tf_spark", "df_spark")
+                + contrib("tf_join", "df_join")
+                + contrib("tf_window", "df_window"),
+                6,
+            ).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "q83d_pmi_cooccurrence",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, u.t
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+            CROSS JOIN UNNEST(x.w) AS u(t)
+            WHERE u.t <> ''
+        ),
+        df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+        vocab AS (
+            SELECT t, df FROM (
+                SELECT t, df,
+                       row_number() OVER (ORDER BY df DESC, t ASC) AS rn
+                FROM df
+            ) WHERE rn <= 30
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        vtok AS (SELECT tok.doc_id, tok.t FROM tok JOIN vocab ON tok.t = vocab.t),
+        pairs AS (
+            SELECT a.t AS t1, b.t AS t2, count(*) AS df_ab
+            FROM vtok a JOIN vtok b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t
+        )
+        SELECT p.t1, p.t2, CAST(p.df_ab AS BIGINT) AS df_ab,
+               round(ln((p.df_ab * 1.0 * n.n_docs) / (da.df * db.df)), 6) AS pmi
+        FROM pairs p
+        JOIN vocab da ON p.t1 = da.t
+        JOIN vocab db ON p.t2 = db.t
+        CROSS JOIN n
+        WHERE p.df_ab * 10 >= n.n_docs
+    """,
+    doc="Pointwise mutual information over document-level token "
+    "co-occurrence (Church & Hanks 1990 word association): distinct "
+    "tokens per doc, vocabulary capped at the top-30 by document "
+    "frequency (integer-sorted, token tiebreak — deterministic), "
+    "per-pair PMI = ln(P(a,b)/(P(a)P(b))) with doc-frequency "
+    "probabilities.  The support gate is INTEGER arithmetic "
+    "(df_ab*10 >= N, i.e. pairs in >=10% of docs) so the row set "
+    "never depends on a float compare; PMI itself is a 6-dp report "
+    "column.  Scale: the vocabulary cap bounds the per-doc pair "
+    "fan-out at vocab^2/2 regardless of corpus size — the self-join "
+    "runs doc-partitioned on vocab-filtered tokens (broadcast "
+    "vocabulary), so the only corpus-sized shuffle carries (doc, "
+    "token-id) pairs; this is the standard collocation-mining shape "
+    "for building phrase lists over a 100 TB crawl.",
+)
+def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("t"),
+    )
+    df = tok.groupBy("t").agg(F.count("*").alias("df"))
+    w = W.orderBy(F.col("df").desc(), F.col("t").asc())
+    vocab = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 30).drop("rn")
+    n_docs = d.count()  # scalar dimension, baked as a literal
+    vtok = tok.join(F.broadcast(vocab.select("t")), "t")
+    a = vtok.select("doc_id", F.col("t").alias("t1"))
+    b = vtok.select("doc_id", F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") * 10 >= F.lit(n_docs))
+    )
+    da = vocab.select(F.col("t").alias("t1"), F.col("df").alias("df_a"))
+    db = vocab.select(F.col("t").alias("t2"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "t1")
+        .join(F.broadcast(db), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("df_ab").cast("long").alias("df_ab"),
+            F.round(
+                F.log((F.col("df_ab") * 1.0 * F.lit(float(n_docs))) / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
