@@ -1423,3 +1423,79 @@ def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("f1", 6).alias("f1"),
         )
     )
+
+
+@register(
+    "ml28_decile_lift",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, n_chars, CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        deciled AS (
+            SELECT y,
+                   ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS decile
+            FROM scored
+        ),
+        tot AS (SELECT count(*) AS n_all, sum(y) AS pos_all FROM deciled),
+        per AS (
+            SELECT decile, count(*) AS n, sum(y) AS pos
+            FROM deciled GROUP BY decile
+        )
+        SELECT decile,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(pos AS BIGINT) AS n_pos,
+               round(pos * 1.0 / n, 6) AS rate,
+               round((pos * 1.0 / n) / (t.pos_all * 1.0 / t.n_all), 6) AS lift,
+               round(sum(pos) OVER (ORDER BY decile ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / t.pos_all, 6) AS cum_gain
+        FROM per CROSS JOIN tot t
+    """,
+    doc="DECILE LIFT / GAINS table — the third member of the relational "
+    "model-evaluation family (ml23 PR curve, ml27 AUC, ml29 operating "
+    "point): rank the population by model score (the ml29 scorer — "
+    "monotone in n_chars, so the ntile ORDER BY runs on the INTEGER "
+    "n_chars with doc_id tiebreak and no float compare ever gates a "
+    "decile boundary), cut into 10 equal bins, and report per-decile "
+    "response rate, lift over the base rate, and cumulative gain — "
+    "the campaign-targeting / review-queue-sizing readout.  Counts "
+    "are exact ints; rate/lift/cum_gain are single divisions of "
+    "identical doubles (6-dp wire).  Scale: ntile needs one "
+    "range-partitioned global sort of (score, id) pairs — the qc26 "
+    "curriculum shape — then one tiny 10-row agg; raw rows shuffle "
+    "once, text never.",
+)
+def ml28_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    w = W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    tot = deciled.agg(
+        F.count("*").alias("n_all"), F.sum("y").alias("pos_all")
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    cum = W.orderBy(F.col("decile").asc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("pos").cast("long").alias("n_pos"),
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("rate"),
+            F.round(
+                (F.col("pos") * 1.0 / F.col("n"))
+                / (F.col("pos_all") * 1.0 / F.col("n_all")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("pos").over(cum) * 1.0 / F.col("pos_all"), 6
+            ).alias("cum_gain"),
+        )
+    )

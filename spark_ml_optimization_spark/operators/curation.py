@@ -1569,3 +1569,95 @@ def qc25_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 4).alias("log_importance"),
         )
     )
+
+
+@register(
+    "qc29_bigram_surprisal",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, u.t FROM d CROSS JOIN UNNEST(d.w) AS u(t)
+        ),
+        big AS (
+            SELECT doc_id, w[i] AS pv, w[i + 1] AS cur
+            FROM d CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+            WHERE len(w) >= 2
+        ),
+        uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        tt AS (SELECT sum(c) AS total FROM uni),
+        bi AS (SELECT pv, cur, count(*) AS cb FROM big GROUP BY pv, cur),
+        scored AS (
+            SELECT g.doc_id,
+                   count(*) AS n_bigrams,
+                   avg(-ln(0.8 * (bi.cb * 1.0 / up.c)
+                         + 0.2 * (uc.c * 1.0 / t.total)) / ln(2)) AS bits
+            FROM big g
+            JOIN bi ON g.pv = bi.pv AND g.cur = bi.cur
+            JOIN uni up ON g.pv = up.t
+            JOIN uni uc ON g.cur = uc.t
+            CROSS JOIN tt t
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               round(bits, 4) AS bits_per_bigram
+        FROM scored
+    """,
+    doc="INTERPOLATED BIGRAM surprisal — the next rung above qc27's "
+    "unigram score and the cheap stand-in for the KenLM perplexity "
+    "filter of CCNet/CCNet-descendant pipelines: P(w|prev) = "
+    "0.8*c(prev,w)/c(prev) + 0.2*c(w)/T (Jelinek-Mercer interpolation "
+    "— never zero because every scored bigram was observed and the "
+    "unigram back-off floors it), per-doc mean -log2 P over adjacent "
+    "token pairs.  Bigram pairs come from POSITION-indexed element_at "
+    "over the empty-filtered token array, guarded by size>=2 FIRST — "
+    "the q79b descending-sequence trap (Spark sequence(1,0) counts "
+    "DOWN) cannot fire; docs with <2 tokens drop out of both engines "
+    "by the same integer gate.  4-dp rounding on the per-doc mean "
+    "(qc27 rule).  Scale: the bigram table is vocabulary-squared at "
+    "most (Heaps-bounded, ≪ corpus) and broadcasts back; corpus-sized "
+    "shuffles carry only (doc, pos-pair) rows, and at 100 TB the "
+    "n-gram counts come from the same shared pass a tokenizer-training "
+    "job already runs.",
+)
+def qc29_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    tok = d.select("doc_id", F.explode("w").alias("t"))
+    big = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS pv, element_at(w, i + 1) AS cur))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.pv", "p.cur")
+    )
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tt = uni.agg(F.sum("c").alias("total"))
+    bi = big.groupBy("pv", "cur").agg(F.count("*").alias("cb"))
+    up = uni.select(F.col("t").alias("pv"), F.col("c").alias("c_pv"))
+    uc = uni.select(F.col("t").alias("cur"), F.col("c").alias("c_cur"))
+    bits = -F.log(
+        0.8 * (F.col("cb") * 1.0 / F.col("c_pv"))
+        + 0.2 * (F.col("c_cur") * 1.0 / F.col("total"))
+    ) / F.log(F.lit(2.0))
+    return (
+        big.join(F.broadcast(bi), ["pv", "cur"])
+        .join(F.broadcast(up), "pv")
+        .join(F.broadcast(uc), "cur")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(bits), 4).alias("bits_per_bigram"),
+        )
+    )

@@ -1442,3 +1442,62 @@ def qd21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("order_micros") / 1e6, 2).alias("total_header_revenue"),
     )
+
+
+@register(
+    "qd22_seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT c.event_type, c.n, p.n AS fcst
+            FROM daily c JOIN daily p
+              ON p.event_type = c.event_type AND p.day + 7 = c.day
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(n - fcst)) AS BIGINT) AS total_abs_err,
+               round(sum(abs(n - fcst)) * 1.0 / sum(n), 6) AS wape,
+               round(avg(abs(n - fcst) * 1.0 / n), 4) AS mape
+        FROM joined GROUP BY event_type
+    """,
+    doc="SEASONAL-NAIVE volume backtest — the pipeline-health "
+    "forecasting baseline (M-competition folklore: beat lag-7 before "
+    "shipping a fancier model): per event type, forecast each day's "
+    "ingest count with the count 7 days earlier (integer-day date "
+    "arithmetic join, no window-lag-over-possibly-gapped-rows "
+    "trap), and report WAPE = sum|err|/sum(actual) — integer sums, "
+    "ONE division, 6-dp exact — plus per-day MAPE (avg of doubles, "
+    "4-dp report per the qc27 rule).  Complements qd16's z-score "
+    "anomaly flags with a quantified 'how predictable is this feed' "
+    "number that alert thresholds calibrate against.  Scale: counts "
+    "roll up from partition metadata on a date-partitioned table "
+    "(the qd16 posture); the self-join touches one row per "
+    "(type, day) — dimension-sized however large the event stream.",
+)
+def qd22_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    cur = daily.select("event_type", "day", "n")
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.date_add("day", 7).alias("p_day"),
+        F.col("n").alias("fcst"),
+    )
+    joined = cur.join(
+        prev,
+        (F.col("event_type") == F.col("p_type")) & (F.col("day") == F.col("p_day")),
+    )
+    ae = F.abs(F.col("n") - F.col("fcst"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(ae).cast("long").alias("total_abs_err"),
+        F.round(F.sum(ae) * 1.0 / F.sum("n"), 6).alias("wape"),
+        F.round(F.avg(ae * 1.0 / F.col("n")), 4).alias("mape"),
+    )

@@ -66,6 +66,12 @@ ADV_FAMILIES = [
     "ml27_roc_auc_relational",   # midrank correction under pos/neg score ties
     "qd21_order_reconciliation", # exact-match and exactly-1% headers
     "qa23_idle_rich_accounts",   # balance exactly AT the cent-exact average
+    # round-4 wave-6/7 luck-sensitive additions:
+    "q81b_bm25_retrieval",       # zero-dl docs + planted query-term docs
+    "q83d_pmi_cooccurrence",     # vocab top-30 cut inside heavy df ties
+    "qc25_dsir_importance",      # zero-token docs emit NO importance row
+    "qc29_bigram_surprisal",     # <2-token docs (descending-sequence class)
+    "ml28_decile_lift",          # ntile tiebreak under equal-n_chars docs
 ]
 
 
@@ -93,6 +99,8 @@ def _edge_docs() -> list[tuple[int, str, str, str]]:
         (12, "c" * 300, "xx", "adv"),            # payload > 256 bytes
         (13, "b" * 256, "xx", "adv"),            # payload == 256 bytes
         (14, "a a a a a a", "xx", "adv"),        # max repetition
+        (15, "spark join window spark", "xx", "adv"),  # all 3 BM25 terms
+        (16, "spark alone here", "xx", "adv"),   # 1 BM25 term
     ]
 
 
@@ -123,7 +131,7 @@ def _find_floor_cliff_filler(base_tokens: dict[str, int]) -> int:
 
 def _build_documents() -> tuple[pa.Table, int]:
     rows = list(_edge_docs())
-    next_id = 15
+    next_id = 17
     for lang, (n_docs, n_tok) in _MIX.items():
         for d in range(n_docs):
             rows.append((next_id, _tokens(n_tok, salt=next_id), lang, f"src{d % 3}"))
