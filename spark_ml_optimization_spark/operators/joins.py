@@ -351,3 +351,68 @@ def q10b_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q10c_bloom_filter_join",
+    oracle="""
+        SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+               count(*) AS n_lines,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   / 100.0 AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        GROUP BY 1
+    """,
+    doc="RUNTIME BLOOM-FILTER join pruning (Spark's InjectRuntimeFilter, "
+    "the row-level sibling of src08's dynamic partition pruning): a "
+    "selective dimension-side predicate (urgent+finished orders) "
+    "builds a bloom_filter_agg over the join keys at runtime, and the "
+    "fact side evaluates bloom_filter_might_contain BEFORE the "
+    "shuffle — at 100 TB this is the difference between shuffling "
+    "every lineitem row and shuffling only the ~selectivity fraction "
+    "that can possibly join.  The query forces the demonstration "
+    "locally by dropping applicationSideScanSizeThreshold (default "
+    "10 GB — sized for real clusters) and disabling auto-broadcast "
+    "while the plan materializes, then RESTORES both confs (the qa22 "
+    "rule); the physical plan is pinned in tests/test_plans.py.  "
+    "Revenue is summed in exact integer cents (summation-order-proof); "
+    "the join result itself is strategy-invariant, so the oracle is "
+    "the plain join.",
+)
+def q10c_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        df = (
+            o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count("*").alias("n_lines"),
+                (F.sum(cents) / 100.0).alias("revenue"),
+            )
+        )
+        # Materialize the (lazy-val-cached) physical plan NOW, while the
+        # bloom-filter thresholds are lowered — the returned DataFrame
+        # keeps the runtime-filtered plan after the confs are restored.
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

@@ -953,3 +953,99 @@ def q87b_lsh_banded_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "label", "band_match", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "q85e_jl_projection_audit",
+    oracle="""
+        WITH hyper AS (
+            SELECT a.axis,
+                   list(CASE WHEN substr(md5(CAST(a.axis AS VARCHAR) || '_'
+                                              || CAST(d.dim AS VARCHAR)), 1, 1) < '8'
+                             THEN 0.25 ELSE -0.25 END ORDER BY d.dim) AS hvec
+            FROM (SELECT unnest(generate_series(0, 15)) AS axis) a
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+            GROUP BY a.axis
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 40
+        ),
+        proj AS (
+            SELECT vec_id,
+                   list(list_dot_product(v, hvec) ORDER BY axis) AS p
+            FROM vecs CROSS JOIN hyper GROUP BY vec_id
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, a.v)
+                     - 2 * list_dot_product(a.v, b.v)
+                     + list_dot_product(b.v, b.v), 6) AS orig_d2,
+               round(list_dot_product(pa.p, pa.p)
+                     - 2 * list_dot_product(pa.p, pb.p)
+                     + list_dot_product(pb.p, pb.p), 6) AS proj_d2,
+               round((list_dot_product(pa.p, pa.p)
+                      - 2 * list_dot_product(pa.p, pb.p)
+                      + list_dot_product(pb.p, pb.p))
+                     / (list_dot_product(a.v, a.v)
+                        - 2 * list_dot_product(a.v, b.v)
+                        + list_dot_product(b.v, b.v)), 6) AS distortion
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        JOIN proj pa ON pa.vec_id = a.vec_id
+        JOIN proj pb ON pb.vec_id = b.vec_id
+    """,
+    doc="JOHNSON-LINDENSTRAUSS random-projection sketch + distortion "
+    "audit: 64-d embeddings project to 16-d through DETERMINISTIC "
+    "+-1/sqrt(16) hyperplanes (sign = first md5 hex char of "
+    "'axis_dim' < '8' — portable across engines, and 1/sqrt(16) = "
+    "0.25 is binary-exact), then every probe pair (vec_id < 40, 780 "
+    "pairs) reports original vs projected squared L2 distance and "
+    "their ratio — the empirical (1 +- eps) JL guarantee a pipeline "
+    "measures BEFORE committing an index to the sketched space.  All "
+    "distances use the polarization identity |a|^2 - 2ab + |b|^2 "
+    "over sequential-order dot products (the functions/vector.py "
+    "determinism contract), so every 6-dp value is bit-stable — no "
+    "sampling, no RNG.  Scale: projection is ONE map-side expression "
+    "(no shuffle, no hyperplane table join — the basis is a pure "
+    "function of (axis, dim)); a 100 TB corpus sketches in a single "
+    "pass writing 4x-smaller vectors, and the audit runs on any "
+    "bounded probe sample exactly as here.",
+)
+def q85e_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    proj = F.expr(
+        """
+        transform(sequence(0, 15), a ->
+            aggregate(
+                zip_with(v,
+                         transform(sequence(0, 63), d ->
+                             CASE WHEN substring(md5(concat(cast(a AS string), '_',
+                                                            cast(d AS string))), 1, 1) < '8'
+                                  THEN 0.25D ELSE -0.25D END),
+                         (x, h) -> x * h),
+                0D, (acc, x) -> acc + x))
+        """
+    )
+    sk = e.select("vec_id", "v", proj.alias("p"))
+    a = sk.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("p").alias("pa")
+    )
+    b = sk.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("p").alias("pb")
+    )
+    va, vb, pa, pb = F.col("va"), F.col("vb"), F.col("pa"), F.col("pb")
+    orig_d2 = dot(va, va) - 2 * dot(va, vb) + dot(vb, vb)
+    proj_d2 = dot(pa, pa) - 2 * dot(pa, pb) + dot(pb, pb)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(orig_d2, 6).alias("orig_d2"),
+            F.round(proj_d2, 6).alias("proj_d2"),
+            F.round(proj_d2 / orig_d2, 6).alias("distortion"),
+        )
+    )

@@ -448,3 +448,36 @@ def test_surprisal_vocab_join_is_broadcast(spark):
     plan = explain_formatted(_df(spark, "qc27_unigram_surprisal"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_filter_join_injects_runtime_filter(spark):
+    """q10c: with the application-side threshold dropped, Spark's
+    InjectRuntimeFilter must add a bloom_filter_agg on the selective
+    orders side AND a might_contain probe ahead of the lineitem
+    shuffle — the row-level pruning that decides fact-side shuffle
+    volume at 100 TB.  Also pins that the query restores both confs."""
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = _df(spark, "q10c_bloom_filter_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, "creation-side bloom aggregate missing"
+    assert "might_contain" in plan.lower(), "application-side bloom probe missing"
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        == prev_app
+    )
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == prev_bc
+
+
+def test_jl_projection_is_mapside_and_broadcast_paired(spark):
+    """q85e: the 16-d sketch must be a pure map-side expression (no
+    hyperplane-table join, no exchange before the projection) and the
+    probe-pair join must broadcast — zero corpus shuffle."""
+    df = _df(spark, "q85e_jl_projection_audit")
+    txt = explain_formatted(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
