@@ -1054,3 +1054,78 @@ def q68e_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lat.groupBy(bucket.cast("long").alias("latency_bucket_min")).agg(
         F.count("*").cast("long").alias("n_conversions")
     )
+
+
+@register(
+    "q66c_binned_proximity_join",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        err AS (SELECT event_id, us FROM e WHERE event_type = 'error'),
+        pur AS (SELECT event_id, us FROM e WHERE event_type = 'purchase')
+        SELECT CAST(CAST(make_timestamp(err.us) AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_pairs,
+               CAST(min(abs(pur.us - err.us)) AS BIGINT) AS min_gap_us,
+               CAST(max(abs(pur.us - err.us)) AS BIGINT) AS max_gap_us
+        FROM err JOIN pur ON abs(pur.us - err.us) <= 300000000
+        GROUP BY 1
+    """,
+    doc="KEYLESS temporal proximity join, re-planned as an EQUI-join: "
+    "'every purchase within ±5 min of every error' has no natural "
+    "join key, and the naive plan is a cartesian theta-join (the "
+    "oracle literally runs one).  The Spark side BUCKETIZES time into "
+    "tolerance-width bins (300 s) and replicates each error row to "
+    "buckets {b-1, b, b+1} (a 3x explode of 16-byte rows, never "
+    "payloads); purchases join on plain bucket EQUALITY, and the "
+    "exact |Δt| <= tol predicate filters after.  A within-tolerance "
+    "pair has bucket distance <= 1, so it matches on EXACTLY one "
+    "replica — no dedup step, bit-identical to the theta-join.  The "
+    "plan is pinned shuffle-hash/sort-merge (no CartesianProduct / "
+    "BNLJ): at 100 TB this is the difference between O(n*m) and "
+    "O(n+m) shuffled by bucket, the standard interval-binning recipe "
+    "Spark lacks natively.  Day/gap outputs are integer-exact.",
+)
+def q66c_binned_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol = 300 * _MICRO
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("us").alias("err_us"),
+            F.explode(
+                F.array(
+                    F.expr(f"(us - {tol}) div {tol}"),
+                    F.expr(f"us div {tol}"),
+                    F.expr(f"(us + {tol}) div {tol}"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("us").alias("pur_us"),
+        F.expr(f"us div {tol}").alias("bucket"),
+    )
+    gap = F.abs(F.col("pur_us") - F.col("err_us"))
+    return (
+        err.join(pur, "bucket")
+        .filter(gap <= tol)
+        .groupBy(
+            F.date_format(F.timestamp_micros(F.col("err_us")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(gap).cast("long").alias("min_gap_us"),
+            F.max(gap).cast("long").alias("max_gap_us"),
+        )
+    )

@@ -480,3 +480,69 @@ def mm06_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("doc_id", "payload").mapInPandas(
         _thumb_batch, schema="doc_id long, gx int, gy int, cell_mean double"
     )
+
+
+@register(
+    "mm07_resolution_profile",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 4 AS INT) AS height,
+                   rpad(text, {{pad}}, '.') AS padded
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, ascii(substr(d.padded, i, 1)) AS v
+            FROM dims d
+            CROSS JOIN UNNEST(generate_series(1, d.width * d.height * 3)) u(i)
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.media_type, d.width, d.height,
+                   CAST(sum(p.v) AS DOUBLE) / (d.width * d.height * 3) AS mi
+            FROM dims d JOIN px p USING (doc_id)
+            GROUP BY d.doc_id, d.media_type, d.width, d.height
+        )
+        SELECT width, height,
+               CAST(width * height AS BIGINT) AS pixels,
+               round(width * 1.0 / height, 4) AS aspect,
+               count(*) AS n_assets,
+               count(DISTINCT media_type) AS n_types,
+               round(avg(mi), 4) AS avg_intensity
+        FROM per_doc GROUP BY width, height
+    """.replace("{pad}", str(_PPM_PAD)),
+    doc="MEDIA-LAKE resolution profile — the catalog rollup a training "
+    "pipeline runs before choosing crop/patch sizes: every asset "
+    "decoded by the REAL mm03 PPM kernel (header width/height + "
+    "numpy mean intensity), then aggregated per resolution class "
+    "with pixel count, aspect ratio (int/int division — one IEEE op, "
+    "exact), asset/type counts, and 4-dp mean intensity.  The oracle "
+    "re-derives everything relationally from the planted construction "
+    "(the mm03/mm05 char-code trick), so the decode->profile "
+    "composition is hash-verified end-to-end.  Scale: decode is "
+    "map-side Arrow batches, the shuffle carries one (w, h, double) "
+    "row per ASSET — payload bytes are pruned before the exchange; "
+    "the profile itself is resolution-cardinality-sized (tiny).",
+)
+def mm07_resolution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _with_ppm(spark, sf_dir)
+    dec = b.select("doc_id", "media_type", "payload").mapInPandas(
+        _decode_batch,
+        schema="doc_id long, media_type string, width int, height int, mean_intensity double",
+    )
+    return dec.groupBy("width", "height").agg(
+        F.count("*").alias("n_assets"),
+        F.countDistinct("media_type").alias("n_types"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    ).select(
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("pixels"),
+        F.round(F.col("width") * 1.0 / F.col("height"), 4).alias("aspect"),
+        "n_assets",
+        "n_types",
+        "avg_intensity",
+    )

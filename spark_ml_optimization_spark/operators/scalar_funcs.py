@@ -712,3 +712,58 @@ def q55e_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL variant_explode(vp) AS t(pos, key, value)
         """
     )
+
+
+@register(
+    "q53d_decimal_exact_money",
+    oracle="""
+        WITH dec AS (
+            SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(12, 2)) AS price,
+                   CAST(l_discount AS DECIMAL(4, 2)) AS disc,
+                   CAST(l_tax AS DECIMAL(4, 2)) AS tax
+            FROM lineitem
+        ),
+        line AS (
+            SELECT l_returnflag, price,
+                   CAST(price * (CAST(1.00 AS DECIMAL(4, 2)) - disc)
+                        AS DECIMAL(18, 4)) AS net,
+                   tax
+            FROM dec
+        )
+        SELECT l_returnflag,
+               CAST(sum(price) AS DOUBLE) AS gross,
+               CAST(sum(net) AS DOUBLE) AS net,
+               CAST(sum(CAST(net * (CAST(1.00 AS DECIMAL(4, 2)) + tax)
+                             AS DECIMAL(24, 6))) AS DOUBLE) AS charged,
+               count(*) AS n_lines
+        FROM line GROUP BY l_returnflag
+    """,
+    doc="EXACT DECIMAL money arithmetic — the fixed-point path every "
+    "financial aggregation should run on instead of IEEE doubles: "
+    "prices/discounts/taxes cast to DECIMAL(18,2) at the scan, the "
+    "TPC-H Q1 net and charged amounts computed with explicit "
+    "precision/scale management (product scale grows 2+2->4, then "
+    "->6; both engines' decimal multiplication is exact integer "
+    "arithmetic underneath, so SUM order cannot matter — the entire "
+    "round-guard machinery the double-based queries need simply "
+    "disappears).  The wire casts the exact totals to DOUBLE only at "
+    "the very end (one exact->nearest conversion, identical in both "
+    "engines).  Scale: decimals are fixed-width longs in Tungsten "
+    "rows (Decimal(28,6) = 16 bytes) — hash-agg speed is comparable "
+    "to double and the partial aggregation stays mergeable.",
+)
+def q53d_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    net = (price * (one - disc)).cast("decimal(18,4)")
+    charged = (net * (one + tax)).cast("decimal(24,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("gross"),
+        F.sum(net).cast("double").alias("net"),
+        F.sum(charged).cast("double").alias("charged"),
+        F.count("*").alias("n_lines"),
+    )

@@ -1140,3 +1140,84 @@ def st17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "st18_available_now_backfill",
+    oracle="""
+        WITH agg AS (
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT event_id) AS n_distinct_ids
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, n_events, n_distinct_ids,
+               CAST(3 AS BIGINT) AS n_batches
+        FROM agg
+    """,
+    doc="BOUNDED BACKFILL with Trigger.AvailableNow + maxFilesPerTrigger "
+    "— the admission-controlled catch-up mode a production stream uses "
+    "after downtime: the fixture lands as SIX single-file partitions, "
+    "the query reads them 2 files per micro-batch under availableNow "
+    "(which, unlike the legacy Trigger.Once, HONOURS the rate limit) "
+    "and stops when the listing is drained.  foreachBatch stamps each "
+    "epoch id into the sink, so the result hash-verifies BOTH the "
+    "data completeness (per-type counts + distinct ids == the batch "
+    "oracle; a dropped or re-read file breaks it) AND the batch "
+    "arithmetic (ceil(6/2) = 3 distinct epochs — a rate-limit "
+    "regression to one giant batch breaks the n_batches column).  "
+    "Scale: this is exactly how a 100 TB directory backfill avoids "
+    "one unbounded micro-batch OOMing state/sinks — bounded work per "
+    "epoch with source-log exactly-once across the whole drain.",
+)
+def st18_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    base = os.path.join(tempfile.gettempdir(), f"st18_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    ckpt_dir = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "sink")
+    os.makedirs(src_dir)
+
+    batch = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "event_type")
+    # Six deterministic single-file splits (repartition(1) -> exactly
+    # one data file each), so maxFilesPerTrigger=2 must give 3 epochs.
+    for m in range(6):
+        batch.filter(F.col("event_id") % 6 == m).repartition(1).write.parquet(
+            os.path.join(src_dir, f"split{m}")
+        )
+
+    schema = batch.schema
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(append_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sink = spark.read.parquet(sink_dir)
+    n_batches = sink.agg(
+        F.count_distinct("epoch").cast("long").alias("n_batches")
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_id").alias("n_distinct_ids"),
+        )
+        .crossJoin(F.broadcast(n_batches))
+        .select("event_type", "n_events", "n_distinct_ids", "n_batches")
+    )

@@ -481,3 +481,15 @@ def test_jl_projection_is_mapside_and_broadcast_paired(spark):
     txt = explain_formatted(df)
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt
+
+
+def test_binned_proximity_join_is_equi_not_nested_loop(spark):
+    """q66c: the keyless ±5-min proximity join must plan as an
+    equi-join on the time bucket (SortMergeJoin/ShuffledHashJoin) —
+    never BroadcastNestedLoopJoin or CartesianProduct, which is what
+    the naive theta-join becomes and what dies at 100 TB."""
+    df = _df(spark, "q66c_binned_proximity_join")
+    txt = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert ("SortMergeJoin" in txt) or ("ShuffledHashJoin" in txt) or has_broadcast_join(df)
