@@ -416,3 +416,61 @@ def q10c_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+@register(
+    "q48c_aqe_skew_join",
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+                        ELSE l_orderkey END AS k,
+                   l_extendedprice
+            FROM lineitem
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM fact JOIN orders ON k = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="AQE RUNTIME SKEW-JOIN SPLIT — the third member of the skew "
+    "toolkit (qd15 detects, q48/q48b salt proactively, this one lets "
+    "the engine re-plan REACTIVELY): a synthetic hot key collapses "
+    "~75% of lineitem onto k=1, and with skew thresholds scaled to "
+    "fixture size Spark's OptimizeSkewedJoin splits the hot reduce "
+    "partition into mapper-granular sub-reads, printing "
+    "SortMergeJoin(skew=true) + 'AQEShuffleRead skewed' in the final "
+    "adaptive plan (pinned in tests/test_plans.py, which sets the "
+    "thresholds, executes, asserts, and restores).  Two load-bearing "
+    "mechanics this query documents: (1) the fact side is spread to "
+    "16 map tasks first — skew splitting works at MAPPER granularity, "
+    "so a single-mapper shuffle (one 20 MB parquet file locally) can "
+    "never split, the exact trap a 100 TB job avoids for free because "
+    "its scans have thousands of mappers; (2) the result is "
+    "strategy-invariant, so the oracle is the plain join and the "
+    "hash proves split-vs-unsplit equivalence.  Money in exact cents.",
+)
+def q48c_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import spread
+
+    fact = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_extendedprice",
+        ),
+        16,
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+    )

@@ -493,3 +493,30 @@ def test_binned_proximity_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert ("SortMergeJoin" in txt) or ("ShuffledHashJoin" in txt) or has_broadcast_join(df)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """q48c: with skew thresholds scaled to fixture size, the final
+    adaptive plan must show OptimizeSkewedJoin firing — the hot k=1
+    reduce partition split into mapper-granular sub-reads
+    (SortMergeJoin(skew=true) / 'skewed' AQEShuffleRead).  Thresholds
+    are set here, the query executes, and the confs are restored."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = _df(spark, "q48c_aqe_skew_join")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "OptimizeSkewedJoin did not fire"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -70,6 +70,18 @@ SCALE_SENSITIVE = [
     "qp6_quality_gate_pipeline",
     "q84d_degree_distribution",
     "q65b_asof_tolerance",
+    # wave-6/7/9 additions whose row sets are gated by corpus-scale
+    # statistics: PMI support df_ab*10>=N and the top-30 vocab cut
+    # (q83d), BM25 df/avgdl and the >=1-hit row gate under sf0.1 term
+    # density (q81b), DSIR bucket distributions (qc25), bigram LM
+    # probabilities (qc29), and q66c's pair density — ~100x more
+    # within-tolerance pairs at sf0.1, the real test that bucket
+    # replication matches the theta-join exactly-once under load.
+    "q83d_pmi_cooccurrence",
+    "q81b_bm25_retrieval",
+    "qc25_dsir_importance",
+    "qc29_bigram_surprisal",
+    "q66c_binned_proximity_join",
 ]
 
 TABLES = (
