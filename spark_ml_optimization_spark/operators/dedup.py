@@ -1768,3 +1768,75 @@ def qc28_canonical_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("policy_delta_tokens"),
     )
+
+
+# q84e's oracle embeds q74b's recursive-CTE component derivation the
+# same way qc28's does — one source of truth for CC semantics; the
+# Spark side reuses the memoized _dup_component_labels artifact.
+_Q84E_ORACLE = f"""
+    WITH comp AS ({_REGISTRY["q74b_dup_components"].oracle}),
+    sizes AS (
+        SELECT component, count(*) AS csize FROM comp GROUP BY component
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    linked AS (
+        SELECT csize, count(*) AS n_components, csize * count(*) AS n_in
+        FROM sizes GROUP BY csize
+    ),
+    single AS (
+        SELECT 1 AS csize,
+               n.n_docs - coalesce((SELECT sum(csize) FROM sizes), 0)
+                   AS n_components,
+               n.n_docs - coalesce((SELECT sum(csize) FROM sizes), 0) AS n_in
+        FROM n
+    )
+    SELECT CAST(u.csize AS BIGINT) AS component_size,
+           CAST(u.n_components AS BIGINT) AS n_components,
+           CAST(u.n_in AS BIGINT) AS n_docs,
+           round(u.n_in * 1.0 / n.n_docs, 6) AS corpus_fraction
+    FROM (SELECT * FROM linked UNION ALL SELECT * FROM single) u
+    CROSS JOIN n
+"""
+
+
+@register(
+    "q84e_component_size_profile",
+    oracle=_Q84E_ORACLE,
+    doc="Connected-component SIZE DISTRIBUTION over the near-dup graph "
+    "— the corpus-health readout a dedup pipeline publishes alongside "
+    "q74b's per-doc labels: how many docs sit in clusters of size k, "
+    "what fraction of the corpus is singleton vs clustered (the "
+    "'giant component' early-warning — a template-heavy crawl shows "
+    "a few huge clusters, a healthy one a long tail of pairs).  The "
+    "singleton bucket is derived by DIFFERENCE (total docs minus "
+    "labeled nodes — labels only exist for edge-bearing docs, and "
+    "every edge-bearing component has size >= 2), so the histogram "
+    "always partitions the whole corpus; all gates/counts integer, "
+    "corpus_fraction one division.  Spark side reuses the memoized "
+    "checkpointed CC labels (shared with q74b/qc21/qc28 — zero extra "
+    "fixpoint cost in-suite); oracle embeds q74b's recursive CTE.  "
+    "Scale: the profile aggregates the id-only label table — "
+    "component-count-sized, corpus-size-free.",
+)
+def q84e_component_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _dup_component_labels(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()  # scalar literal
+    sizes = labels.groupBy("component").agg(F.count("*").alias("csize"))
+    linked = sizes.groupBy("csize").agg(
+        F.count("*").alias("n_components"),
+        (F.col("csize") * F.count("*")).alias("n_in"),
+    )
+    n_labeled = labels.count()
+    single = spark.range(1).select(
+        F.lit(1).cast("long").alias("csize"),
+        F.lit(n_docs - n_labeled).cast("long").alias("n_components"),
+        F.lit(n_docs - n_labeled).cast("long").alias("n_in"),
+    )
+    return linked.unionByName(single).select(
+        F.col("csize").cast("long").alias("component_size"),
+        F.col("n_components").cast("long").alias("n_components"),
+        F.col("n_in").cast("long").alias("n_docs"),
+        F.round(F.col("n_in") * 1.0 / F.lit(float(n_docs)), 6).alias(
+            "corpus_fraction"
+        ),
+    )

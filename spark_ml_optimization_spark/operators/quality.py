@@ -1501,3 +1501,81 @@ def qd22_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(ae) * 1.0 / F.sum("n"), 6).alias("wape"),
         F.round(F.avg(ae * 1.0 / F.col("n")), 4).alias("mape"),
     )
+
+
+@register(
+    "qd23_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, count(*) AS d, sum(x) AS sx
+            FROM daily GROUP BY 1
+        ),
+        scaled AS (
+            SELECT daily.event_type, day, x, d, sx,
+                   sum(d * x - sx) OVER (
+                       PARTITION BY daily.event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS rs
+            FROM daily JOIN tot USING (event_type)
+        ),
+        cus AS (
+            SELECT event_type, day, x, sx,
+                   rs - least(0, min(rs) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS s
+            FROM scaled
+        )
+        SELECT event_type,
+               CAST(day AS VARCHAR) AS day,
+               CAST(x AS BIGINT) AS n_events,
+               CAST(s AS BIGINT) AS cusum_scaled,
+               CAST(2 * s > sx AS INT) AS flag
+        FROM cus
+    """,
+    doc="CUSUM changepoint detection (Page 1954 — the sequential "
+    "drift detector that catches a sustained small shift long before "
+    "qd16's per-day z-score fires), computed ENTIRELY in integers: "
+    "the textbook recurrence S_t = max(0, S_{t-1} + (x_t - mu)) has "
+    "the closed form S_t = RS_t - min(0, min_{j<=t} RS_j) over the "
+    "running sum RS of deviations, and multiplying through by the "
+    "day count d turns every term into exact integer arithmetic "
+    "(d*x_t - sum_x), so the statistic, the running min, AND the "
+    "alarm gate (2*S'_t > sum_x, i.e. S_t > mu/2) are "
+    "engine-exact with zero float compares anywhere.  Scale: one "
+    "day-keyed count rollup (partition-metadata-sized, the qd16 "
+    "posture), then two windows over ~days-per-type rows — the "
+    "monitor costs nothing regardless of event volume.",
+)
+def qd23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("d"), F.sum("x").alias("sx")
+    )
+    run = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scaled = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "rs", F.sum(F.col("d") * F.col("x") - F.col("sx")).over(run)
+    )
+    s = F.col("rs") - F.least(F.lit(0), F.min("rs").over(run))
+    return scaled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("n_events"),
+        s.cast("long").alias("cusum_scaled"),
+        (2 * s > F.col("sx")).cast("int").alias("flag"),
+    )

@@ -82,6 +82,8 @@ SCALE_SENSITIVE = [
     "qc25_dsir_importance",
     "qc29_bigram_surprisal",
     "q66c_binned_proximity_join",
+    # cluster-size structure only exists where near-dups are planted.
+    "q84e_component_size_profile",
 ]
 
 TABLES = (
