@@ -1499,3 +1499,50 @@ def ml28_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+@register(
+    "ml30_rf_feature_importances",
+    oracle=None,
+    doc="RandomForest FEATURE IMPORTANCES — the model-introspection "
+    "readout (mean-decrease-in-impurity) a feature-engineering loop "
+    "ranks candidates by: four deterministic document features "
+    "(chars, tokens, mean token length, digit fraction) predict "
+    "lang=='en', a seeded 20-tree forest fits, and the per-feature "
+    "Gini importances come back as (feature, importance) rows sorted "
+    "by the SORTED-ORDER contract (importance desc, name asc).  "
+    "Rows-only by design (importances are MLlib training internals, "
+    "not ANSI-SQL-derivable); tests/test_ml_shapes.py pins the "
+    "simplex property (non-negative, sum == 1) and the feature-name "
+    "contract.  Scale: the fit runs on a sample (spread across "
+    "cores); importances are model-sized.  Inference stays on the "
+    "ml22 codegen path — this operator informs which columns earn a "
+    "place there.",
+)
+def ml30_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    d = spread(load_table(spark, sf_dir, "documents"), 8)
+    toks = F.split("text", " ")
+    feats = d.select(
+        (F.col("lang") == "en").cast("double").alias("label"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(toks).cast("double").alias("f_tokens"),
+        (F.col("n_chars") / F.greatest(F.size(toks), F.lit(1))).alias("f_tok_len"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("f_digit_frac"),
+    )
+    cols = ["f_chars", "f_tokens", "f_tok_len", "f_digit_frac"]
+    vec = VectorAssembler(inputCols=cols, outputCol="features")
+    rf = RandomForestClassifier(
+        numTrees=20, maxDepth=5, seed=42, featuresCol="features", labelCol="label"
+    )
+    model = _fit_retry(rf, vec.transform(feats))
+    imps = model.featureImportances.toArray().tolist()
+    rows = [(name, float(round(imp, 6))) for name, imp in zip(cols, imps)]
+    return spark.createDataFrame(rows, "feature string, importance double").orderBy(
+        F.col("importance").desc(), F.col("feature").asc()
+    )

@@ -132,3 +132,23 @@ def test_chi_square_sql_twin_matches_mllib(spark):
     ml = ChiSquareTest.test(vec.transform(d), "features", "label", flatten=True).collect()[0]
     assert abs(sql_row.statistic - ml.statistic) < 1e-3, (sql_row, ml)
     assert sql_row.dof == ml.degreesOfFreedom
+
+
+def test_rf_importances_simplex_and_contract(spark):
+    """ml30: importances are a probability simplex over the declared
+    feature set (non-negative, sum == 1 within fp tolerance), rows
+    arrive in the documented (importance desc, feature asc) order,
+    and the seeded fit is run-to-run deterministic."""
+    from spark_ml_optimization_spark.ml.pipelines import (
+        ml30_rf_feature_importances,
+    )
+
+    rows = ml30_rf_feature_importances(spark, SF_CORRECT).collect()
+    names = [r.feature for r in rows]
+    assert sorted(names) == ["f_chars", "f_digit_frac", "f_tok_len", "f_tokens"]
+    imps = [r.importance for r in rows]
+    assert all(i >= 0 for i in imps)
+    assert abs(sum(imps) - 1.0) < 1e-4
+    assert imps == sorted(imps, reverse=True)
+    rows2 = ml30_rf_feature_importances(spark, SF_CORRECT).collect()
+    assert rows == rows2
