@@ -880,3 +880,133 @@ def qp7_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
         )
     )
+
+
+@register(
+    "qp8_ann_recall_eval",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        coded AS (
+            SELECT vec_id, v,
+                   (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS cell
+            FROM base
+        ),
+        probes AS (
+            SELECT vec_id AS qid, v AS qv, cell AS qcell
+            FROM coded WHERE vec_id < 5
+        ),
+        corpus AS (SELECT * FROM coded WHERE vec_id >= 5),
+        exact10 AS (
+            SELECT qid, vec_id FROM (
+                SELECT p.qid, c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.qid
+                           ORDER BY list_dot_product(c.v, p.qv) DESC,
+                                    c.vec_id ASC
+                       ) AS rn
+                FROM corpus c CROSS JOIN probes p
+            ) WHERE rn <= 10
+        ),
+        cand AS (
+            SELECT p.qid, c.vec_id,
+                   list_dot_product(c.v, p.qv) AS s
+            FROM corpus c JOIN probes p
+              ON xor(c.cell, p.qcell) IN (0, 1, 2, 4, 8)
+        ),
+        ivf10 AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY s DESC, vec_id ASC
+                       ) AS rn
+                FROM cand
+            ) WHERE rn <= 10
+        ),
+        ncand AS (SELECT qid, count(*) AS n_candidates FROM cand GROUP BY qid)
+        SELECT e.qid AS qid,
+               CAST(n.n_candidates AS BIGINT) AS n_candidates,
+               CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+               round(count(i.vec_id) / 10.0, 2) AS recall_at_10
+        FROM exact10 e
+        LEFT JOIN ivf10 i ON e.qid = i.qid AND e.vec_id = i.vec_id
+        JOIN ncand n ON n.qid = e.qid
+        GROUP BY e.qid, n.n_candidates
+    """,
+    doc="ANN INDEX-QUALITY EVALUATION harness, end-to-end and "
+    "hash-verified — the measure-before-you-commit loop a vector "
+    "platform runs on every index build (the ANN sibling of q72d's "
+    "LSH audit): five probe vectors run BOTH the exact brute-force "
+    "top-10 (broadcast probes, zero corpus shuffle — the q85 shape) "
+    "and the q92c-style IVF path (deterministic 4-bit sign-code "
+    "cells, multi-probe Hamming<=1 shortlist, re-rank), and per "
+    "probe the harness reports candidate-set size (the cost proxy) "
+    "and recall@10 (the quality) — hits counted by an exact id "
+    "left-join, recall one integer division, so the entire eval is "
+    "bit-reproducible.  Scale: eval cost is probes x corpus for the "
+    "exact arm — run on a sampled corpus slice exactly as here — "
+    "while the IVF arm prices the production query path; the "
+    "decision table (cells probed vs recall) is what picks nprobe "
+    "before the 100 TB index ships.",
+)
+def qp8_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    cell = (
+        (F.element_at(emb, 1) >= 0).cast("int") * 8
+        + (F.element_at(emb, 2) >= 0).cast("int") * 4
+        + (F.element_at(emb, 3) >= 0).cast("int") * 2
+        + (F.element_at(emb, 4) >= 0).cast("int")
+    )
+    coded = e.select("vec_id", emb.alias("v"), cell.alias("cell"))
+    probes = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    corpus = coded.filter(F.col("vec_id") >= 5)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "vec_id",
+        "cell",
+        "qcell",
+        dot(F.col("v"), F.col("qv")).alias("s"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    exact10 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    cand = scored.filter(
+        F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell"))) <= 1
+    )
+    ivf10 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("ivec_id"))
+    )
+    ncand = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    return (
+        exact10.join(
+            ivf10,
+            (exact10.qid == ivf10.qid) & (exact10.vec_id == ivf10.ivec_id),
+            "left",
+        )
+        .drop(ivf10.qid)
+        .groupBy("qid")
+        .agg(F.count("ivec_id").alias("hits"))
+        .join(F.broadcast(ncand), "qid")
+        .select(
+            "qid",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("hits").cast("long").alias("n_hits"),
+            F.round(F.col("hits") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -285,3 +285,55 @@ def q18c_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "lineitem", "col": "l_quantity"},
     )
+
+
+@register(
+    "q18d_sql_scripting",
+    oracle="""
+        WITH c AS (SELECT max(o_totalprice) AS m FROM orders)
+        SELECT o_orderpriority,
+               count(*) AS n_above,
+               CAST(512 AS INT) AS loop_k
+        FROM orders CROSS JOIN c
+        WHERE o_totalprice > c.m / 2
+        GROUP BY o_orderpriority
+    """,
+    doc="SQL SCRIPTING (Spark 4 BEGIN...END compound statements — the "
+    "ANSI/PSM-style procedural layer): a script DECLAREs session "
+    "variables, binds one from a scalar subquery (the max order "
+    "price — an order-free EXACT aggregate, so the downstream row "
+    "gate cannot be summation-order luck), runs a WHILE loop "
+    "(doubling k to 512 — control flow the oracle replays as a "
+    "literal), and the final SELECT filters orders above half the "
+    "max using the variable.  The script's last statement is the "
+    "result set, exactly the migration target for warehouse stored "
+    "procedures.  Scale: scripting is driver-side control flow over "
+    "ordinary distributed statements — each inner SELECT plans/ "
+    "executes like any other query; variables are scalar broadcast "
+    "state, never data-sized.",
+)
+def q18d_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DOUBLE;
+              DECLARE k INT DEFAULT 1;
+              SET cutoff = (SELECT max(o_totalprice) FROM orders);
+              WHILE k * 2 <= 1000 DO
+                SET k = k * 2;
+              END WHILE;
+              SELECT o_orderpriority,
+                     count(*) AS n_above,
+                     k AS loop_k
+              FROM orders
+              WHERE o_totalprice > cutoff / 2
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
