@@ -657,3 +657,71 @@ def src17_recursive_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "src20_python_datasource_writer",
+    oracle="""
+        WITH sensor AS (
+            SELECT i AS reading_id,
+                   CAST((i * 2654435761) % 4294967296 % 97 AS INT) AS sensor_id,
+                   round(((i * 2654435761) % 4294967296 % 1000) / 10.0, 1) AS temp
+            FROM range(0, 4000) t(i)
+        )
+        SELECT sensor_id % 10 AS sensor_group,
+               count(*) AS n_readings,
+               CAST(sum(CAST(round(temp * 10) AS BIGINT)) AS BIGINT)
+                   AS temp_tenths,
+               CAST(4 AS BIGINT) AS n_files
+        FROM sensor
+        GROUP BY sensor_id % 10
+        ORDER BY sensor_group
+    """,
+    doc="Custom Python data source WRITER (Spark 4 DataSource API, the "
+    "sink half of src12's reader): df.write.format('rowsink') fans "
+    "the 4-partition deterministic sensor relation into per-task "
+    "executor-side JSON-lines files, each task returns a "
+    "WriterCommitMessage (file, rows), and the driver-side commit() "
+    "publishes _manifest.json — the two-phase commit contract that "
+    "makes a custom sink task-retry-safe (uncommitted files are "
+    "invisible until the manifest lists them; abort() deletes them).  "
+    "Verification closes the loop: the JSON files are re-read with an "
+    "explicit schema, re-aggregated, and joined with the manifest's "
+    "file count (exactly 4 — one per non-empty input partition), all "
+    "hash-checked against the arithmetic oracle; temps compare in "
+    "exact integer TENTHS so the JSON double roundtrip cannot smear.  "
+    "Scale: this is the extension point for proprietary sinks — "
+    "Spark supplies distribution/retries, the Python class supplies "
+    "the protocol; data never funnels through the driver.",
+)
+def src20_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from ..sources.pydatasource import register_rowsink_source, register_sensor_source
+
+    register_sensor_source(spark)
+    register_rowsink_source(spark)
+    base = (
+        spark.read.format("sensor")
+        .option("rows", "4000")
+        .option("partitions", "4")
+        .load()
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"src20_{uuid.uuid4().hex[:12]}")
+    os.makedirs(out_dir)
+    base.write.format("rowsink").option("path", out_dir).mode("append").save()
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = json.load(f)  # bounded sink metadata, not a data path
+    files = [os.path.join(out_dir, name) for name in manifest["files"]]
+    back = spark.read.schema(
+        "reading_id BIGINT, sensor_id INT, temp DOUBLE"
+    ).json(files)
+    return (
+        back.groupBy((F.col("sensor_id") % 10).alias("sensor_group"))
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.sum(F.round(F.col("temp") * 10).cast("long")).alias("temp_tenths"),
+        )
+        .withColumn("n_files", F.lit(int(manifest["n_files"])).cast("long"))
+        .orderBy("sensor_group")
+    )

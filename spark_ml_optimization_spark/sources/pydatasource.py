@@ -18,8 +18,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Knuth's multiplicative hash constant — the whole "dataset".
@@ -132,3 +134,72 @@ def _build_sensor_stream_source():
 
 def register_sensor_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(_build_sensor_stream_source())
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Per-task commit message: (file, rows).  Module-level so executors
+    pickle it by reference (batch write tasks inherit the driver's
+    sys.path — the src18 by-value rule applies only to the streaming
+    source runner process)."""
+
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class _RowSinkWriter(DataSourceWriter):
+    """Executor-side JSON-lines writer + driver-side manifest commit —
+    the two-phase contract (write per task -> commit once) that gives a
+    custom sink task-retry safety: uncommitted part files are invisible
+    until _manifest.json lists them."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json")
+        rows = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                rows += 1
+        if rows == 0:
+            os.remove(fname)
+            return _SinkCommit("", 0)
+        return _SinkCommit(fname, rows)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = sorted(os.path.basename(m.file) for m in messages if m.rows)
+        rows = sum(m.rows for m in messages)
+        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+            json.dump({"files": files, "n_files": len(files), "rows": rows}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m.rows and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class RowSinkSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rowsink"
+
+    def writer(self, schema, overwrite):
+        return _RowSinkWriter(self.options)
+
+
+def register_rowsink_source(spark: SparkSession) -> None:
+    spark.dataSource.register(RowSinkSource)
