@@ -1042,3 +1042,67 @@ def qa23_idle_rich_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("numcust"),
         F.round(F.sum("cents") / 100.0, 2).alias("totacctbal"),
     )
+
+
+@register(
+    "qa24_rfm_segmentation",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS freq,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiers AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_tier,
+                   ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_tier,
+                   ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_tier,
+                   cents
+            FROM cust
+        )
+        SELECT r_tier, f_tier, m_tier,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS segment_cents
+        FROM tiers GROUP BY r_tier, f_tier, m_tier
+    """,
+    doc="RFM SEGMENTATION — the classic warehouse customer-value grid "
+    "(Recency/Frequency/Monetary quintiles): per-customer last order "
+    "date, order count, and lifetime spend in EXACT CENTS, each cut "
+    "into ntile(5) tiers with custkey tiebreaks — every ordering key "
+    "is a timestamp, an int, or an exact integer-cents sum, so no "
+    "tier boundary can be summation-order luck — then the 5x5x5 "
+    "segment grid reports customer counts and spend.  Scale: three "
+    "global ntiles mean one range-partitioned sort of the CUSTOMER "
+    "aggregate (dimension-sized, not fact-sized); at extreme "
+    "cardinality the quintile edges come from approxQuantile and the "
+    "tiers become map-side CASE ladders (the ml26 shape) — the grid "
+    "semantics are unchanged.",
+)
+def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    tiers = cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(5)
+        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc()))
+        .alias("r_tier"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("freq").desc(), F.col("o_custkey").asc()))
+        .alias("f_tier"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("cents").desc(), F.col("o_custkey").asc()))
+        .alias("m_tier"),
+    )
+    return tiers.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("long").alias("segment_cents"),
+    )

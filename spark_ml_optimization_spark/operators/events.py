@@ -1129,3 +1129,97 @@ def q66c_binned_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).cast("long").alias("max_gap_us"),
         )
     )
+
+
+@register(
+    "q68f_touch_attribution",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        touches AS (
+            SELECT user_id, event_type, us,
+                   lpad(CAST(us AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord_key
+            FROM e WHERE event_type IN ('click', 'view')
+        ),
+        purchases AS (
+            SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+        ),
+        attributed AS (
+            SELECT p.event_id,
+                   max_by(t.event_type, t.ord_key) AS last_touch,
+                   min_by(t.event_type, t.ord_key) AS first_touch,
+                   max(t.us) AS last_us,
+                   p.us AS p_us
+            FROM purchases p
+            JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.us <= p.us
+             AND t.us >= p.us - 604800000000
+            GROUP BY p.event_id, p.us
+        )
+        SELECT first_touch, last_touch,
+               count(*) AS n_purchases,
+               CAST(min(p_us - last_us) AS BIGINT) AS min_gap_us,
+               CAST(max(p_us - last_us) AS BIGINT) AS max_gap_us
+        FROM attributed
+        GROUP BY first_touch, last_touch
+    """,
+    doc="MARKETING TOUCH ATTRIBUTION — first-touch AND last-touch "
+    "credit per conversion within a 7-day lookback (the funnel "
+    "family's revenue-accounting sibling: q67 orders stages, q68e "
+    "measures latency, this one assigns credit): purchases join "
+    "their user's click/view touches inside [t-7d, t], and the "
+    "first/last touch per purchase resolve by min_by/max_by over a "
+    "zero-padded (us, event_id) STRING key — lexicographic equals "
+    "numeric order, giving a total tie-break without 128-bit "
+    "arithmetic in either engine.  The (first, last) attribution "
+    "matrix with exact-microsecond gap bounds is the wire output; "
+    "every gate and tiebreak is integer/string-exact.  Scale: "
+    "equi-join on user_id with a time post-filter (the q66 shape — "
+    "AQE splits hot users); at 100 TB the lookback window bounds "
+    "state exactly like a streaming watermark would.",
+)
+def q68f_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ord_key = F.concat(
+        F.lpad(F.col("t_us").cast("string"), 20, "0"),
+        F.lpad(F.col("t_id").cast("string"), 10, "0"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.col("us").alias("t_us"),
+        F.col("event_id").alias("t_id"),
+    ).select("t_user", "t_type", "t_us", ord_key.alias("ord_key"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("us").alias("p_us")
+    )
+    lookback = 7 * 24 * 3600 * 1000000
+    attributed = (
+        purchases.join(
+            touches,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_us") <= F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - lookback),
+        )
+        .groupBy("event_id", "p_us")
+        .agg(
+            F.max_by("t_type", "ord_key").alias("last_touch"),
+            F.min_by("t_type", "ord_key").alias("first_touch"),
+            F.max("t_us").alias("last_us"),
+        )
+    )
+    return attributed.groupBy("first_touch", "last_touch").agg(
+        F.count("*").alias("n_purchases"),
+        F.min(F.col("p_us") - F.col("last_us")).cast("long").alias("min_gap_us"),
+        F.max(F.col("p_us") - F.col("last_us")).cast("long").alias("max_gap_us"),
+    )
