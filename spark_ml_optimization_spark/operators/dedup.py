@@ -1840,3 +1840,90 @@ def q84e_component_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_fraction"
         ),
     )
+
+
+@register(
+    "qc31_threshold_sensitivity",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM tok a
+            JOIN tok b
+              ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT i.n_common,
+                   sa.n_tok + sb.n_tok - i.n_common AS n_union
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        SELECT t.t10,
+               round(t.t10 / 10.0, 1) AS threshold,
+               CAST(count(*) FILTER (WHERE p.n_common * 10 >= t.t10 * p.n_union)
+                    AS BIGINT) AS n_pairs
+        FROM pairs p
+        CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9]) AS t10) t
+        GROUP BY t.t10
+    """,
+    doc="DEDUP THRESHOLD SENSITIVITY sweep — the tuning table a "
+    "pipeline builds BEFORE committing a Jaccard cutoff (q74/q72d "
+    "fix 0.8; this measures what 0.5-0.9 would each catch): the "
+    "blocked candidate-pair relation with (intersection, union) "
+    "counts is computed ONCE, then every pair is tested against five "
+    "thresholds by CROSS-MULTIPLIED INTEGER compare (n_common*10 >= "
+    "t10*n_union — the mm05 rule; the existing 0.8 queries compare "
+    "rounded doubles, which holds on these fixtures, but a sweep "
+    "whose whole point is boundary counting must be boundary-exact).  "
+    "Five counts from one pass — no per-threshold rescan.  Scale: "
+    "identical join shape to q74 (blocking keys bound fan-out); the "
+    "sweep adds a 5-row broadcast and a conditional count.",
+)
+def qc31_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"), 32)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "token"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "token"
+    )
+    inter = (
+        a.join(b, ["token", "lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "n_common", (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union")
+        )
+    )
+    thresholds = spark.range(5, 10).select(F.col("id").cast("int").alias("t10"))
+    return (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .groupBy("t10")
+        .agg(
+            F.count_if(
+                F.col("n_common") * 10 >= F.col("t10") * F.col("n_union")
+            ).cast("long").alias("n_pairs")
+        )
+        .select("t10", F.round(F.col("t10") / 10.0, 1).alias("threshold"), "n_pairs")
+    )

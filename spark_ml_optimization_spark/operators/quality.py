@@ -1579,3 +1579,112 @@ def qd23_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("cusum_scaled"),
         (2 * s > F.col("sx")).cast("int").alias("flag"),
     )
+
+
+@register(
+    "qd24_emd_drift",
+    oracle="""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000) AS BIGINT) AS v,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v,
+                   sum(is_ref) AS c_ref,
+                   sum(1 - is_ref) AS c_cur
+            FROM vals GROUP BY event_type, v
+        ),
+        tot AS (
+            SELECT event_type,
+                   sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+            FROM grid GROUP BY event_type
+        ),
+        steps AS (
+            SELECT g.event_type, t.n_ref, t.n_cur,
+                   abs(sum(g.c_ref) OVER w * t.n_cur
+                       - sum(g.c_cur) OVER w * t.n_ref)
+                     * (lead(g.v) OVER w2 - g.v) AS term
+            FROM grid g JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY g.event_type ORDER BY g.v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY g.event_type ORDER BY g.v)
+        )
+        SELECT event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(sum(term) AS BIGINT) AS emd_scaled,
+               round(CAST(sum(term) AS DOUBLE) / (n_ref * n_cur) / 1000000.0, 6)
+                   AS emd
+        FROM steps
+        WHERE term IS NOT NULL
+        GROUP BY event_type, n_ref, n_cur
+    """,
+    doc="EARTH-MOVER (1-Wasserstein) distribution drift, computed "
+    "EXACTLY in integers — the third drift lens beside qd13's PSI "
+    "(density-ratio, bin-quantized) and qd14's KS (max CDF gap, "
+    "outlier-blind): EMD integrates |F_ref - F_cur| over the value "
+    "axis and so sees BOTH shape and location shifts.  Trick: on "
+    "micro-quantized values the integral is a sum over distinct-value "
+    "steps of |cumref*n_cur - cumcur*n_ref| * gap — cross-multiplied "
+    "integer CDFs (the mm05 rule: never compare ratios in doubles) "
+    "times integer gaps, summed exactly (bounded by n_ref*n_cur*range "
+    "— fits BIGINT per event type with 40x headroom); the only "
+    "float ops are the final division and 6-dp wire rounding, "
+    "identical in both engines.  Split = even/odd event ids (the "
+    "qd13/st12 ref/cur convention).  Scale: one hash-agg to the "
+    "distinct-value grid (value-cardinality-sized), two windows over "
+    "it, one tiny agg — the monitor never rescans raw rows.",
+)
+def qd24_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("is_ref"),
+    )
+    grid = vals.groupBy("event_type", "v").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cur"),
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w2 = W.partitionBy("event_type").orderBy("v")
+    steps = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (
+            F.abs(
+                F.sum("c_ref").over(w) * F.col("n_cur")
+                - F.sum("c_cur").over(w) * F.col("n_ref")
+            )
+            * (F.lead("v").over(w2) - F.col("v"))
+        ).alias("term"),
+    )
+    return (
+        steps.filter(F.col("term").isNotNull())
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.sum("term").alias("emd_scaled"))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.col("emd_scaled").cast("long").alias("emd_scaled"),
+            F.round(
+                F.col("emd_scaled").cast("double")
+                / (F.col("n_ref") * F.col("n_cur"))
+                / 1000000.0,
+                6,
+            ).alias("emd"),
+        )
+    )

@@ -72,6 +72,8 @@ ADV_FAMILIES = [
     "qc25_dsir_importance",      # zero-token docs emit NO importance row
     "qc29_bigram_surprisal",     # <2-token docs (descending-sequence class)
     "ml28_decile_lift",          # ntile tiebreak under equal-n_chars docs
+    "qc31_threshold_sensitivity",  # pairs landing EXACTLY on t/10 boundaries
+    "qd24_emd_drift",            # collapsed value grids / one-sided splits
 ]
 
 

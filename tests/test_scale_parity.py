@@ -86,6 +86,10 @@ SCALE_SENSITIVE = [
     "q84e_component_size_profile",
     # recall/candidate density shifts with corpus size (2000 vs 500).
     "qp8_ann_recall_eval",
+    # pair density at every threshold, and the EMD BIGINT-headroom
+    # bound, are only exercised under sf0.1 volume.
+    "qc31_threshold_sensitivity",
+    "qd24_emd_drift",
 ]
 
 TABLES = (
