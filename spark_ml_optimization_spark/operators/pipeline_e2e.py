@@ -1010,3 +1010,120 @@ def qp8_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "qp9_corpus_refresh_pipeline",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id, lang,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   doc_id % 5 = 4 AS is_new
+            FROM documents
+        ),
+        corpus_fp AS (SELECT DISTINCT fp FROM tagged WHERE NOT is_new),
+        corpus_tok AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+            FROM tagged WHERE NOT is_new GROUP BY lang
+        ),
+        incoming AS (SELECT * FROM tagged WHERE is_new),
+        fresh AS (
+            SELECT i.* FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = i.fp)
+        ),
+        admitted AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fresh
+            ) WHERE rn = 1
+        ),
+        per_lang AS (
+            SELECT i.lang,
+                   count(*) AS n_incoming,
+                   count(*) - count(f.doc_id) AS dropped_vs_corpus,
+                   count(f.doc_id) - count(a.doc_id) AS dropped_in_batch,
+                   count(a.doc_id) AS n_admitted,
+                   CAST(coalesce(sum(a.n_tokens), 0) AS BIGINT) AS admitted_tokens
+            FROM incoming i
+            LEFT JOIN (SELECT doc_id FROM fresh) f ON f.doc_id = i.doc_id
+            LEFT JOIN (SELECT doc_id, n_tokens FROM admitted) a ON a.doc_id = i.doc_id
+            GROUP BY i.lang
+        )
+        SELECT p.lang,
+               CAST(p.n_incoming AS BIGINT) AS n_incoming,
+               CAST(p.dropped_vs_corpus AS BIGINT) AS dropped_vs_corpus,
+               CAST(p.dropped_in_batch AS BIGINT) AS dropped_in_batch,
+               CAST(p.n_admitted AS BIGINT) AS n_admitted,
+               p.admitted_tokens,
+               c.corpus_tokens,
+               round(p.admitted_tokens * 1.0 / c.corpus_tokens, 6) AS growth
+        FROM per_lang p JOIN corpus_tok c USING (lang)
+    """,
+    doc="DAY-2 CORPUS REFRESH pipeline, end-to-end — the continuous-"
+    "ingest loop the one-shot pipelines (qp1 build, qp5 dedup funnel, "
+    "qp6 quality gates) hand off to in production: an incoming batch "
+    "(the qc11 is_new split) flows through vs-corpus digest "
+    "anti-join, then within-batch keep-first dedup, and the per-"
+    "language admission report shows exactly where every incoming "
+    "doc went (n_incoming == dropped_vs_corpus + dropped_in_batch + "
+    "n_admitted by construction) plus admitted-token growth against "
+    "the standing corpus — the number the qc24 mixture replan "
+    "consumes next cycle.  All row gates are digest/id-exact; growth "
+    "is one int/int division.  Scale: the corpus ships only distinct "
+    "16-byte digests to the anti-join (qc11's posture); per-lang "
+    "rollups shuffle token COUNTS, never text.",
+)
+def qp9_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        fp.alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+    )
+    corpus = tagged.filter(~F.col("is_new"))
+    corpus_fp = corpus.select("fp").distinct()
+    corpus_tok = corpus.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("corpus_tokens")
+    )
+    incoming = tagged.filter(F.col("is_new"))
+    fresh = incoming.join(corpus_fp, "fp", "left_anti")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    admitted = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fr = fresh.select(F.col("doc_id").alias("f_id"))
+    ad = admitted.select(
+        F.col("doc_id").alias("a_id"), F.col("n_tokens").alias("a_tokens")
+    )
+    per_lang = (
+        incoming.join(fr, incoming.doc_id == fr.f_id, "left")
+        .join(ad, incoming.doc_id == ad.a_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            (F.count("*") - F.count("f_id")).alias("dropped_vs_corpus"),
+            (F.count("f_id") - F.count("a_id")).alias("dropped_in_batch"),
+            F.count("a_id").alias("n_admitted"),
+            F.coalesce(F.sum("a_tokens"), F.lit(0)).cast("long").alias(
+                "admitted_tokens"
+            ),
+        )
+    )
+    return per_lang.join(F.broadcast(corpus_tok), "lang").select(
+        "lang",
+        F.col("n_incoming").cast("long").alias("n_incoming"),
+        F.col("dropped_vs_corpus").cast("long").alias("dropped_vs_corpus"),
+        F.col("dropped_in_batch").cast("long").alias("dropped_in_batch"),
+        F.col("n_admitted").cast("long").alias("n_admitted"),
+        "admitted_tokens",
+        "corpus_tokens",
+        F.round(
+            F.col("admitted_tokens") * 1.0 / F.col("corpus_tokens"), 6
+        ).alias("growth"),
+    )

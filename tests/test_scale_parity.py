@@ -90,6 +90,9 @@ SCALE_SENSITIVE = [
     # bound, are only exercised under sf0.1 volume.
     "qc31_threshold_sensitivity",
     "qd24_emd_drift",
+    # vs-corpus and within-batch drop counts only bite where planted
+    # duplicates exist.
+    "qp9_corpus_refresh_pipeline",
 ]
 
 TABLES = (
