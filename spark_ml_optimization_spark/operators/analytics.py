@@ -1106,3 +1106,90 @@ def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("cents").cast("long").alias("segment_cents"),
     )
+
+
+@register(
+    "qa25_revenue_concentration",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, cents,
+                   row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i,
+                   count(*) OVER () AS n,
+                   sum(cents) OVER () AS total
+            FROM cust
+        ),
+        gini_terms AS (
+            SELECT n, total,
+                   sum(i * cents) AS weighted,
+                   sum(CASE WHEN i * 10 > n * 9 THEN cents ELSE 0 END)
+                       AS top_decile_cents,
+                   sum(CASE WHEN i * 10 > n * 9 THEN 1 ELSE 0 END)
+                       AS n_top_decile
+            FROM ranked GROUP BY n, total
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(total AS BIGINT) AS total_cents,
+               CAST(n_top_decile AS BIGINT) AS n_top_decile,
+               CAST(top_decile_cents AS BIGINT) AS top_decile_cents,
+               round(top_decile_cents * 1.0 / total, 6) AS top_decile_share,
+               round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
+        FROM gini_terms
+    """,
+    doc="REVENUE CONCENTRATION — the Pareto/inequality readout next to "
+    "qa24's RFM grid: customers ranked by lifetime spend in EXACT "
+    "CENTS (custkey tiebreak), the top decile selected by the "
+    "INTEGER gate i*10 > n*9 (no float percentile edge), its revenue "
+    "share one exact division, and the Gini coefficient from the "
+    "closed form 2*Σ(i*x_i)/(n*Σx) - (n+1)/n — rank-weighted integer "
+    "sums (bounded ~1e16, 500x BIGINT headroom), so both engines "
+    "compute identical doubles in the final two divisions.  "
+    "Complements qd15 (join-key skew Gini) on the revenue axis — the "
+    "'does 10% of the base carry 60% of revenue' board number.  "
+    "Scale: one customer-keyed partial agg, one dimension-sized rank "
+    "(the qc26/qa24 global-sort shape), one single-row reduce.",
+)
+def qa25_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = W.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = cust.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    top = F.when(F.col("i") * 10 > F.col("n") * 9, F.col("cents")).otherwise(0)
+    topn = F.when(F.col("i") * 10 > F.col("n") * 9, 1).otherwise(0)
+    stats = ranked.crossJoin(
+        F.broadcast(
+            ranked.agg(
+                F.count("*").alias("n"), F.sum("cents").alias("total")
+            )
+        )
+    ).agg(
+        F.first("n").alias("n"),
+        F.first("total").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+        F.sum(top).alias("top_decile_cents"),
+        F.sum(topn).alias("n_top_decile"),
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.col("n_top_decile").cast("long").alias("n_top_decile"),
+        F.col("top_decile_cents").cast("long").alias("top_decile_cents"),
+        F.round(F.col("top_decile_cents") * 1.0 / F.col("total"), 6).alias(
+            "top_decile_share"
+        ),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

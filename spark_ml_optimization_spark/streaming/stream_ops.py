@@ -1221,3 +1221,84 @@ def st18_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_batches))
         .select("event_type", "n_events", "n_distinct_ids", "n_batches")
     )
+
+
+@register(
+    "st19_stream_proximity_join",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        err AS (SELECT event_id, us FROM e WHERE event_type = 'error'),
+        pur AS (SELECT event_id, us FROM e WHERE event_type = 'purchase')
+        SELECT CAST(CAST(make_timestamp(err.us) AS DATE) AS VARCHAR) AS day,
+               count(*) AS n_pairs,
+               CAST(min(abs(pur.us - err.us)) AS BIGINT) AS min_gap_us,
+               CAST(max(abs(pur.us - err.us)) AS BIGINT) AS max_gap_us
+        FROM err JOIN pur ON abs(pur.us - err.us) <= 300000000
+        GROUP BY 1
+    """,
+    doc="q66c's keyless binned proximity join UNDER readStream — the "
+    "streaming twin proving the bucket-replication re-plan carries to "
+    "stream-static enrichment: live error events explode to tolerance "
+    "buckets {b-1,b,b+1} INSIDE the stream (generators run fine in "
+    "micro-batches), equi-join a static bucketed purchase table "
+    "(localCheckpoint-ed once — streaming re-evaluates static plans "
+    "per batch otherwise), and the exact |Δt|<=tol post-filter keeps "
+    "the append-mode inner join emitting every qualifying pair "
+    "EXACTLY once (the one-replica-match law proven by the q66c "
+    "property test).  The drained sink aggregates to the same per-day "
+    "report as q66c and hash-matches the cartesian theta-join oracle "
+    "— so batch, streaming, AND oracle agree row-for-row.  Scale: "
+    "this is how a live error stream is enriched against a bounded "
+    "recent-purchase table without a nested-loop per micro-batch; "
+    "the static side broadcasts.",
+)
+def st19_stream_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    tol = 300 * 1000000
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    pur = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("us").alias("pur_us"),
+            F.expr(f"us div {tol}").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stream = _read_events_stream(spark, sf_dir)
+    err = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.unix_micros(F.col("ts")).alias("err_us"),
+        )
+        .select(
+            "err_us",
+            F.explode(
+                F.array(
+                    F.expr(f"(err_us - {tol}) div {tol}"),
+                    F.expr(f"err_us div {tol}"),
+                    F.expr(f"(err_us + {tol}) div {tol}"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    gap = F.abs(F.col("pur_us") - F.col("err_us"))
+    pairs = err.join(pur, "bucket").filter(gap <= tol).select(
+        "err_us", "pur_us", gap.alias("gap_us")
+    )
+    sink = _run_to_memory(pairs, "append")
+    return sink.groupBy(
+        F.date_format(F.timestamp_micros(F.col("err_us")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

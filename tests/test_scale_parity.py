@@ -93,6 +93,9 @@ SCALE_SENSITIVE = [
     # vs-corpus and within-batch drop counts only bite where planted
     # duplicates exist.
     "qp9_corpus_refresh_pipeline",
+    # the streaming twin must match the theta-join oracle under the
+    # ~100x sf0.1 pair density, same as q66c.
+    "st19_stream_proximity_join",
 ]
 
 TABLES = (
