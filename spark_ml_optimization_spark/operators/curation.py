@@ -1661,3 +1661,199 @@ def qc29_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bits), 4).alias("bits_per_bigram"),
         )
     )
+
+
+@register(
+    "qc33_heldout_perplexity",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w,
+                   doc_id % 5 = 4 AS is_new
+            FROM documents
+        ),
+        train_tok AS (
+            SELECT u.t FROM d CROSS JOIN UNNEST(d.w) AS u(t) WHERE NOT is_new
+        ),
+        uni AS (SELECT t, count(*) AS c FROM train_tok GROUP BY t),
+        stats AS (SELECT sum(c) AS tt, count(*) AS v FROM uni),
+        train_big AS (
+            SELECT w[i] AS pv, w[i + 1] AS cur, count(*) AS cb
+            FROM d CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+            WHERE NOT is_new AND len(w) >= 2
+            GROUP BY 1, 2
+        ),
+        held AS (
+            SELECT doc_id, w[i] AS pv, w[i + 1] AS cur
+            FROM d CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+            WHERE is_new AND len(w) >= 2
+        ),
+        scored AS (
+            SELECT h.doc_id,
+                   count(*) AS n_bigrams,
+                   sum(CASE WHEN uc.c IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   avg(-ln(0.8 * coalesce(b.cb * 1.0 / up.c, 0.0)
+                         + 0.2 * (coalesce(uc.c, 0) + 1.0)
+                               / (s.tt + s.v + 1.0)) / ln(2)) AS bits
+            FROM held h
+            LEFT JOIN train_big b ON h.pv = b.pv AND h.cur = b.cur
+            LEFT JOIN uni up ON h.pv = up.t
+            LEFT JOIN uni uc ON h.cur = uc.t
+            CROSS JOIN stats s
+            GROUP BY h.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               round(bits, 4) AS bits_per_bigram
+        FROM scored
+    """,
+    doc="HELD-OUT bigram perplexity — qc29 done with train/test "
+    "hygiene (qc29 scores docs under counts that include themselves; "
+    "a real LM-quality filter must not): the bigram/unigram tables "
+    "train on the standing-corpus split (the qc11/qp9 is_new "
+    "convention) and score only the incoming split, with the full "
+    "backoff ladder for unseen events — unseen bigram drops to the "
+    "interpolated unigram, unseen unigram to add-one over (T+V+1), "
+    "so probability is never zero and OOV exposure is reported "
+    "per doc (n_oov — itself a quality signal: high-OOV incoming "
+    "docs are either novel or garbage).  Same determinism rules as "
+    "qc29 (size>=2 guard FIRST, 4-dp report mean).  Scale: train "
+    "tables are vocabulary-sized broadcasts; the incoming split "
+    "pays one map + one doc-keyed agg — exactly the qp9 admission "
+    "pipeline's scoring stage.",
+)
+def qc33_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+    )
+    train = d.filter(~F.col("is_new"))
+    held = d.filter(F.col("is_new"))
+    uni = (
+        train.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = uni.agg(F.sum("c").alias("tt"), F.count("*").alias("v"))
+    pair_expr = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS pv, element_at(w, i + 1) AS cur))"
+    )
+    train_big = (
+        train.filter(F.size("w") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.pv", "p.cur")
+        .groupBy("pv", "cur")
+        .agg(F.count("*").alias("cb"))
+    )
+    held_big = (
+        held.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(pair_expr).alias("p"))
+        .select("doc_id", "p.pv", "p.cur")
+    )
+    up = uni.select(F.col("t").alias("pv"), F.col("c").alias("c_pv"))
+    uc = uni.select(F.col("t").alias("cur"), F.col("c").alias("c_cur"))
+    bits = -F.log(
+        0.8 * F.coalesce(F.col("cb") * 1.0 / F.col("c_pv"), F.lit(0.0))
+        + 0.2
+        * (F.coalesce(F.col("c_cur"), F.lit(0)) + 1.0)
+        / (F.col("tt") + F.col("v") + 1.0)
+    ) / F.log(F.lit(2.0))
+    return (
+        held_big.join(F.broadcast(train_big), ["pv", "cur"], "left")
+        .join(F.broadcast(up), "pv", "left")
+        .join(F.broadcast(uc), "cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c_cur").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+            F.round(F.avg(bits), 4).alias("bits_per_bigram"),
+        )
+    )
+
+
+@register(
+    "qc32_weighted_median_length",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_w,
+                   sum(1) OVER (
+                       PARTITION BY lang ORDER BY n_tokens ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_n,
+                   sum(n_tokens) OVER (PARTITION BY lang) AS total_w,
+                   count(*) OVER (PARTITION BY lang) AS total_n
+            FROM lens
+        )
+        SELECT lang,
+               CAST(max(total_n) AS BIGINT) AS n_docs,
+               CAST(max(total_w) AS BIGINT) AS total_tokens,
+               CAST(min(CASE WHEN 2 * cum_n >= total_n
+                             THEN n_tokens END) AS BIGINT) AS median_len,
+               CAST(min(CASE WHEN 2 * cum_w >= total_w
+                             THEN n_tokens END) AS BIGINT)
+                   AS token_weighted_median_len
+        FROM ranked GROUP BY lang
+    """,
+    doc="TOKEN-WEIGHTED median document length per language — the "
+    "sequence-length planning statistic packing (qc04) and curriculum "
+    "(qc26) actually need: the plain doc-count median answers 'what "
+    "does the typical DOCUMENT look like', the token-weighted one "
+    "answers 'what does the typical TOKEN's document look like' "
+    "(long docs hold most tokens, so the two diverge on any "
+    "heavy-tailed corpus — the gap is the packing-bucket sizing "
+    "signal).  Both medians resolve by INTEGER cumulative-weight "
+    "gates (2*cum >= total over a (length, doc_id)-ordered window — "
+    "no float percentile interpolation anywhere), so the row is "
+    "engine-exact.  Scale: one ordered window per language over "
+    "(length, id) pairs — same shape as qc04's packing window; "
+    "lengths shuffle, text never.",
+)
+def qc32_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    )
+    run = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    whole = W.partitionBy("lang")
+    ranked = lens.select(
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(run).alias("cum_w"),
+        F.count("*").over(run).alias("cum_n"),
+        F.sum("n_tokens").over(whole).alias("total_w"),
+        F.count("*").over(whole).alias("total_n"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("total_n").cast("long").alias("n_docs"),
+        F.max("total_w").cast("long").alias("total_tokens"),
+        F.min(
+            F.when(2 * F.col("cum_n") >= F.col("total_n"), F.col("n_tokens"))
+        ).cast("long").alias("median_len"),
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("n_tokens"))
+        ).cast("long").alias("token_weighted_median_len"),
+    )

@@ -74,6 +74,8 @@ ADV_FAMILIES = [
     "ml28_decile_lift",          # ntile tiebreak under equal-n_chars docs
     "qc31_threshold_sensitivity",  # pairs landing EXACTLY on t/10 boundaries
     "qd24_emd_drift",            # collapsed value grids / one-sided splits
+    "qc33_heldout_perplexity",   # short docs both splits + OOV null joins
+    "qc32_weighted_median_length",  # zero-token docs inside the cum window
 ]
 
 
