@@ -1695,7 +1695,7 @@ _QC28_ORACLE = f"""
                count(*) AS n_members,
                sum(n_tokens) AS cluster_tokens,
                min_by(n_tokens, doc_id) AS keep_first_tokens,
-               max_by(n_tokens, n_chars * 1000000000 + (999999999 - doc_id))
+               first(n_tokens ORDER BY n_chars DESC, doc_id ASC)
                    AS keep_longest_tokens
         FROM members GROUP BY component
     )
@@ -1746,12 +1746,15 @@ def qc28_canonical_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("doc_id", "n_tokens")).getField("n_tokens").alias(
             "keep_first_tokens"
         ),
+        # max over (n_chars ASC, -doc_id ASC) == first by n_chars DESC,
+        # doc_id ASC — a true lexicographic tiebreak, valid for ANY
+        # doc_id / n_chars magnitude (the previous packed-BIGINT key
+        # n_chars*1e9 + (999999999 - doc_id) silently inverted the
+        # tiebreak past doc_id 1e9 and overflowed past n_chars ~9e9).
         F.max(
             F.struct(
-                (
-                    F.col("n_chars") * F.lit(1000000000)
-                    + (F.lit(999999999) - F.col("doc_id"))
-                ).alias("k"),
+                F.col("n_chars").alias("k1"),
+                (-F.col("doc_id")).alias("k2"),
                 F.col("n_tokens"),
             )
         )

@@ -1095,24 +1095,23 @@ def q66c_binned_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    # FLOOR division, not truncating `div`: pmod keeps the remainder in
+    # [0, tol) for negative epochs too, so b is exact floor(us/tol) and
+    # the b-1/b/b+1 replicas never collide for ANY integer timestamp
+    # (the bit-identical law tests/test_property_binned_join.py proves).
+    b = F.expr(f"(us - pmod(us, {tol})) div {tol}")
     err = (
         e.filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("err_id"),
             F.col("us").alias("err_us"),
-            F.explode(
-                F.array(
-                    F.expr(f"(us - {tol}) div {tol}"),
-                    F.expr(f"us div {tol}"),
-                    F.expr(f"(us + {tol}) div {tol}"),
-                )
-            ).alias("bucket"),
+            F.explode(F.array(b - 1, b, b + 1)).alias("bucket"),
         )
     )
     pur = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pur_id"),
         F.col("us").alias("pur_us"),
-        F.expr(f"us div {tol}").alias("bucket"),
+        b.alias("bucket"),
     )
     gap = F.abs(F.col("pur_us") - F.col("err_us"))
     return (

@@ -108,7 +108,23 @@ def _with_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 5 + 4).cast("int")
     h = (F.col("doc_id") % 4 + 3).cast("int")
-    pixels = F.substring(F.rpad(F.col("text"), _PPM_PAD, "."), F.lit(1), w * h * 3)
+    # The oracles re-derive raster bytes as ascii(substr(text, i, 1)),
+    # i.e. they assume byte == char code.  A non-ASCII char would
+    # UTF-8-encode to multiple bytes, silently shifting every later
+    # sample — so fail LOUDLY if a future fixture ever violates the
+    # assumption instead of corrupting the hash-verified parity.
+    # (length counts chars, octet_length counts encoded bytes; equal
+    # iff every char is single-byte, i.e. pure ASCII.)
+    ascii_ok = F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    raw = F.when(ascii_ok, F.col("text")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("_with_ppm: non-ASCII text breaks byte==char-code, doc_id="),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    pixels = F.substring(F.rpad(raw, _PPM_PAD, "."), F.lit(1), w * h * 3)
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -121,21 +137,16 @@ def _with_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
-    """REAL pure-numpy decode of a binary-PPM (P6) image.
-
-    Parses the header from raw bytes per the Netpbm spec — magic,
-    width, height, maxval as whitespace-separated ASCII tokens,
-    '#'-to-newline comments legal anywhere in the header, raster
-    starting after exactly one whitespace byte following maxval —
-    then reads w*h*3 uint8 samples.  Returns (width, height,
-    mean_intensity) with the mean computed as exact-int sum / count
-    (one IEEE division, bit-reproducible against a SQL oracle).
-    A deployment with compressed formats swaps this for PIL/libav;
-    the mapInPandas plumbing around it is format-agnostic.
-    """
-    import numpy as np
-
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, raster_offset) from a binary-PPM (P6)
+    header, parsed from raw bytes per the Netpbm spec — magic, width,
+    height, maxval as whitespace-separated ASCII tokens, '#'-to-newline
+    comments legal anywhere in the header, raster starting after
+    exactly one whitespace byte following maxval.  The SINGLE header
+    tokenizer shared by _decode_ppm (features) and _ppm_raster
+    (thumbnail reshape), so the truncated-header guard exists once —
+    a malformed payload fails here with a clear error, never as a
+    bogus raster offset downstream."""
     toks: list[bytes] = []
     i = 0
     while len(toks) < 4:
@@ -154,10 +165,22 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
         i = j
     if toks[0] != b"P6":
         raise ValueError(f"not a binary PPM: magic {toks[0]!r}")
-    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    return int(toks[1]), int(toks[2]), int(toks[3]), i + 1
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-numpy decode of a binary-PPM (P6) image: header via
+    _parse_ppm_header, then w*h*3 uint8 samples.  Returns (width,
+    height, mean_intensity) with the mean computed as exact-int sum /
+    count (one IEEE division, bit-reproducible against a SQL oracle).
+    A deployment with compressed formats swaps this for PIL/libav;
+    the mapInPandas plumbing around it is format-agnostic.
+    """
+    import numpy as np
+
+    w, h, maxval, off = _parse_ppm_header(payload)
     if maxval != 255:
         raise ValueError("only 8-bit-per-sample PPM supported")
-    off = i + 1  # exactly one whitespace byte separates maxval and raster
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
     if px.size != w * h * 3:
         raise ValueError("truncated PPM raster")
@@ -410,30 +433,17 @@ def _thumb_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _decode_ppm_dims(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, maxval) from a P6 header — shares _decode_ppm's
-    parser by delegating to it for the dims."""
-    w, h, _mean = _decode_ppm(payload)
-    return w, h, 255
+    """(width, height, maxval) from a P6 header — _parse_ppm_header
+    without touching the raster."""
+    w, h, maxval, _off = _parse_ppm_header(payload)
+    return w, h, maxval
 
 
 def _ppm_raster(payload: bytes) -> tuple[bytes, int]:
-    """(payload, raster_offset) — re-walk the header tokens to find
-    where the raster starts (same tokenizer as _decode_ppm)."""
-    toks: list[bytes] = []
-    i = 0
-    while len(toks) < 4:
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while i < len(payload) and payload[i] != 0x0A:
-                i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        toks.append(payload[i:j])
-        i = j
-    return payload, i + 1
+    """(payload, raster_offset) via the shared _parse_ppm_header —
+    inherits its truncated-header guard."""
+    _w, _h, _maxval, off = _parse_ppm_header(payload)
+    return payload, off
 
 
 @register(

@@ -1265,15 +1265,18 @@ def st19_stream_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    # Floor-division buckets (pmod), matching q66c — truncating `div`
+    # would collide the b-1 replica with b for 0 < us < tol.
     pur = (
         base.filter(F.col("event_type") == "purchase")
         .select(
             F.col("us").alias("pur_us"),
-            F.expr(f"us div {tol}").alias("bucket"),
+            F.expr(f"(us - pmod(us, {tol})) div {tol}").alias("bucket"),
         )
         .localCheckpoint(eager=True)
     )
     stream = _read_events_stream(spark, sf_dir)
+    eb = F.expr(f"(err_us - pmod(err_us, {tol})) div {tol}")
     err = (
         stream.filter(F.col("event_type") == "error")
         .select(
@@ -1281,13 +1284,7 @@ def st19_stream_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "err_us",
-            F.explode(
-                F.array(
-                    F.expr(f"(err_us - {tol}) div {tol}"),
-                    F.expr(f"err_us div {tol}"),
-                    F.expr(f"(err_us + {tol}) div {tol}"),
-                )
-            ).alias("bucket"),
+            F.explode(F.array(eb - 1, eb, eb + 1)).alias("bucket"),
         )
     )
     gap = F.abs(F.col("pur_us") - F.col("err_us"))
