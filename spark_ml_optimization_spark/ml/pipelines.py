@@ -1378,8 +1378,11 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operating point a deployed filter actually runs at.  All counts "
     "are exact integers, F1 is one division of identical doubles, so "
     "the argmax cannot flake across engines.  Scale: same shape as "
-    "ml27 — one hash agg to distinct scores, one tiny window, one "
-    "top-1; never a per-threshold scan of raw rows.",
+    "ml27 — one hash agg to distinct scores, one tiny window "
+    "(distinct-score-sized, allowlisted in test_plan_sweep; swap to "
+    "fixed-width score bins when distinct scores explode, SCALE.md "
+    "'Global-window policy' #2), one top-1; never a per-threshold "
+    "scan of raw rows.",
 )
 def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1461,29 +1464,44 @@ def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     "response rate, lift over the base rate, and cumulative gain — "
     "the campaign-targeting / review-queue-sizing readout.  Counts "
     "are exact ints; rate/lift/cum_gain are single divisions of "
-    "identical doubles (6-dp wire).  Scale: ntile needs one "
-    "range-partitioned global sort of (score, id) pairs — the qc26 "
-    "curriculum shape — then one tiny 10-row agg; raw rows shuffle "
-    "once, text never.",
+    "identical doubles (6-dp wire).  Scale: the decile cut is a "
+    "DISTRIBUTED exact ntile (dist_rank.py — range exchange + "
+    "per-partition rank + broadcast offsets; the scored population is "
+    "every row, so an unpartitioned ntile window would be a "
+    "single-task sort), then one tiny 10-row agg whose cumulative "
+    "gain is a bounded triangular broadcast join — the whole plan is "
+    "global-window-free; raw rows shuffle narrow, text never.",
 )
 def ml28_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.dist_rank import distributed_ntile
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
     )
-    w = W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    # Distributed exact ntile (dist_rank.py): the scored population is
+    # every document, so the previous unpartitioned ntile window was a
+    # single-task sort at 100 TB.  Bit-identical deciles, same oracle.
+    deciled = distributed_ntile(
+        scored, 10, [F.col("n_chars").desc(), F.col("doc_id").asc()], "decile"
+    )
     tot = deciled.agg(
         F.count("*").alias("n_all"), F.sum("y").alias("pos_all")
     )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
-    cum = W.orderBy(F.col("decile").asc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Cumulative gain over the 10-row decile table via a bounded
+    # triangular broadcast join — keeps the whole plan free of
+    # unpartitioned windows (the test_plan_sweep.py registry pin).
+    prev = per.select(F.col("decile").alias("d2"), F.col("pos").alias("pos2"))
+    cum = (
+        per.join(F.broadcast(prev), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n", "pos")
+        .agg(F.sum("pos2").alias("cum_pos"))
+    )
     return (
-        per.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             F.col("n").cast("long").alias("n_docs"),
@@ -1495,7 +1513,7 @@ def ml28_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
             F.round(
-                F.sum("pos").over(cum) * 1.0 / F.col("pos_all"), 6
+                F.col("cum_pos") * 1.0 / F.col("pos_all"), 6
             ).alias("cum_gain"),
         )
     )

@@ -1073,15 +1073,17 @@ def qa23_idle_rich_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into ntile(5) tiers with custkey tiebreaks — every ordering key "
     "is a timestamp, an int, or an exact integer-cents sum, so no "
     "tier boundary can be summation-order luck — then the 5x5x5 "
-    "segment grid reports customer counts and spend.  Scale: three "
-    "global ntiles mean one range-partitioned sort of the CUSTOMER "
-    "aggregate (dimension-sized, not fact-sized); at extreme "
-    "cardinality the quintile edges come from approxQuantile and the "
-    "tiers become map-side CASE ladders (the ml26 shape) — the grid "
-    "semantics are unchanged.",
+    "segment grid reports customer counts and spend.  Scale: each "
+    "quintile is a DISTRIBUTED exact ntile (dist_rank.py — range "
+    "exchange + per-partition rank + broadcast offsets), never an "
+    "unpartitioned WindowExec: the customer aggregate grows with the "
+    "data, and a global-window sort would funnel it through one task; "
+    "at extreme cardinality the quintile edges can instead come from "
+    "approxQuantile as map-side CASE ladders (the ml26 shape) — the "
+    "grid semantics are unchanged.",
 )
 def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .dist_rank import distributed_ntile
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -1089,19 +1091,36 @@ def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
-    tiers = cust.select(
-        "o_custkey",
-        "cents",
-        F.ntile(5)
-        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc()))
-        .alias("r_tier"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("freq").desc(), F.col("o_custkey").asc()))
-        .alias("f_tier"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("cents").desc(), F.col("o_custkey").asc()))
-        .alias("m_tier"),
-    )
+    # Three DISTRIBUTED exact ntiles (range-partitioned rank + offset
+    # join, dist_rank.py) instead of three unpartitioned WindowExecs:
+    # the customer relation grows with the data, so a global-window
+    # sort is a single-task straggler at 100 TB.  Bit-identical to
+    # ntile(5).over(Window.orderBy(...)) — the oracle is unchanged.
+    # The per-customer aggregate is cached (narrow: 4 columns) because
+    # three independent rank branches + their range-sampling jobs read
+    # it; chaining the ntiles instead would stack range exchanges whose
+    # boundary-sampling jobs recompute the whole upstream DAG (measured
+    # 16.8 s chained vs ~2 s branched at sf0.01).
+    cust = cust.cache()
+    r = distributed_ntile(
+        cust.select("o_custkey", "last_order"),
+        5,
+        [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "r_tier",
+    ).select("o_custkey", "r_tier")
+    f = distributed_ntile(
+        cust.select("o_custkey", "freq"),
+        5,
+        [F.col("freq").desc(), F.col("o_custkey").asc()],
+        "f_tier",
+    ).select("o_custkey", "f_tier")
+    m = distributed_ntile(
+        cust.select("o_custkey", "cents"),
+        5,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        "m_tier",
+    ).select("o_custkey", "cents", "m_tier")
+    tiers = r.join(f, "o_custkey").join(m, "o_custkey")
     return tiers.groupBy("r_tier", "f_tier", "m_tier").agg(
         F.count("*").alias("n_customers"),
         F.sum("cents").cast("long").alias("segment_cents"),
@@ -1150,20 +1169,24 @@ def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compute identical doubles in the final two divisions.  "
     "Complements qd15 (join-key skew Gini) on the revenue axis — the "
     "'does 10% of the base carry 60% of revenue' board number.  "
-    "Scale: one customer-keyed partial agg, one dimension-sized rank "
-    "(the qc26/qa24 global-sort shape), one single-row reduce.",
+    "Scale: one customer-keyed partial agg, one DISTRIBUTED exact "
+    "rank (dist_rank.py — range exchange + per-partition row_number + "
+    "broadcast offsets, never an unpartitioned WindowExec over the "
+    "entity-scale customer relation), one single-row reduce.",
 )
 def qa25_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .dist_rank import distributed_row_number
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = W.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    ranked = cust.select(
-        "cents", F.row_number().over(w).alias("i")
-    )
+    # Distributed exact rank (dist_rank.py) — the customer relation is
+    # entity-scale, so the previous unpartitioned row_number window was
+    # a single-task sort at 100 TB.  Bit-identical ranks, same oracle.
+    ranked = distributed_row_number(
+        cust, [F.col("cents").asc(), F.col("o_custkey").asc()], "i"
+    ).select("cents", "i")
     top = F.when(F.col("i") * 10 > F.col("n") * 9, F.col("cents")).otherwise(0)
     topn = F.when(F.col("i") * 10 > F.col("n") * 9, 1).otherwise(0)
     stats = ranked.crossJoin(

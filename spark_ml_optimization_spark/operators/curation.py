@@ -1407,14 +1407,16 @@ def qc24_postdedup_mixture_replan(spark: SparkSession, sf_dir: str) -> DataFrame
     "is the phase manifest a training loop consumes (counts, "
     "difficulty band, token budget per phase).  Deterministic: no "
     "RNG, tie-stable, reproducible across engines — hash-verified "
-    "including the ntile boundaries.  Scale: one global rank is the "
-    "honest cost of a total curriculum (one range-partitioned sort "
-    "of (score, id) pairs — sortWithinPartitions + range exchange, "
-    "never text); per-(lang, shard) curricula drop the global "
-    "exchange like qc04's packing.",
+    "including the ntile boundaries.  Scale: the total order over the "
+    "WHOLE corpus is computed as a DISTRIBUTED exact ntile "
+    "(dist_rank.py — range exchange + per-partition rank + broadcast "
+    "offsets, never an unpartitioned WindowExec funneling all doc "
+    "metadata through one task); only (score, id) pairs move, never "
+    "text; per-(lang, shard) curricula drop the global exchange like "
+    "qc04's packing.",
 )
 def qc26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .dist_rank import distributed_ntile
 
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
@@ -1424,8 +1426,13 @@ def qc26_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (F.col("n_chars").cast("double") / n_tokens).alias("difficulty"),
     )
-    w = W.orderBy(F.col("difficulty").asc(), F.col("doc_id").asc())
-    phased = scored.withColumn("phase", F.ntile(10).over(w))
+    # Distributed exact ntile (dist_rank.py): the ranked relation is
+    # the WHOLE corpus's doc metadata, the worst of the four global
+    # windows round 4 flagged — now a range-partitioned parallel rank,
+    # bit-identical phases, same oracle.
+    phased = distributed_ntile(
+        scored, 10, [F.col("difficulty").asc(), F.col("doc_id").asc()], "phase"
+    )
     return phased.groupBy("phase").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("difficulty"), 4).alias("avg_difficulty"),

@@ -1,0 +1,113 @@
+"""Distributed exact rank / ntile — the scale-safe replacement for
+unpartitioned ``Window.orderBy(...)`` over entity-scale relations.
+
+A global ``row_number()``/``ntile()`` with no PARTITION BY forces Spark
+to move the whole relation into ONE WindowExec task ("WindowExec: No
+Partition Defined" warning) — fine over bounded relations (bins, days,
+a 10-row decile table), a guaranteed straggler/OOM over anything that
+grows with the data (customers, documents, scored rows).  The classic
+distributed alternative computed here, bit-identical to the global
+window for any TOTAL order (callers must include a unique tiebreak
+column in ``order_cols``):
+
+1. ``repartitionByRange(order_cols)`` — one range exchange; partition
+   p's keys all sort before partition p+1's.
+2. per-partition ``row_number`` via a ``spark_partition_id()``-
+   partitioned window — parallel, never single-task.
+3. per-partition counts -> cumulative offsets via a bounded triangular
+   self-join (numPartitions rows, broadcast; deliberately NOT a global
+   window so no unpartitioned WindowExec exists anywhere in the plan —
+   tests/test_plan_sweep.py pins that property registry-wide).
+4. global rank = local row_number + broadcast offset join.
+
+``ntile(k)`` then derives from the exact global rank and total count by
+the SQL NTILE size law (first n%k buckets get one extra row) — pure
+integer arithmetic, so the bucket boundaries match the single-task
+``ntile`` bit-for-bit (hash-verified by qa24/ml28/qc26's unchanged
+DuckDB oracles).
+
+Cost at 100 TB: two shuffles of the NARROW ranked relation (range +
+pid-hash) instead of one shuffle into a single task — wall-clock scales
+with cluster width, not relation size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PID, _LRN, _OFF, _CNT = "_dr_pid", "_dr_lrn", "_dr_off", "_dr_cnt"
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = exact global 1-based row_number over the total
+    order ``order_cols`` (must include a unique tiebreak), computed
+    with range-partitioned parallelism — no unpartitioned window."""
+    from pyspark.sql import Window as W
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        _LRN, F.row_number().over(W.partitionBy(_PID).orderBy(*order_cols))
+    )
+    counts = local.groupBy(_PID).agg(F.count("*").alias(_CNT))
+    prev = counts.select(
+        F.col(_PID).alias("_dr_prev_pid"), F.col(_CNT).alias("_dr_prev_cnt")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prev), F.col("_dr_prev_pid") < F.col(_PID), "left"
+        )
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("_dr_prev_cnt"), F.lit(0)).alias(_OFF))
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_LRN) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = exact SQL ``ntile(n_buckets)`` over the total
+    order ``order_cols``, derived from the distributed global rank.
+
+    NTILE law: with n rows and k buckets, q = n div k, r = n mod k, the
+    first r buckets hold q+1 rows, the rest q; rank i (1-based) maps to
+        i <= r*(q+1)  ->  (i-1) div (q+1) + 1
+        else          ->  r + (i - r*(q+1) - 1) div q + 1
+    (all non-negative, so truncating div == floor; the ELSE branch's
+    div-by-zero when q == 0 is unreachable — then r == n and every i
+    satisfies the first arm — and CASE WHEN evaluates lazily).
+    """
+    ranked = distributed_row_number(df, order_cols, "_dr_i", num_partitions)
+    total = ranked.agg(F.count("*").cast("long").alias("_dr_n"))
+    k = int(n_buckets)
+    bucket = (
+        f"CAST(CASE WHEN _dr_i <= (_dr_n % {k}) * (_dr_n div {k} + 1) "
+        f"THEN (_dr_i - 1) div (_dr_n div {k} + 1) + 1 "
+        f"ELSE (_dr_n % {k}) + "
+        f"(_dr_i - (_dr_n % {k}) * (_dr_n div {k} + 1) - 1) div (_dr_n div {k}) + 1 "
+        f"END AS INT)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, F.expr(bucket))
+        .drop("_dr_i", "_dr_n")
+    )

@@ -938,7 +938,9 @@ def qd14_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine's skew toolbox: Gini above ~0.6 on a join key is the cue "
     "to reach for q48's salting or AQE skew-join before the 100 TB "
     "run, not after it spills.  Max-rows-per-key rides along as the "
-    "absolute hot-key bound.",
+    "absolute hot-key bound.  The global rank is keyspace-sized "
+    "(sublinear; allowlisted in test_plan_sweep) — at ~1e9 keys swap "
+    "to sampled/binned counts per SCALE.md 'Global-window policy' #2.",
 )
 def qd15_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -510,9 +510,12 @@ def q77b_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "synthetic or template-generated text shows up as a flat or "
     "kinked spectrum, making this a generated-content screen.  The "
     "rank window runs over the VOCABULARY (types, not tokens), so the "
-    "sort is vocabulary-sized; regr_slope/regr_r2 are single-pass "
-    "mergeable aggregates — hash-stable cross-engine (q20c "
-    "established the regr_* parity pattern).",
+    "sort is vocabulary-sized — sublinear by Heaps' law (q77b) and "
+    "allowlisted in test_plan_sweep; at web scale swap the exact rank "
+    "for approx_top_k (q28b) per SCALE.md 'Global-window policy' #2; "
+    "regr_slope/regr_r2 are single-pass mergeable aggregates — "
+    "hash-stable cross-engine (q20c established the regr_* parity "
+    "pattern).",
 )
 def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -979,7 +982,10 @@ def q81b_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs doc-partitioned on vocab-filtered tokens (broadcast "
     "vocabulary), so the only corpus-sized shuffle carries (doc, "
     "token-id) pairs; this is the standard collocation-mining shape "
-    "for building phrase lists over a 100 TB crawl.",
+    "for building phrase lists over a 100 TB crawl.  The top-30-df "
+    "vocabulary rank is a vocabulary-sized global window (sublinear, "
+    "allowlisted in test_plan_sweep) — approx_top_k (q28b) is the "
+    "declared swap per SCALE.md 'Global-window policy' #2.",
 )
 def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

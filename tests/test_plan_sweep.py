@@ -12,6 +12,15 @@ kill a 100 TB run:
    MapInPandas / MapInArrow (vectorized Python) are fine — they are the
    sanctioned escape hatch.
 
+3. Unpartitioned Window (empty PARTITION BY) — "WindowExec: No
+   Partition Defined ... Moving all data to a single partition".
+   Allowed only over relations BOUNDED or sublinear in the data (bins,
+   day spines, distinct scores, vocabulary) — the _GLOBAL_WINDOW_OK
+   allowlist, one justification each.  Entity-scale relations
+   (customers, documents, scored rows) must use the distributed exact
+   rank in operators/dist_rank.py instead (the round-4 qa24/qa25/
+   ml28/qc26 fix) — this assertion pins that no one reintroduces one.
+
 Queries whose CONSTRUCTION executes Spark jobs (streaming twins,
 MLlib fits, iterative algorithms, scratch-dir materializers) are
 skipped by prefix/name — their plan shapes are pinned individually in
@@ -38,6 +47,8 @@ _EAGER_NAMES = {
     "q92b_ann_pq",  # per-subspace codebook fits
     "q74b_dup_components",  # iterative connected components
     "qc21_leakage_safe_split",  # runs q74b's iterative CC at construction
+    "qc28_canonical_policy_audit",  # iterative CC at construction (q74b's labels)
+    "q84e_component_size_profile",  # iterative CC at construction (q74b's labels)
     "q84_pagerank",  # iterative power method
     "q84c_bfs_shortest_paths",  # iterative frontier rounds + checkpoints
     "q84b_triangle_count",  # builds the shared co-purchase edge checkpoint
@@ -49,6 +60,30 @@ _EAGER_NAMES = {
 
 _CARTESIAN_OK = {"q16_theta_self_join", "q17_cross_join"}
 _ROW_PYTHON_OK = {"q99_registered_sql_udf"}
+
+#: Unpartitioned windows allowed ONLY over bounded/sublinear relations
+#: (each justified; everything entity-scale goes through dist_rank.py).
+_GLOBAL_WINDOW_OK = {
+    "ml27_roc_auc_relational",  # spine of DISTINCT scores (SCALE.md: bin swap)
+    "ml29_operating_point",  # same distinct-score spine as ml27
+    "q67d_survival_curve",  # duration spine: distinct churn-day values
+    "q77c_zipf_fit",  # vocabulary rank: distinct tokens, sublinear (Heaps)
+    "q83d_pmi_cooccurrence",  # top-30 df vocabulary rank, sublinear (Heaps)
+    "qd14_ks_drift",  # fixed quantile-grid bins
+    "qd15_key_skew_gini",  # keyspace-sized rank (SCALE.md: sample/bin swap)
+    "qd20_anomaly_episodes",  # day spine: one row per calendar day
+}
+
+
+def _global_windows(jplan, acc):
+    """Collect unpartitioned logical Window nodes (empty partitionSpec)
+    from a JVM optimized plan — the exact condition that triggers
+    WindowExec's move-everything-to-one-partition warning."""
+    if jplan.getClass().getSimpleName() == "Window":
+        if jplan.partitionSpec().isEmpty():
+            acc.append(str(jplan.windowExpressions().head())[:80])
+    for i in range(jplan.children().size()):
+        _global_windows(jplan.children().apply(i), acc)
 
 _SWEEP = sorted(
     n
@@ -70,6 +105,13 @@ def test_no_scale_killers_in_plan(spark, name):
         scalar_plan = plan.replace("BatchEvalPythonUDTF", "")
         assert "BatchEvalPython" not in scalar_plan, (
             f"{name}: row-at-a-time Python UDF"
+        )
+    if name not in _GLOBAL_WINDOW_OK:
+        acc: list[str] = []
+        _global_windows(df._jdf.queryExecution().optimizedPlan(), acc)
+        assert not acc, (
+            f"{name}: unpartitioned Window (single-task sort at scale); "
+            f"use operators/dist_rank.py or justify in _GLOBAL_WINDOW_OK: {acc}"
         )
 
 
