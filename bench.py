@@ -199,6 +199,21 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Budget gate (round-5 tripwire): the last three rounds established
+    # that the expensive tail is INTRINSIC iteration cost (MLlib fits,
+    # graph fixpoints), never plan waste — codify it so a regression
+    # that pushes any query past 10 s standalone-equivalent, or the
+    # suite past 1.2 s/query, is visible in every bench record (and red
+    # in tests/test_bench_gate.py, which reads this sidecar).
+    per_query = round(sum(timings.values()) / max(len(timings), 1), 3)
+    budget = {
+        "single_query_limit_s": 10.0,
+        "suite_per_query_limit_s": 1.2,
+        "per_query_s": per_query,
+        "breaches": {n: t for n, t in timings.items() if t > 10.0},
+        "ok": per_query <= 1.2
+        and not any(t > 10.0 for t in timings.values()),
+    }
     detail = {
         "metric": "declared-suite wall clock (collect), best-of-%d (headline best-of-%d,"
         " adaptive best-of-2 over 5s), warm" % (repeat, max(repeat, 2)),
@@ -208,6 +223,7 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": timings,
         "failures": failures,
+        "budget": budget,
     }
     detail_written = True
     try:
@@ -225,6 +241,8 @@ def main() -> int:
         "n_failures": len(failures),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "detail_file": "BENCH_DETAIL.json",
+        "budget_ok": budget["ok"],
+        "budget_breaches": len(budget["breaches"]),
     }
     if failures and not detail_written:
         # Sidecar lost (read-only checkout / full disk): the printed line

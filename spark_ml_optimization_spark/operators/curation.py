@@ -1864,3 +1864,140 @@ def qc32_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cum_w") >= F.col("total_w"), F.col("n_tokens"))
         ).cast("long").alias("token_weighted_median_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML/boilerplate stripping (qc36) — the mm03 planting trick applied to
+# markup: wrap documents.text in deterministic per-doc_id HTML (plain
+# paragraph / nested attribute-noise tags / anchor-heavy / entity-bearing
+# variants), then strip and gate with the SAME regex pipeline in both
+# engines so tag removal, entity decoding, whitespace collapse, link
+# extraction, and the integer-exact Gopher-style gates are hash-verified.
+
+#: Deterministic per-case HTML wrappers (doc_id % 4) — SQL expressions
+#: over `text`, shared verbatim (modulo dialect function names) by the
+#: Spark column and the DuckDB oracle.
+_HTML_CASES_SPARK = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN concat('<html><body><p>', text, '</p></body></html>')
+      WHEN 1 THEN concat('<html><body><div id="d1" class="a b"><span style="x:y;">',
+                         text, '</span></div></body></html>')
+      WHEN 2 THEN concat('<html><body><p><a href="/l?q=1&amp;r=2">',
+                         substr(text, 1, 12), '</a>', substr(text, 13),
+                         '</p><a class="nav" href="#">more links here</a></body></html>')
+      ELSE concat('<html><body><p>Q&amp;A &lt;t&gt;&nbsp;', text,
+                  '</p></body></html>')
+    END
+"""
+
+_HTML_CASES_DUCK = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '<html><body><p>' || text || '</p></body></html>'
+      WHEN 1 THEN '<html><body><div id="d1" class="a b"><span style="x:y;">'
+                  || text || '</span></div></body></html>'
+      WHEN 2 THEN '<html><body><p><a href="/l?q=1&amp;r=2">'
+                  || substr(text, 1, 12) || '</a>' || substr(text, 13)
+                  || '</p><a class="nav" href="#">more links here</a></body></html>'
+      ELSE '<html><body><p>Q&amp;A &lt;t&gt;&nbsp;' || text
+           || '</p></body></html>'
+    END
+"""
+
+
+@register(
+    "qc36_html_strip_gate",
+    oracle=f"""
+        WITH html AS (
+            SELECT doc_id, ({_HTML_CASES_DUCK}) AS h FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id, h,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(
+                           regexp_replace(h, '<[^>]*>', '', 'g'),
+                           '&lt;', '<'), '&gt;', '>'),
+                           '&nbsp;', ' '), '&amp;', '&'),
+                       ' +', ' ', 'g')) AS clean,
+                   regexp_extract_all(h, '<a[^>]*>([\\s\\S]*?)</a>', 1)
+                       AS links
+            FROM html
+        )
+        SELECT doc_id,
+               CAST(len(h) AS BIGINT) AS html_chars,
+               CAST(len(clean) AS BIGINT) AS text_chars,
+               CAST(len(links) AS BIGINT) AS n_links,
+               CAST(coalesce(list_sum(list_transform(links, x -> len(x))),
+                             0) AS BIGINT) AS link_chars,
+               CAST(2 * len(clean) >= len(h)
+                    AND 5 * coalesce(list_sum(
+                            list_transform(links, x -> len(x))), 0)
+                        <= len(clean) AS INT) AS keep,
+               round(len(clean) * 1.0 / len(h), 4) AS text_ratio,
+               CASE WHEN len(clean) = 0 THEN NULL
+                    ELSE round(coalesce(list_sum(
+                             list_transform(links, x -> len(x))), 0)
+                         * 1.0 / len(clean), 4)
+               END AS link_density
+        FROM stripped
+    """,
+    doc="HTML/boilerplate STRIPPING + gate — the extraction step every "
+    "web-crawl curation pipeline runs before any text metric: plant "
+    "deterministic HTML around each document (four doc_id-keyed "
+    "variants: plain wrap, nested attribute-noise tags, anchor-heavy "
+    "with an entity in the href, entity-bearing text — the mm03 "
+    "planting trick for markup), strip tags with one regex pass, "
+    "decode the four HTML entities (&lt; &gt; &nbsp; &amp;, amp "
+    "LAST so decoded text cannot re-decode), collapse runs of "
+    "spaces, and report Gopher-style keep gates: text-to-markup "
+    "ratio (integer gate 2*text >= html — no float compare decides "
+    "membership) and link density (integer gate 5*link_chars <= "
+    "text_chars; anchor text via one non-greedy group extraction).  "
+    "Both engines run the IDENTICAL regex/replace chain, so "
+    "stripping, entity decode, and both gates are hash-verified per "
+    "document.  Scale: pure map-side string work, one scan, zero "
+    "shuffle (the per-doc report is the output); a production "
+    "deployment swaps the regex for a real parser (trafilatura/"
+    "jusText) behind the same per-doc contract.",
+)
+def qc36_html_strip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_HTML_CASES_SPARK)
+    no_tags = F.regexp_replace(F.col("h"), "<[^>]*>", "")
+    decoded = F.expr(
+        "replace(replace(replace(replace(no_tags,"
+        " '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&')"
+    )
+    links = F.expr(r"regexp_extract_all(h, '<a[^>]*>([\\s\\S]*?)</a>', 1)")
+    base = (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("no_tags", no_tags)
+        .withColumn("clean", F.trim(F.regexp_replace(decoded, " +", " ")))
+        .withColumn("links", links)
+        .select(
+            "doc_id",
+            F.length("h").cast("long").alias("html_chars"),
+            F.length("clean").cast("long").alias("text_chars"),
+            F.size("links").cast("long").alias("n_links"),
+            F.coalesce(
+                F.expr("aggregate(links, 0L, (a, x) -> a + char_length(x))"),
+                F.lit(0),
+            ).alias("link_chars"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "html_chars",
+        "text_chars",
+        "n_links",
+        "link_chars",
+        (
+            (2 * F.col("text_chars") >= F.col("html_chars"))
+            & (5 * F.col("link_chars") <= F.col("text_chars"))
+        ).cast("int").alias("keep"),
+        F.round(F.col("text_chars") * 1.0 / F.col("html_chars"), 4).alias(
+            "text_ratio"
+        ),
+        F.when(F.col("text_chars") == 0, F.lit(None)).otherwise(
+            F.round(F.col("link_chars") * 1.0 / F.col("text_chars"), 4)
+        ).alias("link_density"),
+    )

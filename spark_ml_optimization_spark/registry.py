@@ -39,6 +39,7 @@ _MODULES = (
     "spark_ml_optimization_spark.operators.dedup",
     "spark_ml_optimization_spark.operators.text",
     "spark_ml_optimization_spark.operators.curation",
+    "spark_ml_optimization_spark.operators.bpe",
     "spark_ml_optimization_spark.operators.quality",
     "spark_ml_optimization_spark.operators.similarity",
     "spark_ml_optimization_spark.operators.multimodal",

@@ -7,13 +7,14 @@ materialized result as a DataFrame.  The transformations are the same
 groupBy(window(...)) / dropDuplicates code paths as operators/events.py —
 that equivalence is the point: one declarative plan, two execution modes.
 
-Most twins are hash-verified against deterministic batch oracles
-(st01-st08, st10-st14 — a single staged file drains in one
+All twins are hash-verified against deterministic batch oracles
+(st01-st14, st16-st19 — a single staged file drains in one
 micro-batch, making even update/append-mode output batch-equivalent;
 st08's INNER stream-stream join qualifies because watermarks bound
-state eviction, not same-batch emission).  The one rows-only holdout
-is st09: its LEFT-outer NULL rows surface on watermark-driven
-eviction, which is genuinely timing-dependent.
+state eviction, not same-batch emission).  st09's LEFT-outer NULL
+rows surface only on watermark-driven eviction — made deterministic
+by sequenced watermark-driver batches (see st09's oracle note), the
+last streaming query converted from rows-only to hash-verified.
 
 Scale posture: in production these would read Kafka/cloud storage with
 watermarks bounding state; memory sink is test-only — a real deployment
@@ -458,21 +459,92 @@ def st05_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "st09_stream_stream_left_join",
-    oracle=None,
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS p_user
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+                                        - INTERVAL 1 HOUR
+    """,
+    # Hash-verified DESPITE watermark-driven NULL emission (the reason
+    # this was the one rows-only streaming holdout through round 4):
+    # NULL rows surface only when a LATER batch runs with an advanced
+    # watermark, so the construction plants that advance explicitly.
+    # The fixture streams from a PRIVATE staged dir (the shared
+    # _stage_dir must stay pristine for the other twins); after the
+    # main file drains, two sequenced driver files — each one matched
+    # purchase+click pair at sentinel user_id -1/-2, max(ts)+2h and
+    # +4h — advance BOTH sides' watermarks (the query watermark is the
+    # MIN across the two withWatermark nodes, so a click-only driver
+    # advances nothing).  Driver batch N+1 runs with driver batch N's
+    # watermark, which by +2h/+4h construction clears every fixture
+    # purchase's eviction bound — every unmatched purchase emits its
+    # NULL row deterministically.  The sentinel pairs inner-match each
+    # other (never a fixture row, user_ids >= 0) and are dropped by
+    # the p_user >= 0 filter on the drained sink, leaving exactly the
+    # batch LEFT-join row set.
     doc="LEFT OUTER stream-stream join with watermarks + time-range "
-    "condition: every purchase emits, joined to same-user clicks in the "
-    "preceding hour when they exist, with NULL click columns emitted "
-    "only once the watermark passes the purchase's eviction bound — "
-    "the outer-join semantics that require bounded state on both "
-    "sides (the inner-join twin is st08).  Unmatched rows surface on "
-    "state eviction, so the count of null-click purchases is exactly "
-    "the purchases with no qualifying click (asserted in "
-    "tests/test_streaming.py).",
+    "condition: every purchase emits, joined to same-user clicks in "
+    "the preceding hour when they exist, with NULL click columns "
+    "emitted once the watermark passes the purchase's eviction bound "
+    "— the outer-join semantics that require bounded state on both "
+    "sides (the inner-join twin is st08).  Deterministic via planted "
+    "watermark-driver batches (see the oracle note); hash-verified "
+    "against the batch LEFT-join oracle.  Scale: state on both sides "
+    "stays watermark-bounded regardless of stream length — the driver "
+    "trick is test scaffolding, not a production requirement (real "
+    "streams advance watermarks continuously).",
 )
 def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _read_events_stream(spark, sf_dir)
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(tempfile.gettempdir(), f"st09_{uuid.uuid4().hex[:12]}")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        os.link(src, os.path.join(base, "events.parquet"))
+    except OSError:
+        import shutil
+
+        shutil.copyfile(src, os.path.join(base, "events.parquet"))
+
+    raw = spark.read.parquet(src)
+    schema = raw.schema
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
+
+    def _driver_frame(uid: int, hours: int) -> DataFrame:
+        """One matched purchase+click pair at max(ts)+hours, sentinel
+        user/event ids, raw footer schema (so the stream reads it)."""
+        mx = raw.agg(F.max("ts").alias("_mx"))
+        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
+        if ts_is_long:  # nanos-vintage fixtures
+            ts_col = (F.col("_mx") + F.lit(hours * 3600 * 10**9)).cast("long")
+        else:
+            ts_col = F.col("_mx") + F.expr(f"INTERVAL {hours} HOURS")
+        pur = tpl.withColumn("ts", ts_col).withColumn(
+            "event_id", F.lit(-uid * 2).cast(schema["event_id"].dataType)
+        )
+        clk = tpl.withColumn("ts", ts_col).withColumn(
+            "event_id", F.lit(-uid * 2 - 1).cast(schema["event_id"].dataType)
+        )
+        both = pur.withColumn("event_type", F.lit("purchase")).unionByName(
+            clk.withColumn("event_type", F.lit("click"))
+        )
+        return both.withColumn(
+            "user_id", F.lit(-uid).cast(schema["user_id"].dataType)
+        ).select(*schema.fieldNames())
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     purchases = (
-        events.filter(F.col("event_type") == "purchase")
+        stream.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
@@ -481,7 +553,7 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "30 minutes")
     )
     clicks = (
-        events.filter(F.col("event_type") == "click")
+        stream.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
@@ -496,7 +568,30 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("purchase_id", "click_id", "p_user")
-    return _run_to_memory(joined, "append")
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    try:
+        spark.conf.set(key, "8")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: the fixture file
+            for step, (uid, hours) in enumerate(((1, 2), (2, 4)), start=1):
+                _driver_frame(uid, hours).repartition(1).write.parquet(
+                    os.path.join(base, f"drv{step}")
+                )
+                q.processAllAvailable()  # batch N applies batch N-1's watermark
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name).filter(F.col("p_user") >= 0)
 
 
 @register(

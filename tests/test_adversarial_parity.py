@@ -76,6 +76,10 @@ ADV_FAMILIES = [
     "qd24_emd_drift",            # collapsed value grids / one-sided splits
     "qc33_heldout_perplexity",   # short docs both splits + OOV null joins
     "qc32_weighted_median_length",  # zero-token docs inside the cum window
+    # round-5 luck-sensitive additions:
+    "qc34_bpe_token_count",      # merge boundaries, vocab-word docs, fallbacks
+    "qc35_bpe_budget_pack",      # BPE counts through the packing window
+    "qc36_html_strip_gate",      # entity decode + anchor extraction on degenerate docs
 ]
 
 
@@ -105,6 +109,14 @@ def _edge_docs() -> list[tuple[int, str, str, str]]:
         (14, "a a a a a a", "xx", "adv"),        # max repetition
         (15, "spark join window spark", "xx", "adv"),  # all 3 BM25 terms
         (16, "spark alone here", "xx", "adv"),   # 1 BM25 term
+        # qc34/qc35 BPE merge-boundary plants: whole words that ARE
+        # vocab entries, greedy-vs-alternative boundaries (thing ->
+        # th+ing, never the+?), overlap cascades (mentment, theththe),
+        # tail matches (xxthe), and sub-merge-length fallbacks (th, t).
+        (17, "the ing tion ough", "xx", "adv"),
+        (18, "thing bother ingenious mentment", "xx", "adv"),
+        (19, "xxthe th t", "xx", "adv"),
+        (20, "theththe ententio ionion", "xx", "adv"),
     ]
 
 
@@ -135,7 +147,7 @@ def _find_floor_cliff_filler(base_tokens: dict[str, int]) -> int:
 
 def _build_documents() -> tuple[pa.Table, int]:
     rows = list(_edge_docs())
-    next_id = 17
+    next_id = 21
     for lang, (n_docs, n_tok) in _MIX.items():
         for d in range(n_docs):
             rows.append((next_id, _tokens(n_tok, salt=next_id), lang, f"src{d % 3}"))
