@@ -95,6 +95,28 @@ def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPM_PAD = 144  # max pixel bytes: width<=8 * height<=6 * 3 channels
 
 
+def _ascii_guarded_text(site: str) -> "F.Column":
+    """`text`, asserted pure-ASCII at runtime.
+
+    Every planted-payload oracle re-derives bytes as
+    ascii(substr(text, i, 1)), i.e. assumes byte == char code.  A
+    non-ASCII char would UTF-8-encode to multiple bytes, silently
+    shifting every later sample — so fail LOUDLY if a future fixture
+    ever violates the assumption instead of corrupting hash-verified
+    parity.  (length counts chars, octet_length counts encoded bytes;
+    equal iff every char is single-byte, i.e. pure ASCII.)
+    """
+    ascii_ok = F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    return F.when(ascii_ok, F.col("text")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{site}: non-ASCII text breaks byte==char-code, doc_id="),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+
+
 def _with_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a GENUINE binary-PPM (P6) image payload per row.
 
@@ -108,23 +130,11 @@ def _with_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 5 + 4).cast("int")
     h = (F.col("doc_id") % 4 + 3).cast("int")
-    # The oracles re-derive raster bytes as ascii(substr(text, i, 1)),
-    # i.e. they assume byte == char code.  A non-ASCII char would
-    # UTF-8-encode to multiple bytes, silently shifting every later
-    # sample — so fail LOUDLY if a future fixture ever violates the
-    # assumption instead of corrupting the hash-verified parity.
-    # (length counts chars, octet_length counts encoded bytes; equal
-    # iff every char is single-byte, i.e. pure ASCII.)
-    ascii_ok = F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
-    raw = F.when(ascii_ok, F.col("text")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("_with_ppm: non-ASCII text breaks byte==char-code, doc_id="),
-                F.col("doc_id").cast("string"),
-            )
-        )
+    pixels = F.substring(
+        F.rpad(_ascii_guarded_text("_with_ppm"), _PPM_PAD, "."),
+        F.lit(1),
+        w * h * 3,
     )
-    pixels = F.substring(F.rpad(raw, _PPM_PAD, "."), F.lit(1), w * h * 3)
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
@@ -555,4 +565,109 @@ def mm07_resolution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assets",
         "n_types",
         "avg_intensity",
+    )
+
+
+def _audio_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized audio-feature kernel over unsigned-8-bit PCM payloads:
+    sample count, peak amplitude, energy (sum of squares), and the
+    zero-crossing count around the per-clip mean axis — computed on the
+    CROSS-MULTIPLIED integer signal n*s_i - sum(s) so no division ever
+    enters the crossing test (sign((n*s_i - S)(n*s_{i+1} - S)) is exact;
+    |n*s - S| < 51k, products < 2.7e9, far inside int64)."""
+    import numpy as np
+
+    for pdf in it:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_samples": [],
+            "peak": [],
+            "sum_sq": [],
+            "zero_crossings": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = int(s.size)
+            total = int(s.sum())
+            c = n * s - total
+            zc = int(((c[:-1] * c[1:]) < 0).sum()) if n > 1 else 0
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["peak"].append(int(s.max()) if n else 0)
+            out["sum_sq"].append(int((s * s).sum()))
+            out["zero_crossings"].append(zc)
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                "peak": pd.array(out["peak"], dtype="int32"),
+                "sum_sq": pd.array(out["sum_sq"], dtype="int64"),
+                "zero_crossings": pd.array(
+                    out["zero_crossings"], dtype="int64"
+                ),
+            }
+        )
+
+
+@register(
+    "mm08_audio_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, CAST(doc_id % 101 + 100 AS INT) AS n,
+                   rpad(text, 201, '.') AS padded
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, i, d.n, ascii(substr(d.padded, i, 1)) AS v
+            FROM dims d CROSS JOIN UNNEST(generate_series(1, d.n)) u(i)
+        ),
+        stats AS (SELECT doc_id, sum(v) AS S FROM px GROUP BY doc_id),
+        c AS (
+            SELECT p.doc_id, p.n, p.v,
+                   p.n * p.v - s.S AS cv,
+                   lead(p.n * p.v - s.S)
+                       OVER (PARTITION BY p.doc_id ORDER BY p.i) AS cnext
+            FROM px p JOIN stats s USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(max(n) AS INT) AS n_samples,
+               CAST(max(v) AS INT) AS peak,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(sum(CASE WHEN cnext IS NOT NULL AND cv * cnext < 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+        FROM c GROUP BY doc_id
+    """,
+    doc="AUDIO feature extraction over planted PCM — the audio leg of "
+    "the multimodal family (image leg: mm03/mm06): each document "
+    "plants an unsigned-8-bit PCM clip (100-200 samples, byte == char "
+    "code via the shared ASCII guard) and an Arrow-batched numpy "
+    "kernel extracts sample count, peak amplitude, energy (exact "
+    "integer sum of squares — RMS is one sqrt away, kept integer so "
+    "the hash is exact), and the MEAN-AXIS zero-crossing count, the "
+    "classic voiced/unvoiced + pitch proxy.  The crossing test runs "
+    "on the cross-multiplied integer signal n*s_i - sum(s) — no "
+    "division, no float, no center-bias (a fixed 128 axis would never "
+    "cross on pure-ASCII bytes).  The ORACLE re-derives every feature "
+    "relationally from char codes (per-sample lead() window inside "
+    "each clip), so the decode, energy, and crossing logic are all "
+    "hash-VERIFIED.  A real deployment swaps the planted bytes for "
+    "WAV/FLAC decode (librosa/libav) behind the same mapInPandas "
+    "contract.  Scale: payloads never shuffle — decode is map-side; "
+    "(id, 2 ints, 2 longs) leave the kernel.",
+)
+def mm08_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 101 + 100).cast("int")
+    pcm = F.encode(
+        F.substring(
+            F.rpad(_ascii_guarded_text("mm08"), 201, "."), F.lit(1), n
+        ),
+        "UTF-8",
+    )
+    src = d.select("doc_id", pcm.alias("payload"))
+    return src.mapInPandas(
+        _audio_batch,
+        schema="doc_id long, n_samples int, peak int, sum_sq long, "
+        "zero_crossings long",
     )

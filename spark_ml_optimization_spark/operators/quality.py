@@ -1690,3 +1690,69 @@ def qd24_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emd"),
         )
     )
+
+
+@register(
+    "qd25_exact_quantiles_distributed",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents ASC, o_orderkey ASC)
+                       AS i,
+                   count(*) OVER () AS n
+            FROM c
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(min(CASE WHEN 100 * i >= 25 * n THEN cents END)
+                    AS BIGINT) AS p25,
+               CAST(min(CASE WHEN 100 * i >= 50 * n THEN cents END)
+                    AS BIGINT) AS p50,
+               CAST(min(CASE WHEN 100 * i >= 75 * n THEN cents END)
+                    AS BIGINT) AS p75,
+               CAST(min(CASE WHEN 100 * i >= 99 * n THEN cents END)
+                    AS BIGINT) AS p99
+        FROM ranked
+    """,
+    doc="EXACT global quantiles WITHOUT a single-task sort — the "
+    "distributed-rank answer to 'approx_percentile is not enough for "
+    "this SLA': order-price cents ranked by dist_rank.py's "
+    "range-partitioned exact row_number (the qa24/qc26 machinery), "
+    "then percentile_disc semantics by the INTEGER gate "
+    "100*i >= p*n — the smallest value whose rank reaches ceil(p*n); "
+    "no float interpolation, no dialect luck (verified equal to "
+    "DuckDB's own quantile_disc at build time).  Contrast family: "
+    "q22 exact per-group percentile agg (bounded groups), q28 "
+    "approx_percentile sketch (the 100 TB default), qd25 exact AND "
+    "distributed (the audit-grade path when the number must be "
+    "right).  Scale: two shuffles of (cents, key) pairs — wall-clock "
+    "scales with cluster width; the fact table's values move once.",
+)
+def qd25_exact_quantiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .dist_rank import distributed_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = distributed_row_number(
+        cents, [F.col("cents").asc(), F.col("o_orderkey").asc()], "i"
+    ).select("cents", "i")
+    tot = ranked.agg(F.count("*").alias("n"))
+    r = ranked.crossJoin(F.broadcast(tot))
+    return r.groupBy().agg(
+        F.max("n").cast("long").alias("n_rows"),
+        *[
+            F.min(F.when(100 * F.col("i") >= p * F.col("n"), F.col("cents")))
+            .cast("long")
+            .alias(f"p{p}")
+            for p in (25, 50, 75, 99)
+        ],
+    )

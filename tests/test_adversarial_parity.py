@@ -80,6 +80,8 @@ ADV_FAMILIES = [
     "qc34_bpe_token_count",      # merge boundaries, vocab-word docs, fallbacks
     "qc35_bpe_budget_pack",      # BPE counts through the packing window
     "qc36_html_strip_gate",      # entity decode + anchor extraction on degenerate docs
+    "mm08_audio_features",       # constant/fill-only PCM clips (zero crossings = 0)
+    "qd25_exact_quantiles_distributed",  # integer position gates on tiny n
 ]
 
 
