@@ -1216,3 +1216,76 @@ def qa25_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "qa26_reorder_intervals",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) AS d,
+                   o_orderkey
+            FROM orders
+        ),
+        gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(d) OVER (PARTITION BY o_custkey
+                                    ORDER BY d ASC, o_orderkey ASC),
+                       d) AS gap_days
+            FROM o
+        ),
+        seg AS (
+            SELECT g.o_custkey, g.gap_days, c.c_mktsegment
+            FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+            WHERE g.gap_days IS NOT NULL
+        )
+        SELECT c_mktsegment,
+               CAST(gap_days // 30 AS BIGINT) AS gap_bucket,
+               count(*) AS n_gaps,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+               CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        FROM seg
+        GROUP BY c_mktsegment, gap_days // 30
+    """,
+    doc="REORDER-INTERVAL distribution — the purchase-cadence readout "
+    "behind replenishment forecasting and churn-risk scoring: per "
+    "customer, the day gaps between consecutive orders (lag window "
+    "partitioned BY CUSTOMER — never global; date + orderkey "
+    "tiebreak), bucketed into 30-day bands per market segment with "
+    "exact integer day arithmetic (gap_days is non-negative, so "
+    "truncating // equals floor on both engines).  Complements qa24 "
+    "(RFM snapshot) with the BETWEEN-orders dynamics.  Scale: one "
+    "shuffle by custkey for the lag window (dimension-keyed, "
+    "narrow), one broadcast of the customer dim, one small agg — "
+    "fact text never moves.",
+)
+def qa26_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("d").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = gaps.join(F.broadcast(c), "o_custkey")
+    return seg.groupBy(
+        "c_mktsegment",
+        F.expr("gap_days div 30").cast("long").alias("gap_bucket"),
+    ).agg(
+        F.count("*").alias("n_gaps"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

@@ -1756,3 +1756,80 @@ def qd25_exact_quantiles_distributed(
             for p in (25, 50, 75, 99)
         ],
     )
+
+
+@register(
+    "qd27_rapid_repeat_audit",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        )
+        SELECT a.event_type,
+               count(*) AS n_pairs,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+               CAST(min(abs(a.us - b.us)) AS BIGINT) AS min_gap_us,
+               CAST(max(abs(a.us - b.us)) AS BIGINT) AS max_gap_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = b.event_type
+         AND a.event_id < b.event_id
+         AND abs(a.us - b.us) <= 300000000
+        GROUP BY a.event_type
+    """,
+    doc="RAPID-REPEAT ingestion audit (double-submit / duplicate-"
+    "delivery detector): pairs of SAME-user SAME-type events within 5 "
+    "minutes — the pipeline-health screen that catches retry storms "
+    "and at-least-once re-deliveries before they skew downstream "
+    "counts.  The oracle is the quadratic theta self-join; the Spark "
+    "plan is the q66c bucket-replica re-plan EXTENDED with a composite "
+    "equi-key: join on (user_id, event_type, bucket) where one side "
+    "replicates to floor-division buckets {b-1, b, b+1} — a "
+    "within-tolerance pair has bucket distance <= 1, so it matches "
+    "exactly one replica; event_id < event_id keeps each unordered "
+    "pair once.  Gap bounds are exact integer microseconds.  Scale: "
+    "the shuffle is keyed by (user, type, bucket) — at 100 TB this is "
+    "O(n) by key, never all-pairs-per-user, and the key spreading "
+    "means no single hot user melts a partition unless one user+type "
+    "floods a single 5-minute bucket (the q48 salting cue).",
+)
+def qd27_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol = 300 * 1000000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    b = F.expr(f"(us - pmod(us, {tol})) div {tol}")
+    left = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("event_type").alias("a_type"),
+        F.col("us").alias("a_us"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("bucket"),
+    )
+    right = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("b_type"),
+        F.col("us").alias("b_us"),
+        b.alias("b_bucket"),
+    )
+    gap = F.abs(F.col("a_us") - F.col("b_us"))
+    pairs = (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_type") == F.col("b_type")),
+        )
+        .filter((F.col("a_id") < F.col("b_id")) & (gap <= tol))
+    )
+    return pairs.groupBy(F.col("a_type").alias("event_type")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("a_user").cast("long").alias("n_users"),
+        F.min(gap).cast("long").alias("min_gap_us"),
+        F.max(gap).cast("long").alias("max_gap_us"),
+    )

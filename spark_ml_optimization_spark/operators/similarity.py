@@ -1049,3 +1049,153 @@ def q85e_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(proj_d2 / orig_d2, 6).alias("distortion"),
         )
     )
+
+
+@register(
+    "q85g_int8_retrieval_audit",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS probe_id,
+                   CAST(embedding AS DOUBLE[]) AS pvec,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> round(x * 127)) AS pint
+            FROM embeddings WHERE vec_id < 5
+        ),
+        corpus AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS dvec,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> round(x * 127)) AS ivec
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   list_dot_product(c.dvec, p.pvec) AS fscore,
+                   list_dot_product(c.ivec, p.pint) AS iscore
+            FROM corpus c CROSS JOIN probes p
+            WHERE c.vec_id <> p.probe_id
+        ),
+        ftop AS (
+            SELECT probe_id, vec_id, fscore,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY fscore DESC, vec_id ASC) AS r
+            FROM scored
+        ),
+        itop AS (
+            SELECT probe_id, vec_id, iscore,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY iscore DESC, vec_id ASC) AS r
+            FROM scored
+        )
+        SELECT f.probe_id,
+               CAST(count(*) FILTER (WHERE i.vec_id IS NOT NULL)
+                    AS BIGINT) AS overlap_at_10,
+               CAST(min(CASE WHEN f.r = 1 THEN f.vec_id END)
+                    AS BIGINT) AS float_top1,
+               CAST(min((SELECT it.vec_id FROM itop it
+                         WHERE it.probe_id = f.probe_id AND it.r = 1))
+                    AS BIGINT) AS int8_top1,
+               round(max(CASE WHEN f.r = 1 THEN f.fscore END), 6)
+                   AS float_top1_score,
+               CAST(max((SELECT it.iscore FROM itop it
+                         WHERE it.probe_id = f.probe_id AND it.r = 1))
+                    AS BIGINT) AS int8_top1_dot
+        FROM ftop f
+        LEFT JOIN itop i
+          ON i.probe_id = f.probe_id AND i.vec_id = f.vec_id
+         AND i.r <= 10
+        WHERE f.r <= 10
+        GROUP BY f.probe_id
+    """,
+    doc="QUANTIZED-retrieval audit, fully hash-verified — the "
+    "commit-gate a vector store runs before switching search to int8: "
+    "5 probes score the corpus twice, once with exact double dots "
+    "(the q85/q86 anchor arm) and once with INT8-quantized vectors "
+    "(round(127x) per component — integer-valued dots bounded by "
+    "64*127^2 ≈ 1.03e6, exactly representable in doubles, so BOTH "
+    "engines' integer arithmetic is bit-exact with zero rounding "
+    "guards).  Per probe: top-10 overlap between the arms (the "
+    "recall@10-style fidelity number), both top-1 ids, and both "
+    "top-1 scores.  Ties broken by vec_id in both arms.  Unlike "
+    "q93's fidelity norms (aggregate-level) this audits the actual "
+    "RANKING the quantized index would serve.  Scale: the int arm is "
+    "what runs at 100 TB (4x smaller scans, SIMD int dots); the "
+    "float arm runs on the audit sample only — here the whole "
+    "fixture doubles as the sample; broadcast probes, one corpus "
+    "scan, per-probe bounded windows.",
+)
+def q85g_int8_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dvec = to_double_array("embedding")
+    ivec = F.transform(dvec, lambda x: F.round(x * 127, 0))
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            dvec.alias("pvec"),
+            ivec.alias("pint"),
+        )
+    )
+    scored = (
+        e.select("vec_id", dvec.alias("dvec"), ivec.alias("ivec"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            dot(F.col("dvec"), F.col("pvec")).alias("fscore"),
+            dot(F.col("ivec"), F.col("pint")).alias("iscore"),
+        )
+    )
+    wf = W.partitionBy("probe_id").orderBy(
+        F.col("fscore").desc(), F.col("vec_id").asc()
+    )
+    wi = W.partitionBy("probe_id").orderBy(
+        F.col("iscore").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "probe_id",
+        "vec_id",
+        "fscore",
+        "iscore",
+        F.row_number().over(wf).alias("fr"),
+        F.row_number().over(wi).alias("ir"),
+    )
+    ftop = ranked.filter(F.col("fr") <= 10)
+    itop = ranked.filter(F.col("ir") <= 10).select(
+        F.col("probe_id").alias("iprobe_id"),
+        F.col("vec_id").alias("ivec_id"),
+    )
+    joined = ftop.join(
+        itop,
+        (F.col("probe_id") == F.col("iprobe_id"))
+        & (F.col("vec_id") == F.col("ivec_id")),
+        "left",
+    ).drop("iprobe_id")
+    int1 = ranked.filter(F.col("ir") == 1).select(
+        "probe_id",
+        F.col("vec_id").alias("int8_top1"),
+        F.col("iscore").alias("int8_top1_dot"),
+    )
+    agg = joined.groupBy("probe_id").agg(
+        F.count("ivec_id").cast("long").alias("overlap_at_10"),
+        F.min(F.when(F.col("fr") == 1, F.col("vec_id")))
+        .cast("long")
+        .alias("float_top1"),
+        F.round(F.max(F.when(F.col("fr") == 1, F.col("fscore"))), 6).alias(
+            "float_top1_score"
+        ),
+    )
+    return (
+        agg.join(F.broadcast(int1), "probe_id")
+        .select(
+            "probe_id",
+            "overlap_at_10",
+            "float_top1",
+            F.col("int8_top1").cast("long").alias("int8_top1"),
+            "float_top1_score",
+            F.col("int8_top1_dot").cast("long").alias("int8_top1_dot"),
+        )
+    )
