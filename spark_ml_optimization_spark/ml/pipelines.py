@@ -1564,3 +1564,118 @@ def ml30_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, importance double").orderBy(
         F.col("importance").desc(), F.col("feature").asc()
     )
+
+
+@register(
+    "ml31_ndcg_retrieval",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, label AS p_label,
+                   CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        corpus AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10
+        ),
+        ranked AS (
+            SELECT p.probe_id, p.p_label, c.vec_id, c.label,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY list_dot_product(c.cv, p.pv) DESC,
+                                c.vec_id ASC) AS r
+            FROM corpus c CROSS JOIN probes p
+        ),
+        nrel AS (
+            SELECT p.probe_id, count(*) AS n_rel
+            FROM probes p JOIN corpus c ON c.label = p.p_label
+            GROUP BY p.probe_id
+        ),
+        dcg AS (
+            SELECT probe_id, p_label,
+                   sum(CASE WHEN label = p_label
+                            THEN 1.0 / log2(r + 1) ELSE 0 END) AS dcg,
+                   sum(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+                       AS n_rel_top10
+            FROM ranked WHERE r <= 10 GROUP BY probe_id, p_label
+        ),
+        idcg AS (
+            SELECT n.probe_id, sum(1.0 / log2(i + 1)) AS idcg
+            FROM nrel n
+            CROSS JOIN UNNEST(generate_series(1, least(10, n.n_rel))) u(i)
+            GROUP BY n.probe_id
+        )
+        SELECT d.probe_id,
+               d.p_label AS label,
+               CAST(d.n_rel_top10 AS BIGINT) AS n_rel_top10,
+               round(d.dcg, 6) AS dcg,
+               round(i.idcg, 6) AS idcg,
+               round(d.dcg / i.idcg, 6) AS ndcg
+        FROM dcg d JOIN idcg i USING (probe_id)
+    """,
+    doc="Relational NDCG@10 — the ranking-quality metric the "
+    "model-evaluation family was missing (ml23 PR, ml27 AUC, ml28 "
+    "lift, ml29 operating point are all CLASSIFICATION lenses; "
+    "retrieval/recsys rankings are graded by NDCG): 10 probes "
+    "retrieve the corpus by embedding dot (the q86 arm), relevance = "
+    "same label, DCG = Σ rel/log2(rank+1) over the top 10, IDCG from "
+    "the per-probe relevant-count via a sequence() fold, NDCG one "
+    "division.  Relevance gates are integer (label equality, "
+    "rank<=10 with vec_id tiebreak) — log2 enters REPORT columns "
+    "only, where 6-dp rounding absorbs libm-vs-Math.log last-ulp "
+    "and summation-order noise.  Scale: probes broadcast (q86's "
+    "shape), per-probe bounded windows, label counts are one tiny "
+    "agg; at 100 TB the exhaustive arm runs on an audit sample while "
+    "production retrieval serves from IVF/PQ — NDCG@k on the sample "
+    "is exactly the number that gates an index swap.",
+)
+def ml31_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        to_double_array("embedding").alias("pv"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 10).select(
+        "vec_id", "label", to_double_array("embedding").alias("cv")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        dot(F.col("cv"), F.col("pv")).desc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(probes))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+    )
+    rel = (F.col("label") == F.col("p_label")).cast("int")
+    dcg = ranked.groupBy("probe_id", "p_label").agg(
+        F.sum(
+            F.when(rel == 1, 1.0 / F.log2(F.col("r") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(rel).alias("n_rel_top10"),
+    )
+    label_counts = corpus.groupBy("label").agg(F.count("*").alias("n_rel"))
+    nrel = probes.select("probe_id", F.col("p_label").alias("label")).join(
+        F.broadcast(label_counts), "label"
+    )
+    idcg = nrel.select(
+        "probe_id",
+        F.expr(
+            "aggregate(sequence(1, least(10, n_rel)), 0D,"
+            " (a, i) -> a + 1.0 / log2(i + 1))"
+        ).alias("idcg"),
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "probe_id")
+        .select(
+            "probe_id",
+            F.col("p_label").alias("label"),
+            F.col("n_rel_top10").cast("long").alias("n_rel_top10"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

@@ -1289,3 +1289,65 @@ def qa26_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@register(
+    "qa27_yoy_growth",
+    oracle="""
+        WITH seg_year AS (
+            SELECT c.c_mktsegment,
+                   year(o.o_orderdate) AS order_year,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, year(o.o_orderdate)
+        )
+        SELECT c_mktsegment,
+               CAST(order_year AS BIGINT) AS order_year,
+               CAST(cents AS BIGINT) AS revenue_cents,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               round((cents - lag(cents) OVER w) * 1.0
+                     / lag(cents) OVER w, 6) AS yoy_growth
+        FROM seg_year
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY order_year ASC)
+    """,
+    doc="YEAR-OVER-YEAR growth per market segment — the board-deck "
+    "trend table beside qa24's RFM snapshot and qa26's cadence "
+    "dynamics: exact-cents revenue per (segment, year), then the lag "
+    "window delivers the YoY delta as a ratio of exact integers (one "
+    "double division, 6-dp wire; first year NULL by definition).  "
+    "The window partitions by SEGMENT over a years-long spine — "
+    "bounded by calendar, never entity-scale.  Scale: one fact "
+    "aggregation keyed (segment, year) after a broadcast customer "
+    "join; the window input is segments x years rows, trivially "
+    "small at any corpus size.",
+)
+def qa27_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg_year = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy(
+            "c_mktsegment",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("order_year").asc())
+    prev = F.lag("cents").over(w)
+    return seg_year.select(
+        "c_mktsegment",
+        "order_year",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round((F.col("cents") - prev) * 1.0 / prev, 6).alias("yoy_growth"),
+    )

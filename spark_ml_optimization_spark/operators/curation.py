@@ -2001,3 +2001,105 @@ def qc36_html_strip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("link_chars") * 1.0 / F.col("text_chars"), 4)
         ).alias("link_density"),
     )
+
+
+@register(
+    "qc37_semantic_decontamination",
+    oracle="""
+        WITH bench AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        corpus AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 20 <> 0
+        ),
+        scored AS (
+            SELECT c.vec_id, c.label,
+                   max(list_dot_product(c.v, b.v)) AS max_cos,
+                   first(b.vec_id ORDER BY list_dot_product(c.v, b.v) DESC,
+                                           b.vec_id ASC)
+                       AS nearest_bench
+            FROM corpus c CROSS JOIN bench b
+            GROUP BY c.vec_id, c.label
+        )
+        SELECT label,
+               count(*) AS n_corpus,
+               CAST(count(*) FILTER (WHERE max_cos >= 0.3) AS BIGINT)
+                   AS n_flagged,
+               round(max(max_cos), 6) AS worst_cos,
+               CAST(min(CASE WHEN max_cos >= 0.3 THEN vec_id END)
+                    AS BIGINT) AS first_flagged_vec,
+               CAST(first(nearest_bench ORDER BY max_cos DESC, vec_id ASC)
+                    AS BIGINT) AS worst_bench_vec
+        FROM scored GROUP BY label
+    """,
+    doc="SEMANTIC decontamination — the embedding-space complement to "
+    "qc01/qc16/qc23's lexical n-gram screens (the modern eval-hygiene "
+    "step: paraphrased benchmark items share no n-grams but sit close "
+    "in embedding space): a held-out benchmark set (every 20th "
+    "vector) is broadcast against the corpus, each corpus doc scores "
+    "max cosine vs ANY benchmark item (identical sequential-order "
+    "IEEE dots both engines, so the >= 0.3 gate — p99-ish of the "
+    "fixture's near-orthogonal distribution — cannot flake), and the "
+    "per-label report carries flagged counts, the worst offender, "
+    "and which benchmark item it matched (argmax with (cos, -vec_id) "
+    "tiebreak).  Scale: the benchmark side is always tiny and "
+    "BROADCAST (qc01's shape); the corpus side is one map-side scan "
+    "— at 100 TB swap the exhaustive bench sweep for the IVF/LSH "
+    "probe (q87/q92) with this exact query as the audit arm on a "
+    "sample.",
+)
+def qc37_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        to_double_array("embedding").alias("bv"),
+    )
+    corpus = e.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id", "label", to_double_array("embedding").alias("cv")
+    )
+    pairs = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "label",
+        "bench_id",
+        dot(F.col("cv"), F.col("bv")).alias("cos"),
+    )
+    scored = pairs.groupBy("vec_id", "label").agg(
+        F.max("cos").alias("max_cos"),
+        # argmax with largest-cos, smallest-bench_id tiebreak: max over
+        # (cos, -bench_id, bench_id) struct == DuckDB arg_max (which
+        # keeps the first/min arg on ties by scan order — pin it
+        # explicitly with the -bench_id component on BOTH engines).
+        F.max(
+            F.struct(
+                F.col("cos").alias("k1"),
+                (-F.col("bench_id")).alias("k2"),
+                F.col("bench_id"),
+            )
+        )
+        .getField("bench_id")
+        .alias("nearest_bench"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_corpus"),
+        F.sum((F.col("max_cos") >= 0.3).cast("int"))
+        .cast("long")
+        .alias("n_flagged"),
+        F.round(F.max("max_cos"), 6).alias("worst_cos"),
+        F.min(F.when(F.col("max_cos") >= 0.3, F.col("vec_id")))
+        .cast("long")
+        .alias("first_flagged_vec"),
+        F.max(
+            F.struct(
+                F.col("max_cos").alias("k1"),
+                (-F.col("vec_id")).alias("k2"),
+                F.col("nearest_bench"),
+            )
+        )
+        .getField("nearest_bench")
+        .cast("long")
+        .alias("worst_bench_vec"),
+    )

@@ -1930,3 +1930,124 @@ def qc31_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("t10", F.round(F.col("t10") / 10.0, 1).alias("threshold"), "n_pairs")
     )
+
+
+@register(
+    "qc39_incremental_neardup_admission",
+    oracle=f"""
+        WITH {_PMH_ORACLE_STAGES},
+        inc_cand AS (
+            SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corp_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        ),
+        est AS (
+            SELECT c.in_id,
+                   (CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT)
+                    + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT)
+                    + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT)
+                    + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT)
+                    + CAST(sa.h8 = sb.h8 AS INT) + CAST(sa.h9 = sb.h9 AS INT)
+                    + CAST(sa.h10 = sb.h10 AS INT) + CAST(sa.h11 = sb.h11 AS INT)
+                    + CAST(sa.h12 = sb.h12 AS INT) + CAST(sa.h13 = sb.h13 AS INT)
+                    + CAST(sa.h14 = sb.h14 AS INT) + CAST(sa.h15 = sb.h15 AS INT)
+                   ) / 16.0 AS est
+            FROM inc_cand c
+            JOIN sig sa ON sa.doc_id = c.in_id
+            JOIN sig sb ON sb.doc_id = c.corp_id
+        ),
+        blocked AS (
+            SELECT DISTINCT in_id FROM est WHERE est >= 0.5
+        ),
+        inc AS (
+            SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT lang,
+               count(*) AS n_incoming,
+               CAST(count(*) FILTER (WHERE b.in_id IS NOT NULL) AS BIGINT)
+                   AS n_blocked,
+               CAST(count(*) FILTER (WHERE b.in_id IS NULL) AS BIGINT)
+                   AS n_admitted
+        FROM inc LEFT JOIN blocked b ON inc.doc_id = b.in_id
+        GROUP BY lang
+    """,
+    doc="INCREMENTAL near-dup ADMISSION gate — qp9's day-2 refresh "
+    "upgraded from exact digests to lexical near-duplicates: the "
+    "incoming batch (every 10th doc) is LSH-banded with the portable "
+    "md5-min family (q72c's machinery, shared _pmh_sig_banded stages) "
+    "and candidate pairs come from band-key equi-joins RESTRICTED to "
+    "incoming x standing-corpus — never incoming x incoming, never "
+    "all-pairs; an incoming doc whose estimated Jaccard vs any corpus "
+    "doc reaches 0.5 is blocked, the rest admit, reported per "
+    "language.  Docs under the shingle width carry no signature and "
+    "admit by construction (both engines).  This is the gate that "
+    "keeps a continuously-ingested corpus from re-accreting "
+    "paraphrased copies that exact digests (qc11/qp9) cannot see.  "
+    "Scale: the standing corpus keeps its banded signature table "
+    "materialized (16 hashes + 4 band keys per doc — tiny next to "
+    "text); each day's batch shuffles only its own band keys against "
+    "it, O(batch + collisions), exactly how a 100 TB corpus admits "
+    "a 100 GB day.",
+)
+def qc39_incremental_neardup_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _sh, sig, banded = _pmh_sig_banded(spark, sf_dir)
+    inc_banded = banded.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("in_id"), "band", "band_sig"
+    )
+    corp_banded = banded.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("corp_id"),
+        F.col("band").alias("c_band"),
+        F.col("band_sig").alias("c_band_sig"),
+    )
+    cand = (
+        inc_banded.join(
+            corp_banded,
+            (F.col("band") == F.col("c_band"))
+            & (F.col("band_sig") == F.col("c_band_sig")),
+        )
+        .select("in_id", "corp_id")
+        .dropDuplicates(["in_id", "corp_id"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("in_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_PMH_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("corp_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_PMH_N)],
+    )
+    eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_PMH_N)
+    )
+    blocked = (
+        cand.join(sa, "in_id")
+        .join(sb, "corp_id")
+        .select("in_id", (eq / float(_PMH_N)).alias("est"))
+        .filter(F.col("est") >= 0.5)
+        .select("in_id")
+        .distinct()
+        .withColumn("is_blocked", F.lit(1))
+    )
+    inc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("in_id"), "lang")
+    )
+    return (
+        inc.join(F.broadcast(blocked), "in_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.coalesce(F.col("is_blocked"), F.lit(0)))
+            .cast("long")
+            .alias("n_blocked"),
+            F.sum(
+                F.when(F.col("is_blocked").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_admitted"),
+        )
+    )

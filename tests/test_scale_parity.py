@@ -17,6 +17,7 @@ from .harness import compare
 
 SCALE_SENSITIVE = [
     "q74b_dup_components",
+    "qc39_incremental_neardup_admission",  # blocked counts only bite where sf0.1 plants near-dups
     "q70_exact_dedup",
     "q71_dedup_keep_first",
     "qc11_incremental_dedup",
