@@ -1679,3 +1679,79 @@ def ml31_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+@register(
+    "ml32_regression_metrics",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS DOUBLE) AS x,
+                   CAST(n_chars AS DOUBLE) AS y
+            FROM documents
+        ),
+        coef AS (
+            SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0,
+                   avg(y) AS ybar
+            FROM pts
+        ),
+        resid AS (
+            SELECT p.y, c.ybar, p.y - (c.b0 + c.b1 * p.x) AS r
+            FROM pts p CROSS JOIN coef c
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(avg(abs(r)), 4) AS mae,
+               round(sqrt(avg(r * r)), 4) AS rmse,
+               round(1.0 - sum(r * r) / sum((y - ybar) * (y - ybar)), 6)
+                   AS r2,
+               round(avg(CASE WHEN y <> 0 THEN abs(r) / y END), 4)
+                   AS mape
+        FROM resid
+    """,
+    doc="Relational REGRESSION-metric bundle (MAE / RMSE / R² / MAPE) — "
+    "completes the evaluation family on the regression axis (ml23 PR, "
+    "ml27 AUC, ml28 lift, ml29 F1, ml31 NDCG are all "
+    "classification/ranking): fit chars ~ tokens by the closed-form "
+    "OLS aggregates (q20c's regr_slope/intercept parity pattern, one "
+    "pass), broadcast the two coefficients, score residuals map-side, "
+    "and reduce the four metrics in one agg.  No MLlib, no iteration "
+    "— the RegressionEvaluator numbers as pure Catalyst, DuckDB-"
+    "mirrored.  MAPE averages only y<>0 rows (CASE-null excluded from "
+    "avg on both engines).  4/6-dp rounding absorbs summation-order "
+    "noise in the residual sums.  Scale: two scans (coef, residuals — "
+    "or one with a cached narrow projection), everything else "
+    "broadcast scalars; this is how you grade a 100 TB scoring run "
+    "without collecting anything.",
+)
+def ml32_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
+        .cast("double")
+        .alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    coef = pts.agg(
+        F.regr_slope("y", "x").alias("b1"),
+        F.regr_intercept("y", "x").alias("b0"),
+        F.avg("y").alias("ybar"),
+    )
+    resid = pts.crossJoin(F.broadcast(coef)).select(
+        "y",
+        "ybar",
+        (F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))).alias("r"),
+    )
+    return resid.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg(F.abs("r")), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("r") * F.col("r"))), 4).alias("rmse"),
+        F.round(
+            1.0
+            - F.sum(F.col("r") * F.col("r"))
+            / F.sum((F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))),
+            6,
+        ).alias("r2"),
+        F.round(
+            F.avg(F.when(F.col("y") != 0, F.abs("r") / F.col("y"))), 4
+        ).alias("mape"),
+    )

@@ -1351,3 +1351,79 @@ def qa27_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round((F.col("cents") - prev) * 1.0 / prev, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "qa28_ltv_cohort_matrix",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   year(o_orderdate) AS y,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        first_year AS (
+            SELECT o_custkey, min(y) AS cohort_year FROM o GROUP BY o_custkey
+        ),
+        cells AS (
+            SELECT f.cohort_year,
+                   o.y - f.cohort_year AS age_years,
+                   count(DISTINCT o.o_custkey) AS n_active,
+                   sum(o.cents) AS revenue_cents
+            FROM o JOIN first_year f USING (o_custkey)
+            GROUP BY f.cohort_year, o.y - f.cohort_year
+        )
+        SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+               CAST(age_years AS BIGINT) AS age_years,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(revenue_cents AS BIGINT) AS revenue_cents,
+               CAST(sum(revenue_cents) OVER (PARTITION BY cohort_year
+                        ORDER BY age_years ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_revenue_cents
+        FROM cells
+    """,
+    doc="Customer-LIFETIME-VALUE cohort matrix — the finance twin of "
+    "q69's activity retention: customers cohorted by FIRST-order "
+    "year, each cohort's exact-cents revenue tracked by years-since-"
+    "first (age), with the cumulative LTV curve per cohort from a "
+    "running-sum window over the BOUNDED (cohort x age) grid — "
+    "calendar-sized, never entity-scale (the test_plan_sweep "
+    "distinction).  Active-customer counts are exact distincts per "
+    "cell.  This is the 'how much is a 2024 customer worth by year "
+    "3' board table.  Scale: one orders scan + a first-year "
+    "self-agg joined back (customer-keyed shuffle), cells are "
+    "years², window trivial.",
+)
+def qa28_ltv_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_year = o.groupBy("o_custkey").agg(F.min("y").alias("cohort_year"))
+    cells = (
+        o.join(first_year, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.col("y") - F.col("cohort_year")).alias("age_years"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort_year")
+        .orderBy(F.col("age_years").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cells.select(
+        F.col("cohort_year").cast("long").alias("cohort_year"),
+        F.col("age_years").cast("long").alias("age_years"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )

@@ -1833,3 +1833,132 @@ def qd27_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(gap).cast("long").alias("min_gap_us"),
         F.max(gap).cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "qd29_late_arrival_audit",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_type, us,
+                   max(us) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_max
+            FROM e
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(*) FILTER (WHERE prior_max IS NOT NULL
+                                       AND us < prior_max) AS BIGINT)
+                   AS n_late,
+               round(count(*) FILTER (WHERE prior_max IS NOT NULL
+                                        AND us < prior_max)
+                     * 1.0 / count(*), 6) AS late_frac,
+               CAST(coalesce(max(CASE WHEN us < prior_max
+                                      THEN prior_max - us END), 0)
+                    AS BIGINT) AS max_lateness_us,
+               CAST(coalesce(sum(CASE WHEN us < prior_max
+                                      THEN prior_max - us END), 0)
+                    AS BIGINT) AS total_lateness_us
+        FROM lagged GROUP BY event_type
+    """,
+    doc="LATE-ARRIVAL audit — the measurement that SIZES every "
+    "watermark in the streaming family (st02/st04/st08/st09's '30 "
+    "minutes' is a guess until this runs): treating event_id as "
+    "arrival order (the ingestion-sequence proxy; a real pipeline "
+    "uses the ingest offset/commit time), an event is LATE when its "
+    "event time sits below the running per-user maximum seen so far "
+    "— max() over a user-partitioned ROWS frame, never a global "
+    "window.  Reports per type: late count/fraction and exact "
+    "integer-microsecond lateness mass + worst case — max_lateness "
+    "IS the principled withWatermark delay.  Scale: one keyed window "
+    "over (user, 2 longs), one small agg; this is the query you run "
+    "on a day's sample before setting state-eviction policy on a "
+    "100 TB/day stream.",
+)
+def qd29_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lagged = e.select(
+        "event_type", "us", F.max("us").over(w).alias("prior_max")
+    )
+    is_late = F.col("prior_max").isNotNull() & (
+        F.col("us") < F.col("prior_max")
+    )
+    lateness = F.when(
+        F.col("us") < F.col("prior_max"), F.col("prior_max") - F.col("us")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_late.cast("int")).cast("long").alias("n_late"),
+        F.round(
+            F.sum(is_late.cast("int")) * 1.0 / F.count("*"), 6
+        ).alias("late_frac"),
+        F.coalesce(F.max(lateness), F.lit(0)).cast("long").alias(
+            "max_lateness_us"
+        ),
+        F.coalesce(F.sum(lateness), F.lit(0)).cast("long").alias(
+            "total_lateness_us"
+        ),
+    )
+
+
+@register(
+    "qd28_staleness_profile",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id, max(us) AS last_us FROM e GROUP BY user_id
+        ),
+        ref AS (SELECT max(us) AS now_us FROM e)
+        SELECT CAST((r.now_us - p.last_us) // 86400000000 AS BIGINT)
+                   AS staleness_days,
+               count(*) AS n_users
+        FROM per_user p CROSS JOIN ref r
+        GROUP BY (r.now_us - p.last_us) // 86400000000
+    """,
+    doc="Entity STALENESS profile — the freshness/decay histogram an "
+    "activation or retention pipeline reads daily: days since each "
+    "user's last event, relative to the corpus high-water mark "
+    "(broadcast one-row max — the deterministic stand-in for wall "
+    "clock, so the hash never depends on run time).  Floor day "
+    "arithmetic on non-negative integer microsecond gaps (truncating "
+    "// == floor).  Complements qd18's snapshot churn (which users "
+    "LEFT between snapshots) with the continuous how-stale-now view.  "
+    "Scale: one user-keyed agg + a broadcast scalar; output is "
+    "days-distribution-sized.",
+)
+def qd28_staleness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(F.max("us").alias("last_us"))
+    ref = e.agg(F.max("us").alias("now_us"))
+    day = 86400000000
+    return (
+        per_user.crossJoin(F.broadcast(ref))
+        .groupBy(
+            F.expr(f"(now_us - last_us) div {day}")
+            .cast("long")
+            .alias("staleness_days")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -82,6 +82,8 @@ ADV_FAMILIES = [
     "qc36_html_strip_gate",      # entity decode + anchor extraction on degenerate docs
     "mm08_audio_features",       # constant/fill-only PCM clips (zero crossings = 0)
     "qd25_exact_quantiles_distributed",  # integer position gates on tiny n
+    "qd29_late_arrival_audit",   # planted out-of-order purchase (event 8: 2 min late)
+    "qd28_staleness_profile",    # multi-day gaps between planted event days
 ]
 
 
