@@ -1427,3 +1427,96 @@ def qa28_ltv_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+@register(
+    "qa29_category_affinity",
+    oracle="""
+        WITH basket AS (
+            SELECT DISTINCT l.l_orderkey, p.p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+        sup AS (
+            SELECT p_type, count(*) AS n_sup FROM basket GROUP BY p_type
+        ),
+        pairs AS (
+            SELECT a.p_type AS type_a, b.p_type AS type_b,
+                   count(*) AS n_both
+            FROM basket a JOIN basket b
+              ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+            GROUP BY a.p_type, b.p_type
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.n_both AS BIGINT) AS n_both,
+               CAST(sa.n_sup AS BIGINT) AS n_a,
+               CAST(sb.n_sup AS BIGINT) AS n_b,
+               round(p.n_both * 1.0 / sa.n_sup, 6) AS confidence_a_b,
+               round(p.n_both * 1.0 * n.n_orders
+                     / (sa.n_sup * sb.n_sup), 6) AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.p_type = p.type_a
+        JOIN sup sb ON sb.p_type = p.type_b
+        CROSS JOIN n
+    """,
+    doc="Category-pair AFFINITY table (support / confidence / lift) — "
+    "the pure-relational market-basket readout next to ml14's "
+    "FPGrowth (which mines arbitrary-size itemsets; the pair-lift "
+    "grid is what merchandising dashboards actually render): order "
+    "baskets de-duplicated to (order, category), per-category and "
+    "per-pair supports as exact integer counts (a.type < b.type "
+    "keeps each unordered pair once), lift = n_both*N/(n_a*n_b) — "
+    "integer numerators, one double division per report column.  "
+    "Scale: the pair self-join is keyed by ORDER (co-partitioned, "
+    "fan-out bounded by categories-per-order, never all-pairs "
+    "global); category supports broadcast back — the same shape at "
+    "6 categories or 6 million SKUs rolled to categories.",
+)
+def qa29_category_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    basket = (
+        li.join(F.broadcast(p), "l_partkey")
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n = basket.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    sup = basket.groupBy("p_type").agg(F.count("*").alias("n_sup"))
+    a = basket.select(
+        "l_orderkey", F.col("p_type").alias("type_a")
+    )
+    b = basket.select(
+        "l_orderkey", F.col("p_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sup.select(F.col("p_type").alias("type_a"), F.col("n_sup").alias("n_a"))
+    sb = sup.select(F.col("p_type").alias("type_b"), F.col("n_sup").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_both") * 1.0 / F.col("n_a"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -560,3 +560,73 @@ def q97c_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", slug("source").alias("source_slug"))
+
+
+@register(
+    "q98c_table_arg_udtf",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        w -> w <> ''))) AS BIGINT)
+                   AS n_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents GROUP BY lang
+    """,
+    doc="Python UDTF consuming a TABLE ARGUMENT with PARTITION BY "
+    "(Spark 4: `udtf(TABLE(t) PARTITION BY k)`) — the third member of "
+    "the UDTF family (q98 lateral scalar-args, q98b polymorphic "
+    "analyze()): the engine partitions the input relation BY LANG and "
+    "streams each partition's rows through one UDTF instance, which "
+    "accumulates per-partition state in eval() and emits the summary "
+    "from terminate() — the custom-aggregation escape hatch when "
+    "logic doesn't fit SQL aggregates (here it deliberately does: doc "
+    "count, non-empty token count with the q73 split-on-space rule, "
+    "id bounds — so a plain GROUP BY oracle hash-verifies the "
+    "partition-feed plumbing end to end).  Scale: partitions stream "
+    "through Arrow batches; state is per-key scalars, parallel across "
+    "keys — the applyInPandas shape through the SQL-native TABLE() "
+    "surface.",
+)
+def q98c_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, n_tokens bigint, "
+          "min_doc bigint, max_doc bigint")
+    class LangSummary:
+        def __init__(self):
+            self._lang = None
+            self._n_docs = 0
+            self._n_tokens = 0
+            self._min_doc = None
+            self._max_doc = None
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n_docs += 1
+            self._n_tokens += sum(
+                1 for w in row["text"].split(" ") if w != ""
+            )
+            d = row["doc_id"]
+            self._min_doc = d if self._min_doc is None else min(self._min_doc, d)
+            self._max_doc = d if self._max_doc is None else max(self._max_doc, d)
+
+        def terminate(self):
+            if self._n_docs:
+                yield (
+                    self._lang,
+                    self._n_docs,
+                    self._n_tokens,
+                    self._min_doc,
+                    self._max_doc,
+                )
+
+    spark.udtf.register("lang_summary_udtf", LangSummary)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * FROM lang_summary_udtf("
+        "TABLE(SELECT doc_id, lang, text FROM documents) PARTITION BY lang)"
+    )

@@ -1394,3 +1394,94 @@ def st19_stream_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "st20_stream_rapid_repeat",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        )
+        SELECT a.event_type,
+               count(*) AS n_pairs,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+               CAST(min(abs(a.us - b.us)) AS BIGINT) AS min_gap_us,
+               CAST(max(abs(a.us - b.us)) AS BIGINT) AS max_gap_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = b.event_type
+         AND a.event_id < b.event_id
+         AND abs(a.us - b.us) <= 300000000
+        GROUP BY a.event_type
+    """,
+    doc="qd27's rapid-repeat audit UNDER readStream — the streaming "
+    "twin proving the composite-key bucket-replica re-plan works as "
+    "live stream-static enrichment: the event stream explodes to "
+    "floor-division tolerance buckets {b-1,b,b+1} inside the stream "
+    "and equi-joins a static localCheckpoint-ed copy of the SAME "
+    "table on (user, type, bucket); the a_id < b_id + exact "
+    "|Δt| <= 5 min post-filters keep each unordered pair exactly "
+    "once, so the drained append-mode sink aggregates to qd27's "
+    "report and hash-matches the quadratic theta oracle — batch, "
+    "streaming, and oracle agree row-for-row.  Scale: this is how a "
+    "live ingest stream screens itself for double-submits against "
+    "the recent-history table without a per-micro-batch nested "
+    "loop; state is bounded by the static side's retention window.",
+)
+def st20_stream_rapid_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    tol = 300 * 1000000
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    static_side = (
+        base.select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("event_type").alias("b_type"),
+            F.col("us").alias("b_us"),
+            F.expr(f"(us - pmod(us, {tol})) div {tol}").alias("b_bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stream = _read_events_stream(spark, sf_dir)
+    sb = F.expr(f"(a_us - pmod(a_us, {tol})) div {tol}")
+    a = (
+        stream.select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("event_type").alias("a_type"),
+            F.unix_micros(F.col("ts")).alias("a_us"),
+        )
+        .select(
+            "a_id",
+            "a_user",
+            "a_type",
+            "a_us",
+            F.explode(F.array(sb - 1, sb, sb + 1)).alias("bucket"),
+        )
+    )
+    gap = F.abs(F.col("a_us") - F.col("b_us"))
+    pairs = (
+        a.join(
+            static_side,
+            (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_type") == F.col("b_type")),
+        )
+        .filter((F.col("a_id") < F.col("b_id")) & (gap <= tol))
+        .select("a_type", "a_user", gap.alias("gap_us"))
+    )
+    sink = _run_to_memory(pairs, "append")
+    return sink.groupBy(F.col("a_type").alias("event_type")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("a_user").cast("long").alias("n_users"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
