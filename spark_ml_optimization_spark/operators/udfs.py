@@ -623,10 +623,18 @@ def q98c_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     spark.udtf.register("lang_summary_udtf", LangSummary)
-    from ..sources import register_views
+    # Private view, not the shared register_views() names: the threaded
+    # fastlane runs oracle queries concurrently, and a TABLE() argument
+    # resolving `documents` mid-re-registration by another thread is the
+    # one flake this family can hit (q18/q98b re-register the same
+    # shared views; q98c alone owns this name).
+    from ..sources import load_table as _lt
 
-    register_views(spark, sf_dir)
+    _lt(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).createOrReplaceTempView("q98c_documents")
     return spark.sql(
         "SELECT * FROM lang_summary_udtf("
-        "TABLE(SELECT doc_id, lang, text FROM documents) PARTITION BY lang)"
+        "TABLE(SELECT doc_id, lang, text FROM q98c_documents) "
+        "PARTITION BY lang)"
     )
