@@ -2103,3 +2103,147 @@ def qc37_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("worst_bench_vec"),
     )
+
+
+_HAMILTON_BUDGET = 1000  # total docs the proportional sample may keep
+
+
+@register(
+    "qc41_hamilton_quota_sample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT sum(n_docs) AS n,
+                   least({_HAMILTON_BUDGET}, sum(n_docs)) AS beff
+            FROM counts
+        ),
+        base AS (
+            SELECT c.lang, c.n_docs,
+                   (t.beff * c.n_docs) // t.n AS floor_seats,
+                   (t.beff * c.n_docs) % t.n AS rem
+            FROM counts c CROSS JOIN tot t
+        ),
+        spare AS (
+            SELECT (SELECT beff FROM tot) - sum(floor_seats) AS extra
+            FROM base
+        ),
+        quota AS (
+            SELECT a.lang, a.n_docs,
+                   CAST(a.floor_seats
+                        + CASE WHEN (SELECT count(*) FROM base b
+                                     WHERE b.rem > a.rem
+                                        OR (b.rem = a.rem
+                                            AND b.lang < a.lang))
+                               < (SELECT extra FROM spare)
+                               THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM base a
+        ),
+        ranked AS (
+            SELECT d.lang, d.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+                                d.doc_id ASC) AS rk
+            FROM documents d
+        )
+        SELECT q.lang,
+               CAST(q.n_docs AS BIGINT) AS n_docs,
+               q.quota,
+               CAST(count(r.doc_id) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(r.n_chars), 0) AS BIGINT)
+                   AS selected_chars
+        FROM quota q
+        LEFT JOIN ranked r ON r.lang = q.lang AND r.rk <= q.quota
+        GROUP BY q.lang, q.n_docs, q.quota
+    """,
+    doc=f"HAMILTON (largest-remainder) quota sampling — the exact "
+    f"proportional-allocation step qc02/qc09's fixed-k samplers skip: "
+    f"a {_HAMILTON_BUDGET}-doc budget (capped at the corpus size, so "
+    "the law below holds at every scale factor) is apportioned across "
+    "languages as floor(B*n_i/N) seats plus one extra seat to the "
+    "largest remainders until the budget is exact (total selected == "
+    "min(B, N) by construction, quota_i <= n_i always, no language "
+    "over- or under-drawn by more than one doc from true "
+    "proportionality).  Every quantity is INTEGER "
+    "arithmetic — remainders are B*n_i mod N, and the extra-seat rule "
+    "is a bounded triangular comparison (remainder desc, lang asc "
+    "tiebreak) over the ~5-row language relation, deliberately NOT a "
+    "global window (the test_plan_sweep rule).  Selection inside each "
+    "language is the deterministic md5-rank (qc02's machinery), and "
+    "the output verifies actual membership (selected char mass), not "
+    "just counts.  Scale: one counts agg, seat math on a "
+    "languages-sized relation, one lang-partitioned rank window — "
+    "the standard way a 100 TB corpus draws an exactly-B-doc "
+    "proportional eval sample.",
+)
+def qc41_hamilton_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    B = _HAMILTON_BUDGET
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"),
+        F.least(F.lit(B), F.sum("n_docs")).alias("beff"),
+    )
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "beff",
+        F.expr("(beff * n_docs) div n").alias("floor_seats"),
+        ((F.col("beff") * F.col("n_docs")) % F.col("n")).alias("rem"),
+    )
+    spare = base.agg(
+        (F.max("beff") - F.sum("floor_seats")).alias("extra")
+    )
+    other = base.select(
+        F.col("lang").alias("o_lang"), F.col("rem").alias("o_rem")
+    )
+    ahead = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_lang") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_docs", "floor_seats")
+        .agg(F.count("o_lang").alias("n_ahead"))
+    )
+    quota = ahead.crossJoin(F.broadcast(spare)).select(
+        "lang",
+        "n_docs",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("n_ahead") < F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    ranked = d.select("lang", "doc_id", "n_chars").withColumn("rk", rk)
+    sel = ranked.join(F.broadcast(quota.select("lang", "quota")), "lang").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    sel_agg = sel.groupBy("lang").agg(
+        F.count("*").alias("n_selected_raw"),
+        F.sum("n_chars").alias("selected_chars_raw"),
+    )
+    return (
+        quota.join(sel_agg, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "quota",
+            F.coalesce(F.col("n_selected_raw"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(F.col("selected_chars_raw"), F.lit(0))
+            .cast("long")
+            .alias("selected_chars"),
+        )
+    )
