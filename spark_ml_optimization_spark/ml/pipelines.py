@@ -1292,14 +1292,17 @@ def ml26_bucketizer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact half-integers, so both engines compute the identical "
     "double before the final division (scores are qd19's "
     "deterministic rational proxy; a real model's score column drops "
-    "in unchanged).  Scale: the window runs over distinct scores "
-    "(sketchable via fixed-width binning at 100 TB with bounded AUC "
-    "error), never over rows — MLlib's "
-    "BinaryClassificationEvaluator does the same thing with an "
-    "RDD sort, this is the Catalyst form.",
+    "in unchanged).  Scale: the prefix sum runs over distinct scores "
+    "and is DISTRIBUTED (dist_rank.distributed_cumsum: range exchange "
+    "+ pid-partitioned local sums + broadcast offsets — no "
+    "unpartitioned WindowExec anywhere in the plan, so even "
+    "distinct-scores ~ n cannot funnel one task), never over rows — "
+    "MLlib's BinaryClassificationEvaluator does the same thing with "
+    "an RDD sort, this is the Catalyst form.  The bounded-spine "
+    "sketch twin is ml27b (1024 integer-exact score bins).",
 )
 def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.dist_rank import distributed_cumsum
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
@@ -1309,10 +1312,13 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_score = scored.groupBy("s").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    ranked = per_score.select(
-        "s", "n", "pos", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before")
-    )
+    # Materialize the narrow distinct-score relation once: the range
+    # exchange's boundary-sampling job would otherwise recompute the
+    # full documents scan + hash agg (the qa24 lesson).
+    per_score = per_score.localCheckpoint(eager=False)
+    ranked = distributed_cumsum(
+        per_score, [F.col("s").asc()], [("n", "cum_before", False)]
+    ).select("s", "n", "pos", "cum_before")
     tot = ranked.agg(
         F.sum("pos").alias("n1"),
         (F.sum("n") - F.sum("pos")).alias("n0"),
@@ -1328,6 +1334,90 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") * F.col("n0")),
             6,
         ).alias("auc"),
+    )
+
+
+@register(
+    "ml27b_roc_auc_binned",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST((1024 * n_chars) // (n_chars + 256) AS INTEGER) AS b,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        per_bin AS (
+            SELECT b, count(*) AS n, sum(y) AS pos
+            FROM scored GROUP BY b
+        ),
+        ranked AS (
+            SELECT b, n, pos,
+                   COALESCE(sum(n) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM per_bin
+        ),
+        tot AS (
+            SELECT sum(pos) AS n1, sum(n) - sum(pos) AS n0,
+                   count(*) AS nb,
+                   sum(pos * (cum_before + (n + 1) / 2.0)) AS rank_sum
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               CAST(nb AS BIGINT) AS n_bins,
+               round((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+                   AS auc_binned
+        FROM tot
+    """,
+    doc="BINNED-SPINE ROC AUC — ml27's executable 100 TB sketch path "
+    "(SCALE.md 'Global-window policy' #2), hash-verified end to end: "
+    "scores are coarsened to 1024 fixed-width bins BEFORE the "
+    "midrank pass, so the cumulative window runs over a BOUNDED "
+    "domain (≤1024 rows) no matter how many distinct raw scores the "
+    "model emits.  The bin id is computed in EXACT INTEGER arithmetic "
+    "— floor(1024·s) for s = n_chars/(n_chars+256) equals "
+    "(1024·n_chars) div (n_chars+256), so no double rounding can "
+    "flip a boundary row between engines — and the Mann-Whitney "
+    "midrank formula is unchanged (ties now include all rows sharing "
+    "a bin; that coarsening IS the sketch's approximation, bounded "
+    "by the per-bin tie mass).  tests/test_ml_shapes.py pins the "
+    "binned AUC against ml27's exact AUC within the bin-width "
+    "tolerance.",
+)
+def ml27b_roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr("CAST((1024 * n_chars) div (n_chars + 256) AS INT)").alias("b"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_bin = scored.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    # Bounded spine: the window runs over <= 1024 bin rows by
+    # construction (allowlisted in test_plan_sweep as bounded-domain).
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_bin.select(
+        "b", "n", "pos", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before")
+    )
+    tot = ranked.agg(
+        F.sum("pos").alias("n1"),
+        (F.sum("n") - F.sum("pos")).alias("n0"),
+        F.count("*").alias("nb"),
+        F.sum(F.col("pos") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)).alias(
+            "rank_sum"
+        ),
+    )
+    return tot.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.col("nb").cast("long").alias("n_bins"),
+        F.round(
+            (F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc_binned"),
     )
 
 
@@ -1378,14 +1468,15 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operating point a deployed filter actually runs at.  All counts "
     "are exact integers, F1 is one division of identical doubles, so "
     "the argmax cannot flake across engines.  Scale: same shape as "
-    "ml27 — one hash agg to distinct scores, one tiny window "
-    "(distinct-score-sized, allowlisted in test_plan_sweep; swap to "
-    "fixed-width score bins when distinct scores explode, SCALE.md "
-    "'Global-window policy' #2), one top-1; never a per-threshold "
-    "scan of raw rows.",
+    "ml27 — one hash agg to distinct scores, then DISTRIBUTED "
+    "reverse prefix sums (dist_rank.distributed_cumsum, both tp and "
+    "fp in one range-exchange pass — no unpartitioned WindowExec even "
+    "when distinct scores ~ n), one top-1; never a per-threshold "
+    "scan of raw rows.  The bounded-spine sketch twin is ml29b "
+    "(1024 integer-exact score bins).",
 )
 def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.dist_rank import distributed_cumsum
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
@@ -1395,13 +1486,17 @@ def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_score = scored.groupBy("s").agg(
         F.count("*").alias("n"), F.sum("y").alias("pos")
     )
-    tot = per_score.agg(F.sum("pos").alias("n1"))
-    w = W.orderBy(F.col("s").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_score.select(
-        "s",
-        F.sum("pos").over(w).alias("tp"),
-        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    # One materialization of the narrow distinct-score relation (the
+    # qa24 lesson: range-sampling jobs recompute upstream otherwise).
+    per_score = per_score.localCheckpoint(eager=False).withColumn(
+        "neg", F.col("n") - F.col("pos")
     )
+    tot = per_score.agg(F.sum("pos").alias("n1"))
+    cum = distributed_cumsum(
+        per_score,
+        [F.col("s").desc()],
+        [("pos", "tp", True), ("neg", "fp", True)],
+    ).select("s", "tp", "fp")
     f1s = cum.crossJoin(F.broadcast(tot)).select(
         F.col("s").alias("threshold"),
         "tp",
@@ -1414,6 +1509,103 @@ def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(
             F.round("threshold", 6).alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6).alias(
+                "recall"
+            ),
+            F.round("f1", 6).alias("f1"),
+        )
+    )
+
+
+@register(
+    "ml29b_operating_point_binned",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST((1024 * n_chars) // (n_chars + 256) AS INTEGER) AS b,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        per_bin AS (
+            SELECT b, count(*) AS n, sum(y) AS pos
+            FROM scored GROUP BY b
+        ),
+        tot AS (SELECT sum(pos) AS n1 FROM per_bin),
+        cum AS (
+            SELECT b,
+                   sum(pos) OVER (ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   sum(n - pos) OVER (ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM per_bin
+        ),
+        f1s AS (
+            SELECT b AS threshold_bin, tp, fp,
+                   (SELECT n1 FROM tot) - tp AS fn,
+                   2.0 * tp / (tp + fp + (SELECT n1 FROM tot)) AS f1
+            FROM cum
+        )
+        SELECT threshold_bin,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(tp * 1.0 / (tp + fp), 6) AS precision,
+               round(tp * 1.0 / (tp + fn), 6) AS recall,
+               round(f1, 6) AS f1
+        FROM f1s
+        ORDER BY f1 DESC, threshold_bin DESC
+        LIMIT 1
+    """,
+    doc="BINNED-SPINE operating-point selection — ml29's executable "
+    "100 TB sketch path: candidate thresholds are the 1024 "
+    "integer-exact score-bin edges (predict positive at bin >= t) "
+    "instead of every distinct raw score, so the reverse-cumulative "
+    "TP/FP windows run over a BOUNDED spine regardless of score "
+    "cardinality.  Same exact-integer bin id as ml27b ((1024·n_chars) "
+    "div (n_chars+256)); counts stay exact integers, so the max-F1 "
+    "argmax (largest-bin tiebreak) cannot flake across engines.  The "
+    "deployed threshold is the bin lower edge t/1024 — within one "
+    "bin width of ml29's exact operating point, pinned in "
+    "tests/test_ml_shapes.py.",
+)
+def ml29b_operating_point_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.expr("CAST((1024 * n_chars) div (n_chars + 256) AS INT)").alias("b"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_bin = scored.groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_bin.agg(F.sum("pos").alias("n1"))
+    # Bounded spine: <= 1024 bin rows (allowlisted as bounded-domain).
+    w = W.orderBy(F.col("b").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_bin.select(
+        "b",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    f1s = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("b").alias("threshold_bin"),
+        "tp",
+        "fp",
+        (F.col("n1") - F.col("tp")).alias("fn"),
+        (2.0 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("n1"))).alias("f1"),
+    )
+    return (
+        f1s.orderBy(F.col("f1").desc(), F.col("threshold_bin").desc())
+        .limit(1)
+        .select(
+            "threshold_bin",
             F.col("tp").cast("long").alias("tp"),
             F.col("fp").cast("long").alias("fp"),
             F.col("fn").cast("long").alias("fn"),

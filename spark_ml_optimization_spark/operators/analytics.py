@@ -1096,12 +1096,18 @@ def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the customer relation grows with the data, so a global-window
     # sort is a single-task straggler at 100 TB.  Bit-identical to
     # ntile(5).over(Window.orderBy(...)) — the oracle is unchanged.
-    # The per-customer aggregate is cached (narrow: 4 columns) because
-    # three independent rank branches + their range-sampling jobs read
-    # it; chaining the ntiles instead would stack range exchanges whose
-    # boundary-sampling jobs recompute the whole upstream DAG (measured
-    # 16.8 s chained vs ~2 s branched at sf0.01).
-    cust = cust.cache()
+    # The per-customer aggregate is materialized once (narrow: 4
+    # columns) because three independent rank branches + their
+    # range-sampling jobs read it; chaining the ntiles instead would
+    # stack range exchanges whose boundary-sampling jobs recompute the
+    # whole upstream DAG (measured 16.8 s chained vs ~2 s branched at
+    # sf0.01).  Lazy localCheckpoint rather than .cache(): the cache
+    # manager pins cached relations until an explicit unpersist (which
+    # no caller of a lazily-returned DataFrame can sequence), while a
+    # localCheckpoint's storage is released by the ContextCleaner once
+    # the RDD is GC'd — no per-query storage accumulation across a
+    # 364-query suite run.
+    cust = cust.localCheckpoint(eager=False)
     r = distributed_ntile(
         cust.select("o_custkey", "last_order"),
         5,

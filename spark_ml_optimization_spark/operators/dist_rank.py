@@ -51,9 +51,14 @@ def distributed_row_number(
     from pyspark.sql import Window as W
 
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            # e.g. "auto" under AQE-managed platforms — any positive width
+            # works (correctness is partition-count independent).
+            num_partitions = 200
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
@@ -76,6 +81,88 @@ def distributed_row_number(
         .withColumn(out_col, (F.col(_LRN) + F.col(_OFF)).cast("long"))
         .drop(_PID, _LRN, _OFF)
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    specs: list[tuple[str, str, bool]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + one cumulative-sum column per spec, over the total order
+    ``order_cols`` — the scale-safe replacement for
+    ``sum(x).over(Window.orderBy(...))`` (unpartitioned prefix sums).
+
+    specs: ``(value_col, out_col, inclusive)`` — ``inclusive=True`` is
+    ROWS UNBOUNDED PRECEDING..CURRENT ROW, ``False`` is ..1 PRECEDING
+    (exclusive; 0 for the first row).  All specs share one range
+    exchange + one pid-partitioned window pass.  Exact for integer
+    value columns (integer addition is order-independent), so results
+    are bit-identical to the single-task global window.
+
+    Same mechanics as :func:`distributed_row_number`: range exchange,
+    per-partition (pid-windowed) local prefix sums, bounded triangular
+    self-join for per-partition offsets, broadcast offset join.
+    """
+    from pyspark.sql import Window as W
+
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            num_partitions = 200
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_inc = W.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_exc = W.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    local = ranged
+    for value_col, out_col, inclusive in specs:
+        local = local.withColumn(
+            f"_dcs_{out_col}",
+            F.coalesce(
+                F.sum(value_col).over(w_inc if inclusive else w_exc), F.lit(0)
+            ),
+        )
+    totals = local.groupBy(_PID).agg(
+        *[
+            F.sum(value_col).alias(f"_dcs_tot_{out_col}")
+            for value_col, out_col, _ in specs
+        ]
+    )
+    prev = totals.select(
+        F.col(_PID).alias("_dcs_prev_pid"),
+        *[
+            F.col(f"_dcs_tot_{out_col}").alias(f"_dcs_prev_{out_col}")
+            for _, out_col, _ in specs
+        ],
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(prev), F.col("_dcs_prev_pid") < F.col(_PID), "left"
+        )
+        .groupBy(_PID)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_dcs_prev_{out_col}"), F.lit(0)).alias(
+                    f"_dcs_off_{out_col}"
+                )
+                for _, out_col, _ in specs
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    for _, out_col, _ in specs:
+        out = out.withColumn(
+            out_col, F.col(f"_dcs_{out_col}") + F.col(f"_dcs_off_{out_col}")
+        ).drop(f"_dcs_{out_col}", f"_dcs_off_{out_col}")
+    return out.drop(_PID)
 
 
 def distributed_ntile(

@@ -938,36 +938,135 @@ def qd14_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine's skew toolbox: Gini above ~0.6 on a join key is the cue "
     "to reach for q48's salting or AQE skew-join before the 100 TB "
     "run, not after it spills.  Max-rows-per-key rides along as the "
-    "absolute hot-key bound.  The global rank is keyspace-sized "
-    "(sublinear; allowlisted in test_plan_sweep) — at ~1e9 keys swap "
-    "to sampled/binned counts per SCALE.md 'Global-window policy' #2.",
+    "absolute hot-key bound.  The keyspace rank is DISTRIBUTED "
+    "(dist_rank.distributed_row_number — range exchange + "
+    "pid-partitioned rank + broadcast offsets), so even a ~1e9-key "
+    "fact table never funnels one WindowExec task; the numerator is "
+    "algebraically decomposed (sum((2i-k-1)n) = 2·sum(i·n) − "
+    "(k+1)·sum(n), exact integers) so the per-row k broadcast the "
+    "oracle uses is unnecessary.  The bounded-histogram sketch twin "
+    "is qd15b (digit-binned counts).",
 )
 def qd15_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    # One materialization of the narrow per-key relation (the qa24
+    # lesson: the range-sampling job recomputes the fact scan otherwise).
+    per_key = per_key.localCheckpoint(eager=False)
+    ranked = distributed_row_number(
+        per_key, [F.col("n").asc(), F.col("l_suppkey").asc()], "i"
+    ).select("n", "i")
+    return ranked.agg(
+        F.lit("lineitem.l_suppkey").alias("key_col"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 4).alias(
+            "mean_rows_per_key"
+        ),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("n"))
+                - (F.count("*") + 1).cast("double") * F.sum("n")
+            )
+            / (F.count("*").cast("double") * F.sum("n")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "qd15b_key_skew_gini_binned",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+        ),
+        bins AS (
+            SELECT length(CAST(n AS VARCHAR)) AS d,
+                   count(*) AS k_b,
+                   sum(n) AS tot_b,
+                   max(n) AS mx_b
+            FROM per_key GROUP BY d
+        ),
+        ranked AS (
+            SELECT d, k_b, tot_b, mx_b,
+                   COALESCE(sum(k_b) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS keys_before
+            FROM bins
+        ),
+        tot AS (
+            SELECT sum(k_b) AS k, sum(tot_b) AS nrows, count(*) AS nb,
+                   max(mx_b) AS mx,
+                   sum(tot_b * (keys_before + (k_b + 1) / 2.0)) AS grank_sum
+            FROM ranked
+        )
+        SELECT 'lineitem.l_suppkey' AS key_col,
+               CAST(k AS BIGINT) AS n_keys,
+               CAST(nrows AS BIGINT) AS n_rows,
+               CAST(nb AS BIGINT) AS n_bins,
+               CAST(mx AS BIGINT) AS max_rows_per_key,
+               round((2.0 * grank_sum - (k + 1) * nrows) / (k * nrows), 6)
+                   AS gini_binned
+        FROM tot
+    """,
+    doc="BINNED-HISTOGRAM key-skew Gini — qd15's executable 100 TB "
+    "sketch path: per-key counts collapse to a DECIMAL-DIGIT-COUNT "
+    "histogram (length(CAST(n AS VARCHAR)) — exact in both engines, "
+    "<= 19 bins for any BIGINT count), so nothing keyspace-sized is "
+    "ever ranked: one map-side fact agg, one <= 19-row bounded "
+    "window.  Within a bin every key is treated as holding the bin "
+    "mean, which makes the grouped rank-sum closed-form — "
+    "sum_bin(tot_b * (keys_before + (k_b+1)/2)), exact half-integers "
+    "— and the grouped Gini a LOWER bound of qd15's exact Gini "
+    "(within-bin inequality is ignored); tests/test_ml_shapes.py "
+    "pins both the bound and closeness on the fixture.  The trigger "
+    "semantics survive binning: a hot key inflates the top digit "
+    "bin's mass, which is what the salting decision needs.",
+)
+def qd15b_key_skew_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
-    w_all = W.partitionBy()
-    ranked = per_key.select(
-        "n",
-        F.row_number().over(W.orderBy("n", "l_suppkey")).alias("i"),
-        F.count("*").over(w_all).alias("k"),
-        F.sum("n").over(w_all).alias("tot"),
-        F.max("n").over(w_all).alias("mx"),
+    bins = per_key.groupBy(
+        F.length(F.col("n").cast("string")).alias("d")
+    ).agg(
+        F.count("*").alias("k_b"),
+        F.sum("n").alias("tot_b"),
+        F.max("n").alias("mx_b"),
     )
-    return ranked.agg(
+    # Bounded spine: <= 19 digit bins (allowlisted as bounded-domain).
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    ranked = bins.select(
+        "d",
+        "k_b",
+        "tot_b",
+        "mx_b",
+        F.coalesce(F.sum("k_b").over(w), F.lit(0)).alias("keys_before"),
+    )
+    tot = ranked.agg(
+        F.sum("k_b").alias("k"),
+        F.sum("tot_b").alias("nrows"),
+        F.count("*").alias("nb"),
+        F.max("mx_b").alias("mx"),
+        F.sum(
+            F.col("tot_b") * (F.col("keys_before") + (F.col("k_b") + 1) / 2.0)
+        ).alias("grank_sum"),
+    )
+    return tot.select(
         F.lit("lineitem.l_suppkey").alias("key_col"),
-        F.max("k").cast("long").alias("n_keys"),
-        F.max("tot").cast("long").alias("n_rows"),
-        F.round(F.max("tot").cast("double") / F.max("k"), 4).alias(
-            "mean_rows_per_key"
-        ),
-        F.max("mx").cast("long").alias("max_rows_per_key"),
+        F.col("k").cast("long").alias("n_keys"),
+        F.col("nrows").cast("long").alias("n_rows"),
+        F.col("nb").cast("long").alias("n_bins"),
+        F.col("mx").cast("long").alias("max_rows_per_key"),
         F.round(
-            F.sum((2.0 * F.col("i") - F.col("k") - 1) * F.col("n"))
-            / (F.max("k").cast("double") * F.max("tot")),
+            (2.0 * F.col("grank_sum") - (F.col("k") + 1) * F.col("nrows"))
+            / (F.col("k").cast("double") * F.col("nrows")),
             6,
-        ).alias("gini"),
+        ).alias("gini_binned"),
     )
 
 

@@ -591,6 +591,12 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set(key, prev)
+        # The result lives in the memory sink; the per-invocation
+        # staging dir (fixture link + two driver batches) is dead
+        # weight — remove it so suite/bench runs don't leak disk.
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name).filter(F.col("p_user") >= 0)
 
 

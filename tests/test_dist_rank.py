@@ -76,3 +76,70 @@ def test_ascending_order_and_rank_density(spark):
     )
     ranks = sorted(r.r for r in out.collect())
     assert ranks == list(range(1, 138))
+
+
+def test_cumsum_matches_global_window(spark):
+    """distributed_cumsum == the single-task global prefix sums it
+    replaces, inclusive AND exclusive, for asc and desc orders, with
+    planted ties in the non-tiebreak key."""
+    from spark_ml_optimization_spark.operators.dist_rank import (
+        distributed_cumsum,
+    )
+
+    df = _mk(spark, 211, n_values=4).withColumn("x", (F.col("id") * 3 + 1) % 17)
+    for order in (
+        [F.col("v").asc(), F.col("id").asc()],
+        [F.col("v").desc(), F.col("id").desc()],
+    ):
+        ref = {
+            r.id: (r.inc, r.exc)
+            for r in df.withColumn(
+                "inc",
+                F.sum("x").over(
+                    W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .withColumn(
+                "exc",
+                F.coalesce(
+                    F.sum("x").over(
+                        W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .collect()
+        }
+        got = {
+            r.id: (r.inc, r.exc)
+            for r in distributed_cumsum(
+                df,
+                order,
+                [("x", "inc", True), ("x", "exc", False)],
+                num_partitions=7,
+            ).collect()
+        }
+        assert got == ref
+
+
+def test_cumsum_plan_has_no_unpartitioned_window(spark):
+    from spark_ml_optimization_spark.operators.dist_rank import (
+        distributed_cumsum,
+    )
+
+    df = _mk(spark, 100, n_values=10)
+    out = distributed_cumsum(
+        df, [F.col("v").asc(), F.col("id").asc()], [("v", "c", True)]
+    )
+    plan = out._jdf.queryExecution().optimizedPlan()
+
+    def scan(p, acc):
+        if p.getClass().getSimpleName() == "Window":
+            if p.partitionSpec().isEmpty():
+                acc.append(str(p)[:80])
+        for i in range(p.children().size()):
+            scan(p.children().apply(i), acc)
+
+    acc: list[str] = []
+    scan(plan, acc)
+    assert not acc, acc

@@ -152,3 +152,51 @@ def test_rf_importances_simplex_and_contract(spark):
     assert imps == sorted(imps, reverse=True)
     rows2 = ml30_rf_feature_importances(spark, SF_CORRECT).collect()
     assert rows == rows2
+
+
+def test_binned_auc_close_to_exact(spark, duck):
+    """ml27b (1024-bin sketch) vs ml27 (exact midrank AUC): the binned
+    AUC differs only by within-bin tie coarsening, so it must sit
+    within the aggregate bin tie mass — and certainly within one bin
+    width (1/1024 of the score range) times a small constant on this
+    fixture's near-uniform score distribution."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = all_queries()["ml27_roc_auc_relational"].fn(spark, sf).collect()[0]
+    binned = all_queries()["ml27b_roc_auc_binned"].fn(spark, sf).collect()[0]
+    assert binned["n_pos"] == exact["n_pos"]
+    assert binned["n_neg"] == exact["n_neg"]
+    assert binned["n_bins"] <= 1024
+    assert abs(binned["auc_binned"] - exact["auc"]) < 0.01
+
+
+def test_binned_operating_point_close_to_exact(spark):
+    """ml29b's threshold bin must bracket ml29's exact threshold within
+    one bin width, and its F1 can only be <= the exact max-F1 (the
+    binned candidate set is a subset of all thresholds) but within the
+    coarsening tolerance."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = all_queries()["ml29_operating_point"].fn(spark, sf).collect()[0]
+    binned = all_queries()["ml29b_operating_point_binned"].fn(spark, sf).collect()[0]
+    assert abs(binned["threshold_bin"] / 1024.0 - exact["threshold"]) <= 2 / 1024.0
+    assert binned["f1"] <= exact["f1"] + 1e-9
+    assert exact["f1"] - binned["f1"] < 0.02
+
+
+def test_binned_gini_lower_bounds_exact(spark):
+    """qd15b's grouped Gini ignores within-bin inequality, so it is a
+    LOWER bound of qd15's exact Gini (classic grouped-data property),
+    and on the fixture's distribution it stays close."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = all_queries()["qd15_key_skew_gini"].fn(spark, sf).collect()[0]
+    binned = all_queries()["qd15b_key_skew_gini_binned"].fn(spark, sf).collect()[0]
+    assert binned["n_keys"] == exact["n_keys"]
+    assert binned["n_rows"] == exact["n_rows"]
+    assert binned["max_rows_per_key"] == exact["max_rows_per_key"]
+    assert binned["gini_binned"] <= exact["gini"] + 1e-6
+    assert exact["gini"] - binned["gini_binned"] < 0.25

@@ -64,13 +64,16 @@ _ROW_PYTHON_OK = {"q99_registered_sql_udf"}
 #: Unpartitioned windows allowed ONLY over bounded/sublinear relations
 #: (each justified; everything entity-scale goes through dist_rank.py).
 _GLOBAL_WINDOW_OK = {
-    "ml27_roc_auc_relational",  # spine of DISTINCT scores (SCALE.md: bin swap)
-    "ml29_operating_point",  # same distinct-score spine as ml27
+    # ml27/ml29/qd15 were de-globalized in round 6 (distributed_cumsum /
+    # distributed_row_number) — entity/data-coupled spines no longer
+    # appear here; every remaining entry is a BOUNDED domain.
+    "ml27b_roc_auc_binned",  # fixed 1024-bin score spine
+    "ml29b_operating_point_binned",  # fixed 1024-bin score spine
+    "qd15b_key_skew_gini_binned",  # <= 19 decimal-digit count bins
     "q67d_survival_curve",  # duration spine: distinct churn-day values
     "q77c_zipf_fit",  # vocabulary rank: distinct tokens, sublinear (Heaps)
     "q83d_pmi_cooccurrence",  # top-30 df vocabulary rank, sublinear (Heaps)
     "qd14_ks_drift",  # fixed quantile-grid bins
-    "qd15_key_skew_gini",  # keyspace-sized rank (SCALE.md: sample/bin swap)
     "qd20_anomaly_episodes",  # day spine: one row per calendar day
 }
 

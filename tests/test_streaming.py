@@ -66,8 +66,14 @@ def test_stream_stream_left_join_emits_unmatched(spark):
     # before the stream stops, so the deterministic contract is total:
     # every purchase emits, matched or NULL — no watermark-tail holdout.
     assert purchases == {r["event_id"] for r in rows_all}
-    # Sentinel driver rows (user_id < 0) must never leak into the sink.
-    assert all(r["p_user"] >= 0 for r in rows)
+    # Sentinel driver rows must never leak into the result.  The query
+    # itself filters p_user >= 0, so asserting on p_user would be
+    # tautological; the real leak channels are the EVENT ids — a
+    # sentinel click (event_id < 0) joined onto a fixture purchase
+    # would survive the p_user filter.  Sentinel event ids are the
+    # negative ones (-2,-3,-4,-5 by construction).
+    assert all(r["purchase_id"] >= 0 for r in rows)
+    assert all(r["click_id"] is None or r["click_id"] >= 0 for r in rows)
 
 
 def test_stream_upsert_matches_batch_counts(spark):
