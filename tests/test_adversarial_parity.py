@@ -84,6 +84,9 @@ ADV_FAMILIES = [
     "qd25_exact_quantiles_distributed",  # integer position gates on tiny n
     "qd29_late_arrival_audit",   # planted out-of-order purchase (event 8: 2 min late)
     "qd28_staleness_profile",    # multi-day gaps between planted event days
+    # round-6 luck-sensitive additions:
+    "qc42_bpe_merge_training",   # identical-symbol runs in the re-segment replace
+    "qc43_bpe_learned_count",    # learned-vocab greedy scan over the same plants
 ]
 
 
@@ -121,6 +124,14 @@ def _edge_docs() -> list[tuple[int, str, str, str]]:
         (18, "thing bother ingenious mentment", "xx", "adv"),
         (19, "xxthe th t", "xx", "adv"),
         (20, "theththe ententio ionion", "xx", "adv"),
+        # qc42/qc43 BPE TRAINING plants: runs of identical symbols.  A
+        # merge pair whose left == right (z,z wins a round outright;
+        # a,a exercises odd-length leftovers) makes the left-to-right
+        # NON-OVERLAP semantics of the re-segment step load-bearing —
+        # a shared-delimiter replace encoding would merge (4,5) where
+        # the greedy fold merges (3,4) and hash-diverge here.
+        (21, "zzzz zzzz zzzz zzzz zzzz zzzz zzzz", "xx", "adv"),
+        (22, "aaaa aaaa aaaa aaa oooo ooo", "xx", "adv"),
     ]
 
 
@@ -151,7 +162,7 @@ def _find_floor_cliff_filler(base_tokens: dict[str, int]) -> int:
 
 def _build_documents() -> tuple[pa.Table, int]:
     rows = list(_edge_docs())
-    next_id = 21
+    next_id = 23
     for lang, (n_docs, n_tok) in _MIX.items():
         for d in range(n_docs):
             rows.append((next_id, _tokens(n_tok, salt=next_id), lang, f"src{d % 3}"))

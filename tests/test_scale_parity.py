@@ -97,6 +97,11 @@ SCALE_SENSITIVE = [
     # the streaming twin must match the theta-join oracle under the
     # ~100x sf0.1 pair density, same as q66c.
     "st19_stream_proximity_join",
+    # learned BPE merges are data-dependent: the sf0.1 word-frequency
+    # table yields a different merge sequence than sf0.01 — re-pin the
+    # training argmax chain and the learned-vocab scan at bench scale.
+    "qc42_bpe_merge_training",
+    "qc43_bpe_learned_count",
 ]
 
 TABLES = (
