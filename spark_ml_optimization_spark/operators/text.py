@@ -512,7 +512,7 @@ def q77b_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank window runs over the VOCABULARY (types, not tokens), so the "
     "sort is vocabulary-sized — sublinear by Heaps' law (q77b) and "
     "allowlisted in test_plan_sweep; at web scale swap the exact rank "
-    "for approx_top_k (q28b) per SCALE.md 'Global-window policy' #2; "
+    "for the approx_top_k sketch — EXECUTABLE as q77d, hash-verified; "
     "regr_slope/regr_r2 are single-pass mergeable aggregates — "
     "hash-stable cross-engine (q20c established the regr_* parity "
     "pattern).",
@@ -530,6 +530,53 @@ def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_types"),
         F.round(F.expr("regr_slope(ln(f), ln(r))"), 4).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(r))"), 4).alias("fit_r2"),
+    )
+
+
+@register(
+    "q77d_vocab_topk_sketch",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, u.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+            WHERE u.tok <> ''
+        ),
+        df AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+        nd AS (SELECT count(*) AS n FROM documents)
+        SELECT tok, CAST(df AS BIGINT) AS df
+        FROM df, nd
+        WHERE df * 4 >= 3 * n
+    """,
+    doc="Vocabulary heavy hitters via the approx_top_k SKETCH — the "
+    "executable scale path that q77c's and q83d's exact "
+    "vocabulary-rank windows cite (SCALE.md 'Global-window policy'): "
+    "distinct (doc, token) pairs feed one mergeable approx_top_k "
+    "aggregate (k=100, maxItemsTracked=10000 — above the fixture "
+    "vocabulary, so the sketch is EXACT inside its tracked window, "
+    "the q28b trick), then a deterministic integer support cut keeps "
+    "tokens present in >= 75%% of documents (df*4 >= 3*n — boundary "
+    "ties decided by exact integer compare, never by the sketch's "
+    "tie order, so the result is hash-stable as long as k exceeds "
+    "the qualifying count).  This is the boilerplate-vocabulary "
+    "detector at 100 TB: partial sketches combine map-side and the "
+    "shuffle carries one bounded buffer per partition, while the "
+    "exact twin's rank window would sort the whole (Heaps-sublinear "
+    "but unbounded) vocabulary.",
+)
+def q77d_vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("tok"),
+    ).distinct()
+    sk = pairs.agg(F.expr("approx_top_k(tok, 100, 10000)").alias("topk"))
+    nd = d.agg(F.count("*").alias("n"))
+    return (
+        sk.select(F.explode("topk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").cast("long").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 4 >= 3 * F.col("n"))
+        .drop("n")
     )
 
 
@@ -984,8 +1031,9 @@ def q81b_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-id) pairs; this is the standard collocation-mining shape "
     "for building phrase lists over a 100 TB crawl.  The top-30-df "
     "vocabulary rank is a vocabulary-sized global window (sublinear, "
-    "allowlisted in test_plan_sweep) — approx_top_k (q28b) is the "
-    "declared swap per SCALE.md 'Global-window policy' #2.",
+    "allowlisted in test_plan_sweep) — the approx_top_k swap is "
+    "EXECUTABLE as q77d (hash-verified sketch vocabulary), per "
+    "SCALE.md 'Global-window policy'.",
 )
 def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
