@@ -500,6 +500,17 @@ def st05_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFram
     "streams advance watermarks continuously).",
 )
 def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _watermarked_outer_stream_join(spark, sf_dir, "left_outer")
+
+
+def _watermarked_outer_stream_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared st09/st21 scaffold: watermarked purchases-x-clicks
+    stream-stream join with a 1-hour time-range condition, NULL-side
+    emission forced deterministically by two sequenced watermark-driver
+    batches (matched sentinel pairs at user -1/-2, max(ts)+2h/+4h).
+    ``how`` is 'left_outer' (st09) or 'full_outer' (st21)."""
     configure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = os.path.join(tempfile.gettempdir(), f"st09_{uuid.uuid4().hex[:12]}")
@@ -561,13 +572,16 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("c_ts", "30 minutes")
     )
+    cols = ["purchase_id", "click_id", "p_user"]
+    if how == "full_outer":
+        cols.append("c_user")
     joined = purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select("purchase_id", "click_id", "p_user")
+        how,
+    ).select(*cols)
 
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -597,7 +611,15 @@ def st09_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name).filter(F.col("p_user") >= 0)
+    out = spark.table(name)
+    if how == "full_outer":
+        # Sentinel driver rows inner-match each other, so both user
+        # columns carry the negative sentinel — fixture rows always
+        # have a non-negative user on whichever side is non-NULL.
+        return out.filter(
+            F.coalesce(F.col("p_user"), F.col("c_user")) >= 0
+        )
+    return out.filter(F.col("p_user") >= 0)
 
 
 @register(
@@ -1491,3 +1513,37 @@ def st20_stream_rapid_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "st21_stream_stream_full_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS p_user,
+               c.user_id AS c_user
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+                                        - INTERVAL 1 HOUR
+    """,
+    doc="FULL OUTER stream-stream join with watermarks + time-range "
+    "condition — the last stream-join mode after st08 (inner) and "
+    "st09 (left outer): matched purchase/click pairs emit "
+    "immediately, while UNMATCHED rows on BOTH sides emit with NULLs "
+    "once the watermark passes their eviction bound (purchases after "
+    "wm > p_ts, clicks after wm > c_ts + 1h — the time-range "
+    "condition bounds both state stores).  Deterministic and "
+    "hash-verified against the batch FULL JOIN oracle via st09's "
+    "sequenced watermark-driver recipe (matched sentinel pairs at "
+    "user -1/-2, max(ts)+2h/+4h, second driver batch forcing the "
+    "eviction emission; sentinels drop on the "
+    "coalesce(p_user, c_user) >= 0 gate since they only ever match "
+    "each other).  Scale: state on both sides stays "
+    "watermark-bounded; the driver trick is test scaffolding — real "
+    "streams advance watermarks continuously.",
+)
+def st21_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _watermarked_outer_stream_join(spark, sf_dir, "full_outer")

@@ -124,3 +124,28 @@ def test_st15_transform_with_state_gated(spark, duck):
 
     q = all_queries()["st15_transform_with_state"]
     run_and_compare(spark, duck, q.fn, q.oracle, "st15", SF_CORRECT)
+
+
+def test_stream_stream_full_join_emits_both_sides(spark):
+    """st21: matched pairs equal st08's inner join; unmatched purchases
+    carry NULL click_id (st09's left rows); unmatched clicks carry NULL
+    purchase_id (the full-outer addition); sentinels never leak."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    full = all_queries()["st21_stream_stream_full_join"].fn(spark, SF_CORRECT)
+    rows = full.collect()
+    inner = all_queries()["st08_stream_stream_join"].fn(spark, SF_CORRECT).collect()
+    matched = [
+        (r["purchase_id"], r["click_id"], r["p_user"])
+        for r in rows
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    ]
+    assert sorted(matched) == sorted(map(tuple, inner))
+    right_only = [r for r in rows if r["purchase_id"] is None]
+    assert right_only, "full outer must emit unmatched clicks"
+    assert all(r["c_user"] is not None and r["c_user"] >= 0 for r in right_only)
+    left_only = [r for r in rows if r["click_id"] is None]
+    assert left_only, "full outer must emit unmatched purchases"
+    # Sentinel leak channels: negative event ids on either side.
+    assert all(r["purchase_id"] is None or r["purchase_id"] >= 0 for r in rows)
+    assert all(r["click_id"] is None or r["click_id"] >= 0 for r in rows)
