@@ -1199,3 +1199,202 @@ def q85g_int8_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("int8_top1_dot").cast("long").alias("int8_top1_dot"),
         )
     )
+
+
+@register(
+    "q85h_chunk_pooled_retrieval",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n,
+                   CASE WHEN len(string_split(text, ' ')) <= 24 THEN 1
+                        ELSE ((len(string_split(text, ' ')) - 24) + 16 - 1)
+                             // 16 + 1
+                   END AS n_chunks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 1
+        ),
+        chunks AS (
+            SELECT doc_id, n_chunks, i AS chunk_idx
+            FROM sized CROSS JOIN UNNEST(generate_series(0, n_chunks - 1)) t(i)
+        ),
+        nv AS (SELECT count(*) AS n_vecs FROM embeddings),
+        corpus AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 127) AS BIGINT)) AS ivec
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 127) AS BIGINT)) AS pint
+            FROM embeddings WHERE vec_id < 5
+        ),
+        cvec AS (
+            SELECT c.doc_id, c.n_chunks, c.chunk_idx, e.ivec
+            FROM chunks c, nv, corpus e
+            WHERE e.vec_id = (c.doc_id * 31 + c.chunk_idx * 7) % nv.n_vecs
+        ),
+        chunk_doc AS (
+            SELECT v.doc_id, p.probe_id,
+                   max(list_dot_product(v.ivec, p.pint)) AS best_chunk_dot
+            FROM cvec v CROSS JOIN probes p
+            GROUP BY v.doc_id, p.probe_id
+        ),
+        pooled AS (
+            SELECT v.doc_id, v.n_chunks, u.j, sum(v.ivec[u.j]) AS s
+            FROM cvec v CROSS JOIN UNNEST(generate_series(1, 64)) u(j)
+            GROUP BY v.doc_id, v.n_chunks, u.j
+        ),
+        ppos AS (
+            SELECT probe_id, u.j, pint[u.j] AS pv
+            FROM probes CROSS JOIN UNNEST(generate_series(1, 64)) u(j)
+        ),
+        pd AS (
+            SELECT pl.doc_id, pp.probe_id,
+                   CAST(sum(pl.s * pp.pv) AS DOUBLE)
+                       / max(pl.n_chunks) AS pscore
+            FROM pooled pl JOIN ppos pp USING (j)
+            GROUP BY pl.doc_id, pp.probe_id
+        ),
+        ptop AS (
+            SELECT probe_id, doc_id, pscore,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY pscore DESC, doc_id ASC) AS r
+            FROM pd
+        ),
+        ctop AS (
+            SELECT probe_id, doc_id, best_chunk_dot,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY best_chunk_dot DESC, doc_id ASC) AS r
+            FROM chunk_doc
+        ),
+        ov AS (
+            SELECT p.probe_id,
+                   CAST(count(c.doc_id) AS BIGINT) AS overlap_at_10
+            FROM (SELECT * FROM ptop WHERE r <= 10) p
+            LEFT JOIN (SELECT * FROM ctop WHERE r <= 10) c
+              ON c.probe_id = p.probe_id AND c.doc_id = p.doc_id
+            GROUP BY p.probe_id
+        ),
+        pt1 AS (
+            SELECT probe_id, doc_id AS pooled_top1,
+                   round(pscore, 6) AS pooled_top1_score
+            FROM ptop WHERE r = 1
+        ),
+        ct1 AS (
+            SELECT probe_id, doc_id AS chunk_top1,
+                   CAST(best_chunk_dot AS BIGINT) AS chunk_top1_dot
+            FROM ctop WHERE r = 1
+        )
+        SELECT probe_id, overlap_at_10, pooled_top1, pooled_top1_score,
+               chunk_top1, chunk_top1_dot
+        FROM ov JOIN pt1 USING (probe_id) JOIN ct1 USING (probe_id)
+    """,
+    doc="CHUNK -> DOCUMENT embedding pooling with two-level retrieval "
+    "parity — the RAG-index decision q83b's chunker leads to: serve "
+    "doc-level vectors (cheap, one per doc) or chunk-level (precise, "
+    "many per doc)?  Each chunk gets a deterministic stand-in "
+    "embedding (corpus vector keyed by (doc*31 + chunk*7) mod n_vecs "
+    "— a real encoder drops in behind the same join), quantized to "
+    "the q85g int8 grid so MEAN POOLING is an integer per-dimension "
+    "sum (order-free, exact) with ONE division by the chunk count; "
+    "the chunk arm scores every (chunk, probe) integer dot and keeps "
+    "the per-doc max.  Output per probe: top-10 overlap between the "
+    "pooled and best-chunk rankings, both top-1s — fully "
+    "hash-verified because every comparison is between exact "
+    "integers or identical correctly-rounded divisions.  Scale: the "
+    "pooled arm's index is docs-sized (the 100 TB default); the "
+    "chunk arm scans chunks only for probes, ~n_chunks x larger — "
+    "this audit quantifies what that cost buys; probes broadcast, "
+    "pooling is one map-side-combinable hash agg, rank windows "
+    "per-probe.",
+)
+def q85h_chunk_pooled_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).where(F.col("n") >= 1)
+    chunks = sized.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= 24, F.lit(1)).otherwise(
+            F.expr("((n - 24) + 16 - 1) div 16 + 1").cast("int")
+        ),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ivec = F.transform(
+        to_double_array("embedding"), lambda x: F.round(x * 127, 0).cast("long")
+    )
+    corpus = e.select("vec_id", ivec.alias("ivec"))
+    nv = e.agg(F.count("*").alias("n_vecs"))
+    cvec = (
+        chunks.crossJoin(F.broadcast(nv))
+        .withColumn(
+            "vkey",
+            F.pmod(F.col("doc_id") * 31 + F.col("chunk_idx") * 7, F.col("n_vecs")),
+        )
+        .join(corpus, F.col("vkey") == F.col("vec_id"))
+        .select("doc_id", "n_chunks", "chunk_idx", "ivec")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), ivec.alias("pint")
+    )
+    idot = F.expr("aggregate(zip_with(ivec, pint, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+    chunk_doc = (
+        cvec.crossJoin(F.broadcast(probes))
+        .select("doc_id", "probe_id", idot.alias("cdot"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.max("cdot").alias("best_chunk_dot"))
+    )
+    pooled = (
+        cvec.select(
+            "doc_id", "n_chunks", F.posexplode("ivec").alias("j", "v")
+        )
+        .groupBy("doc_id", "n_chunks", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    ppos = probes.select("probe_id", F.posexplode("pint").alias("j", "pv"))
+    pd = (
+        pooled.join(F.broadcast(ppos), "j")
+        .groupBy("doc_id", "probe_id")
+        .agg(
+            (
+                F.sum(F.col("s") * F.col("pv")).cast("double")
+                / F.max("n_chunks")
+            ).alias("pscore")
+        )
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.col("pscore").desc(), F.col("doc_id").asc())
+    wc = W.partitionBy("probe_id").orderBy(
+        F.col("best_chunk_dot").desc(), F.col("doc_id").asc()
+    )
+    ptop = pd.withColumn("r", F.row_number().over(wp)).filter(F.col("r") <= 10)
+    ctop = chunk_doc.withColumn("r", F.row_number().over(wc)).filter(F.col("r") <= 10)
+    ov = (
+        ptop.alias("p")
+        .join(
+            ctop.select("probe_id", "doc_id").alias("c"),
+            (F.col("p.probe_id") == F.col("c.probe_id"))
+            & (F.col("p.doc_id") == F.col("c.doc_id")),
+            "left",
+        )
+        .groupBy(F.col("p.probe_id").alias("probe_id"))
+        .agg(F.count(F.col("c.doc_id")).cast("long").alias("overlap_at_10"))
+    )
+    pt1 = ptop.filter(F.col("r") == 1).select(
+        "probe_id",
+        F.col("doc_id").alias("pooled_top1"),
+        F.round("pscore", 6).alias("pooled_top1_score"),
+    )
+    ct1 = ctop.filter(F.col("r") == 1).select(
+        "probe_id",
+        F.col("doc_id").alias("chunk_top1"),
+        F.col("best_chunk_dot").cast("long").alias("chunk_top1_dot"),
+    )
+    return ov.join(pt1, "probe_id").join(ct1, "probe_id")
