@@ -671,3 +671,130 @@ def mm08_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples int, peak int, sum_sq long, "
         "zero_crossings long",
     )
+
+
+_SC_FLEN = 16  # bytes per planted frame
+_SC_STRIDE = 4  # text-byte stride between consecutive frames
+_SC_THRESH = 40  # |frame-sum delta| above this flags a scene change
+
+
+def _scene_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame splitter: fixed-length frames out of the
+    concatenated payload, one integer intensity sum per frame."""
+    for pdf in it:
+        doc_ids, idxs, sums = [], [], []
+        for doc_id, payload, n_frames in zip(
+            pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+        ):
+            raw = bytes(payload)
+            if len(raw) != int(n_frames) * _SC_FLEN:
+                raise ValueError(
+                    f"frame container length mismatch, doc_id={doc_id}"
+                )
+            for f in range(int(n_frames)):
+                doc_ids.append(doc_id)
+                idxs.append(f)
+                sums.append(sum(raw[f * _SC_FLEN : (f + 1) * _SC_FLEN]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "fsum": pd.array(sums, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm09_scene_change",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id, CAST(doc_id % 6 + 3 AS INT) AS n_frames,
+                   rpad(text, {_SC_FLEN + 7 * _SC_STRIDE}, '.') AS padded
+            FROM documents
+        ),
+        frames AS (
+            SELECT d.doc_id, d.n_frames, f,
+                   (SELECT sum(ascii(substr(d.padded, f * {_SC_STRIDE} + j, 1)))
+                    FROM UNNEST(generate_series(1, {_SC_FLEN})) s(j)) AS fsum
+            FROM dims d CROSS JOIN UNNEST(generate_series(0, d.n_frames - 1)) u(f)
+        ),
+        deltas AS (
+            SELECT doc_id, n_frames, f, fsum,
+                   abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f))
+                       AS delta
+            FROM frames
+        )
+        SELECT doc_id,
+               CAST(max(n_frames) AS INT) AS n_frames,
+               CAST(coalesce(sum(CASE WHEN delta > {_SC_THRESH}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_scene_changes,
+               CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+        FROM deltas GROUP BY doc_id
+    """,
+    doc="VIDEO-style scene-change detection over planted multi-frame "
+    f"containers — the temporal leg of the multimodal family (image: "
+    f"mm03/mm06, audio: mm08): each document plants a container of "
+    f"3-8 concatenated {_SC_FLEN}-byte frames (frame f = a "
+    f"{_SC_STRIDE}-byte-strided slice of the padded text, byte == "
+    "char code via the shared ASCII guard), an Arrow-batched kernel "
+    "splits frames and emits one exact integer intensity sum per "
+    "frame, and the relational tail takes per-doc lag deltas and "
+    f"flags |delta| > {_SC_THRESH} — the cut detector that decides "
+    "which frames a captioning/embedding stage actually decodes.  "
+    "The oracle re-derives every frame sum from char codes "
+    "positionally, so container layout, kernel split, and the "
+    "lag/threshold logic are all hash-VERIFIED (integers "
+    "end-to-end).  A real deployment swaps the planted container "
+    "for ffmpeg keyframe extraction behind the same mapInPandas "
+    "contract.  Scale: payloads never shuffle — the kernel is "
+    "map-side and only (id, frame, int) rows leave it; the lag "
+    "window is per-doc (bounded 8 frames).",
+)
+def mm09_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.col("doc_id") % 6 + 3).cast("int")
+    # Container = concat of n_frames strided slices (frame f starts at
+    # text byte f*stride + 1), each exactly _SC_FLEN bytes; built from
+    # the ASCII-guarded padded text so byte == char code holds.
+    frame_arr = F.expr(
+        f"transform(sequence(0, doc_id % 6 + 2), "
+        f"f -> substr(padded, f * {_SC_STRIDE} + 1, {_SC_FLEN}))"
+    )
+    src = (
+        d.withColumn(
+            "padded",
+            F.rpad(_ascii_guarded_text("mm09"), _SC_FLEN + 7 * _SC_STRIDE, "."),
+        )
+        .select(
+            "doc_id",
+            F.encode(F.concat_ws("", frame_arr), "UTF-8").alias("payload"),
+            n_frames.alias("n_frames"),
+        )
+    )
+    frames = src.mapInPandas(
+        _scene_batch, schema="doc_id long, frame_idx int, fsum long"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.abs(F.col("fsum") - F.lag("fsum").over(w)).alias("delta"),
+    )
+    counts = d.select("doc_id", n_frames.alias("n_frames"))
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("delta") > _SC_THRESH, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_scene_changes"),
+            F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias("max_delta"),
+        )
+        .join(counts, "doc_id")
+        .select("doc_id", "n_frames", "n_scene_changes", "max_delta")
+    )

@@ -1398,3 +1398,82 @@ def q85h_chunk_pooled_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_chunk_dot").cast("long").alias("chunk_top1_dot"),
     )
     return ov.join(pt1, "probe_id").join(ct1, "probe_id")
+
+
+@register(
+    "q92d_incremental_ivf_admission",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id,
+                   CAST(embedding[1] >= 0 AS INT) * 8
+                   + CAST(embedding[2] >= 0 AS INT) * 4
+                   + CAST(embedding[3] >= 0 AS INT) * 2
+                   + CAST(embedding[4] >= 0 AS INT) AS cell,
+                   vec_id % 10 = 0 AS incoming
+            FROM embeddings
+        ),
+        per_cell AS (
+            SELECT cell,
+                   CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT)
+                       AS n_standing,
+                   CAST(count(*) FILTER (WHERE incoming) AS BIGINT)
+                       AS n_incoming
+            FROM coded GROUP BY cell
+        ),
+        tot AS (SELECT sum(n_standing + n_incoming) AS g FROM per_cell)
+        SELECT cell,
+               n_standing,
+               n_incoming,
+               n_standing + n_incoming AS n_total,
+               round((n_standing + n_incoming) * 1.0 / g, 6) AS cell_share,
+               8 * (n_standing + n_incoming) > g AS needs_split
+        FROM per_cell, tot
+    """,
+    doc="INCREMENTAL IVF admission — day-2 maintenance of a vector "
+    "index without re-clustering (the qc11/qc39 day-2 pattern applied "
+    "to §2.11): an incoming embedding batch (deterministic 1-in-10 "
+    "split standing in for today's ingest) is assigned to the "
+    "EXISTING cells by the same map-side quantizer the index was "
+    "built with (q92c's 4-bit sign code — a real codebook broadcast "
+    "drops in behind the same expression), and the per-cell report "
+    "gives standing/incoming/total counts, the post-admission cell "
+    "share, and a NEEDS_SPLIT flag by the integer gate 8*size > "
+    "total (size > 2x mean over 16 cells) — the trigger that "
+    "schedules a cell re-split before lookup latency degrades.  All "
+    "counts and gates are exact integers; one scan, one 16-row agg, "
+    "one broadcast total.  Scale: admission cost is O(batch) "
+    "map-side work, never O(corpus); the flag drives the only "
+    "expensive step (re-clustering one hot cell) instead of periodic "
+    "full rebuilds.",
+)
+def q92d_incremental_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    cell = (
+        (F.element_at(emb, 1) >= 0).cast("int") * 8
+        + (F.element_at(emb, 2) >= 0).cast("int") * 4
+        + (F.element_at(emb, 3) >= 0).cast("int") * 2
+        + (F.element_at(emb, 4) >= 0).cast("int")
+    )
+    coded = e.select(
+        cell.alias("cell"), (F.col("vec_id") % 10 == 0).alias("incoming")
+    )
+    per_cell = coded.groupBy("cell").agg(
+        F.count_if(~F.col("incoming")).cast("long").alias("n_standing"),
+        F.count_if(F.col("incoming")).cast("long").alias("n_incoming"),
+    )
+    tot = per_cell.agg(
+        F.sum(F.col("n_standing") + F.col("n_incoming")).alias("g")
+    )
+    return per_cell.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_standing",
+        "n_incoming",
+        (F.col("n_standing") + F.col("n_incoming")).alias("n_total"),
+        F.round(
+            (F.col("n_standing") + F.col("n_incoming")) * 1.0 / F.col("g"), 6
+        ).alias("cell_share"),
+        (8 * (F.col("n_standing") + F.col("n_incoming")) > F.col("g")).alias(
+            "needs_split"
+        ),
+    )

@@ -965,9 +965,17 @@ def q80d_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # One explode + ONE corpus-sized agg: per-(doc, gram) counts carry
+    # lang along (doc -> lang is functional), and the language totals
+    # REAGGREGATE the per-doc counts instead of re-scanning the raw
+    # gram explode — halves the heavy stage (measured ~1.5 s at sf0.1).
+    doc_counts = grams.groupBy("doc_id", "lang", "g").agg(
+        F.count("*").alias("c")
+    )
+    doc_counts = doc_counts.localCheckpoint(eager=False)
     lang_prof = (
-        grams.groupBy("lang", "g")
-        .agg(F.count("*").alias("c"))
+        doc_counts.groupBy("lang", "g")
+        .agg(F.sum("c").alias("c"))
         .withColumn(
             "lrank",
             F.row_number().over(
@@ -978,9 +986,7 @@ def q80d_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "g", "lrank")
     )
     doc_prof = (
-        grams.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
+        doc_counts.withColumn(
             "drank",
             F.row_number().over(
                 W.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())

@@ -1547,3 +1547,134 @@ def st20_stream_rapid_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st21_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _watermarked_outer_stream_join(spark, sf_dir, "full_outer")
+
+
+@register(
+    "st22_stream_chained_windows",
+    oracle="""
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                       AS w10,
+                   event_type,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', w10)) AS hour_start_us,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               CAST(max(n_events) AS BIGINT) AS max_bucket
+        FROM buckets
+        GROUP BY 1, 2
+    """,
+    doc="CHAINED streaming time-window aggregations (Spark 3.4+ "
+    "multiple-stateful-operator support): a watermarked 10-minute "
+    "tumbling count per event_type feeds a SECOND stateful window "
+    "aggregation over window_time() — hourly bucket counts, totals, "
+    "and the max 10-minute burst — in ONE append-mode streaming query "
+    "with two stateful operators back to back, the shape that pre-3.4 "
+    "required two queries glued by a sink.  Append mode only emits "
+    "watermark-finalized windows, so determinism uses st09's "
+    "sequenced-driver recipe: two sentinel single-event batches at "
+    "max(ts)+2h/+4h advance the watermark past every fixture window "
+    "(batch N applies batch N-1's watermark), while the sentinels' "
+    "own windows stay unfinalized in level-1 state and never reach "
+    "the sink — no filter needed.  Both levels hash-verify against "
+    "the two-level time_bucket oracle; counts are exact integers.  "
+    "Scale: each level's state is windows x types (watermark-bounded) "
+    "and level 2's input is already pre-aggregated — the classic "
+    "rollup cascade raw -> minutely -> hourly in one plan.",
+)
+def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(tempfile.gettempdir(), f"st22_{uuid.uuid4().hex[:12]}")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        os.link(src, os.path.join(base, "events.parquet"))
+    except OSError:
+        import shutil
+
+        shutil.copyfile(src, os.path.join(base, "events.parquet"))
+
+    raw = spark.read.parquet(src)
+    schema = raw.schema
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
+
+    def _driver_frame(hours: int) -> DataFrame:
+        """One sentinel event at max(ts)+hours — advances the watermark;
+        its own 10-min window never finalizes, so it never emits."""
+        mx = raw.agg(F.max("ts").alias("_mx"))
+        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
+        if ts_is_long:
+            ts_col = (F.col("_mx") + F.lit(hours * 3600 * 10**9)).cast("long")
+        else:
+            ts_col = F.col("_mx") + F.expr(f"INTERVAL {hours} HOURS")
+        return (
+            tpl.withColumn("ts", ts_col)
+            .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
+            .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
+            .withColumn("event_type", F.lit("wm_sentinel"))
+            .select(*schema.fieldNames())
+        )
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lvl1 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_bucket"),
+        )
+        .select(
+            F.unix_micros(F.col("wh.start").cast("timestamp")).alias(
+                "hour_start_us"
+            ),
+            "event_type",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("total_events").cast("long").alias("total_events"),
+            F.col("max_bucket").cast("long").alias("max_bucket"),
+        )
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    try:
+        spark.conf.set(key, "8")
+        q = (
+            lvl2.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: the fixture file
+            for step, hours in enumerate((2, 4), start=1):
+                _driver_frame(hours).repartition(1).write.parquet(
+                    os.path.join(base, f"drv{step}")
+                )
+                q.processAllAvailable()  # batch N applies batch N-1's wm
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, prev)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    # Sentinel windows normally never finalize (the watermark trails
+    # them), but emission timing is an engine detail — the type key
+    # makes them deterministically filterable either way.
+    return spark.table(name).filter(F.col("event_type") != "wm_sentinel")

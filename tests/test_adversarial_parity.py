@@ -88,6 +88,7 @@ ADV_FAMILIES = [
     "qc42_bpe_merge_training",   # identical-symbol runs in the re-segment replace
     "qc43_bpe_learned_count",    # learned-vocab greedy scan over the same plants
     "q80d_cavnar_trenkle_langid",  # <3-char docs excluded; profile rank ties
+    "mm09_scene_change",         # empty/short docs pad to all-dot frames (delta 0)
 ]
 
 

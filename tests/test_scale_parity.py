@@ -102,6 +102,9 @@ SCALE_SENSITIVE = [
     # training argmax chain and the learned-vocab scan at bench scale.
     "qc42_bpe_merge_training",
     "qc43_bpe_learned_count",
+    # cell occupancy / scene-delta density shift with corpus size.
+    "q92d_incremental_ivf_admission",
+    "mm09_scene_change",
 ]
 
 TABLES = (
