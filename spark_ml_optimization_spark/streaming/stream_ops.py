@@ -43,6 +43,10 @@ _EVENTS_STREAM_SCHEMA: dict[str, T.StructType] = {}
 
 _STAGE_CACHE: dict[str, str] = {}
 
+#: Shuffle/state-store partitions for the streaming demos (see
+#: _run_to_memory's sizing note; overridable for experiments).
+_STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
+
 
 def _stage_dir(sf_dir: str) -> str:
     """File stream sources require a *directory*; stage the fixture file
@@ -84,18 +88,19 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     Stateful operators allocate one state store per shuffle partition and
     AQE never coalesces streaming plans, so partition count is a per-
     stream sizing decision (state volume / partition), not a parallelism
-    default.  These demos carry ~1e5 rows of state: 8 partitions (vs the
-    batch default 32) halves wall time (measured 13 s -> 6 s on the
-    stream-stream join) purely by cutting state-store bring-up; a real
-    deployment sizes this to state-bytes-per-partition and must keep it
-    FIXED across restarts of the same checkpoint.
+    default.  These demos carry ~1e5 rows of state: 4 partitions (vs the
+    batch default 32) cuts wall time 2-3x (measured 13 s -> 6 s going
+    32 -> 8 on the stream-stream join, 10.1 s -> 6.2 s for st09 going
+    8 -> 4) purely by cutting state-store bring-up; a real deployment
+    sizes this to state-bytes-per-partition and must keep it FIXED
+    across restarts of the same checkpoint.
     """
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
-        spark.conf.set(key, "8")  # bound at start(); restored below
+        spark.conf.set(key, _STREAM_PARTS)  # bound at start(); restored below
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -587,7 +592,7 @@ def _watermarked_outer_stream_join(
     prev = spark.conf.get(key)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
-        spark.conf.set(key, "8")
+        spark.conf.set(key, _STREAM_PARTS)
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -998,6 +1003,10 @@ def st13_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INGEST_STAGE_CACHE: dict[str, str] = {}
+
+#: Shuffle/state-store partitions for the streaming demos (see
+#: _run_to_memory's sizing note; overridable for experiments).
+_STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
 
 
 def _stage_incoming_docs(spark: SparkSession, sf_dir: str) -> str:
@@ -1653,7 +1662,7 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(key)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
-        spark.conf.set(key, "8")
+        spark.conf.set(key, _STREAM_PARTS)
         q = (
             lvl2.writeStream.outputMode("append")
             .format("memory")
