@@ -1222,3 +1222,71 @@ def q68f_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("p_us") - F.col("last_us")).cast("long").alias("min_gap_us"),
         F.max(F.col("p_us") - F.col("last_us")).cast("long").alias("max_gap_us"),
     )
+
+
+@register(
+    "q68g_twap",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, cents,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+            FROM e
+        )
+        SELECT user_id, CAST(day AS VARCHAR) AS day,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(dt_us) AS BIGINT) AS active_us,
+               round(sum(cents * dt_us) * 1.0 / (100.0 * sum(dt_us)), 6)
+                   AS twap
+        FROM seg
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY user_id, day
+    """,
+    doc="Time-weighted average price/value (TWAP) per user-day — the "
+    "metric where a plain avg() lies: each observation is weighted by "
+    "how long it remained current (lead() gap to the next same-day "
+    "event; the day's last observation and zero-duration ties drop — "
+    "the standard within-window TWAP convention).  EXACT arithmetic "
+    "throughout: values convert to integer cents at the scan, "
+    "cents x microsecond products and both sums are exact integers "
+    "(order-free), and the TWAP is ONE correctly-rounded division — "
+    "no summation-order guard needed.  Scale: one shuffle on "
+    "(user, day), per-partition lead, one hash agg; the shape "
+    "finance/metrics pipelines run hourly at any volume.",
+)
+def q68g_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    day = F.col("ts").cast("date")
+    w = W.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        day.alias("day"),
+        "cents",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dt_us").cast("long").alias("active_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dt_us")) * 1.0
+                / (100.0 * F.sum("dt_us")),
+                6,
+            ).alias("twap"),
+        )
+    )

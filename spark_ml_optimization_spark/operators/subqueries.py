@@ -337,3 +337,62 @@ def q18d_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q19d_not_in_null_semantics",
+    oracle="""
+        WITH with_null AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_nationkey NOT IN (
+                SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+                UNION ALL SELECT NULL
+            )
+        ),
+        null_guarded AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_nationkey NOT IN (
+                SELECT s_nationkey FROM supplier
+                WHERE s_acctbal > 9000 AND s_nationkey IS NOT NULL
+            )
+        )
+        SELECT CAST(w.n AS BIGINT) AS n_with_null_in_set,
+               CAST(g.n AS BIGINT) AS n_null_guarded
+        FROM with_null w, null_guarded g
+    """,
+    doc="NOT IN three-valued-logic semantics — the classic SQL trap "
+    "pinned cross-engine: a NULL anywhere in the NOT IN subquery makes "
+    "every comparison UNKNOWN, so the predicate keeps ZERO rows "
+    "(n_with_null_in_set = 0 by the standard, not by luck), while the "
+    "IS NOT NULL-guarded twin returns the real anti-join count.  "
+    "Catalyst plans NOT IN as a null-aware anti join "
+    "(BroadcastNestedLoopJoin for the null-aware case) — this query "
+    "documents WHY engines need that special join and pins that both "
+    "engines implement the standard identically.  Scale: the guarded "
+    "form is the one to write at 100 TB — it plans as a plain "
+    "broadcast anti join; the unguarded form's null-aware join is the "
+    "price of the trap.",
+)
+def q19d_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH with_null AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_nationkey NOT IN (
+                SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+                UNION ALL SELECT NULL
+            )
+        ),
+        null_guarded AS (
+            SELECT count(*) AS n FROM customer
+            WHERE c_nationkey NOT IN (
+                SELECT s_nationkey FROM supplier
+                WHERE s_acctbal > 9000 AND s_nationkey IS NOT NULL
+            )
+        )
+        SELECT CAST(w.n AS BIGINT) AS n_with_null_in_set,
+               CAST(g.n AS BIGINT) AS n_null_guarded
+        FROM with_null w, null_guarded g
+        """
+    )

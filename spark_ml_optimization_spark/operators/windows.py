@@ -307,3 +307,42 @@ def q45b_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q41b_window_vocabulary",
+    oracle="""
+        SELECT c_nationkey, c_custkey,
+               nth_value(c_acctbal, 3) OVER w AS third_bal,
+               lag(c_acctbal, 2, -1.0) OVER w AS lag2_bal,
+               lead(c_custkey, 3, -1) OVER w AS lead3_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Window-function vocabulary completion beside q41's ranking "
+    "suite and q42's unit-offset lag/lead: nth_value over a running "
+    "ROWS frame (NULL until the frame holds 3 rows — the "
+    "frame-sensitivity that distinguishes it from a plain lag), and "
+    "lag/lead with EXPLICIT offsets and defaults (the sentinel "
+    "-1/-1.0 instead of NULL at partition edges — the form feature "
+    "pipelines use so downstream arithmetic never meets NULL).  No "
+    "arithmetic beyond column moves, so parity is value-identity; "
+    "ties broken by c_custkey.  Scale: one shuffle on the partition "
+    "key, rows frames evaluate streaming-fashion within each "
+    "partition.",
+)
+def q41b_window_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+        F.lag("c_acctbal", 2, -1.0).over(w).alias("lag2_bal"),
+        F.lead("c_custkey", 3, -1).over(w).alias("lead3_key"),
+    )
