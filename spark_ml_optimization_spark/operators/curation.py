@@ -2107,6 +2107,53 @@ def qc37_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _HAMILTON_BUDGET = 1000  # total docs the proportional sample may keep
 
+def hamilton_quota(counts: DataFrame, budget: int) -> DataFrame:
+    """(lang, n_docs) -> (lang, n_docs, quota): Hamilton largest-remainder
+    apportionment of ``budget`` seats (capped at the total), all-integer
+    arithmetic, extra seats by a bounded triangular comparison (remainder
+    desc, lang asc) — never a global window.  Shared by qc41 and qp10."""
+    from pyspark.sql import functions as F
+
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"),
+        F.least(F.lit(budget), F.sum("n_docs")).alias("beff"),
+    )
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "beff",
+        F.expr("(beff * n_docs) div n").alias("floor_seats"),
+        ((F.col("beff") * F.col("n_docs")) % F.col("n")).alias("rem"),
+    )
+    spare = base.agg(
+        (F.max("beff") - F.sum("floor_seats")).alias("extra")
+    )
+    other = base.select(
+        F.col("lang").alias("o_lang"), F.col("rem").alias("o_rem")
+    )
+    ahead = (
+        base.join(
+            F.broadcast(other),
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_lang") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_docs", "floor_seats")
+        .agg(F.count("o_lang").alias("n_ahead"))
+    )
+    return ahead.crossJoin(F.broadcast(spare)).select(
+        "lang",
+        "n_docs",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("n_ahead") < F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+
 
 @register(
     "qc41_hamilton_quota_sample",
@@ -2180,46 +2227,9 @@ _HAMILTON_BUDGET = 1000  # total docs the proportional sample may keep
 def qc41_hamilton_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    B = _HAMILTON_BUDGET
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").alias("n"),
-        F.least(F.lit(B), F.sum("n_docs")).alias("beff"),
-    )
-    base = counts.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
-        "beff",
-        F.expr("(beff * n_docs) div n").alias("floor_seats"),
-        ((F.col("beff") * F.col("n_docs")) % F.col("n")).alias("rem"),
-    )
-    spare = base.agg(
-        (F.max("beff") - F.sum("floor_seats")).alias("extra")
-    )
-    other = base.select(
-        F.col("lang").alias("o_lang"), F.col("rem").alias("o_rem")
-    )
-    ahead = (
-        base.join(
-            F.broadcast(other),
-            (F.col("o_rem") > F.col("rem"))
-            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_lang") < F.col("lang"))),
-            "left",
-        )
-        .groupBy("lang", "n_docs", "floor_seats")
-        .agg(F.count("o_lang").alias("n_ahead"))
-    )
-    quota = ahead.crossJoin(F.broadcast(spare)).select(
-        "lang",
-        "n_docs",
-        (
-            F.col("floor_seats")
-            + F.when(F.col("n_ahead") < F.col("extra"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("quota"),
-    )
+    quota = hamilton_quota(counts, _HAMILTON_BUDGET)
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(
             F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()

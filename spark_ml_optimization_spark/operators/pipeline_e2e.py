@@ -1127,3 +1127,175 @@ def qp9_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("admitted_tokens") * 1.0 / F.col("corpus_tokens"), 6
         ).alias("growth"),
     )
+
+
+_EVAL_BUDGET = 150  # docs the qp10 eval sample may keep
+
+
+@register(
+    "qp10_eval_set_pipeline",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, n_chars,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS g
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        corpus AS (SELECT * FROM toks WHERE source <> 'src0'),
+        contaminated AS (
+            SELECT DISTINCT gr.doc_id
+            FROM grams gr JOIN bench b USING (g)
+            WHERE gr.source <> 'src0'
+        ),
+        clean AS (
+            SELECT c.* FROM corpus c
+            LEFT JOIN contaminated x USING (doc_id)
+            WHERE x.doc_id IS NULL
+        ),
+        quality AS (
+            SELECT doc_id, lang, n_chars, len(w) AS n_tokens FROM clean
+            WHERE len(w) >= 10
+              AND n_chars >= 3 * len(w) AND n_chars <= 12 * len(w)
+        ),
+        counts AS (SELECT lang, count(*) AS n_docs FROM quality GROUP BY lang),
+        tot AS (
+            SELECT sum(n_docs) AS n,
+                   least({_EVAL_BUDGET}, sum(n_docs)) AS beff
+            FROM counts
+        ),
+        base AS (
+            SELECT c.lang, c.n_docs,
+                   (t.beff * c.n_docs) // t.n AS floor_seats,
+                   (t.beff * c.n_docs) % t.n AS rem
+            FROM counts c CROSS JOIN tot t
+        ),
+        spare AS (
+            SELECT (SELECT beff FROM tot) - sum(floor_seats) AS extra
+            FROM base
+        ),
+        quota AS (
+            SELECT a.lang,
+                   CAST(a.floor_seats
+                        + CASE WHEN (SELECT count(*) FROM base b
+                                     WHERE b.rem > a.rem
+                                        OR (b.rem = a.rem
+                                            AND b.lang < a.lang))
+                               < (SELECT extra FROM spare)
+                               THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM base a
+        ),
+        ranked AS (
+            SELECT q2.lang, q2.doc_id, q2.n_chars,
+                   row_number() OVER (PARTITION BY q2.lang
+                       ORDER BY md5(CAST(q2.doc_id AS VARCHAR)) ASC,
+                                q2.doc_id ASC) AS rk
+            FROM quality q2
+        ),
+        stage0 AS (SELECT lang, count(*) AS n_initial FROM corpus GROUP BY lang),
+        stage1 AS (SELECT lang, count(*) AS n_decontam FROM clean GROUP BY lang),
+        stage2 AS (SELECT lang, count(*) AS n_quality FROM quality GROUP BY lang)
+        SELECT s0.lang,
+               CAST(s0.n_initial AS BIGINT) AS n_initial,
+               CAST(coalesce(s1.n_decontam, 0) AS BIGINT) AS n_decontam,
+               CAST(coalesce(s2.n_quality, 0) AS BIGINT) AS n_quality,
+               CAST(coalesce(q.quota, 0) AS BIGINT) AS quota,
+               CAST(count(r.doc_id) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(r.n_chars), 0) AS BIGINT) AS selected_chars
+        FROM stage0 s0
+        LEFT JOIN stage1 s1 USING (lang)
+        LEFT JOIN stage2 s2 USING (lang)
+        LEFT JOIN quota q USING (lang)
+        LEFT JOIN ranked r ON r.lang = s0.lang AND r.rk <= q.quota
+        GROUP BY s0.lang, s0.n_initial, s1.n_decontam, s2.n_quality, q.quota
+    """,
+    doc="EVAL-SET construction pipeline e2e — the consumer-side twin of "
+    "qp1's training build: (1) DECONTAMINATE: drop every corpus doc "
+    "sharing any 3-gram with the benchmark side (source='src0'; "
+    "broadcast distinct gram set, anti-join — the qc01 screen "
+    "inverted from flag to gate); (2) QUALITY: integer-exact gates "
+    "(>= 10 tokens, mean token length in the 3-12 band as the "
+    "cross-multiplied compares 3*n_tokens <= n_chars <= 12*n_tokens); "
+    f"(3) APPORTION: Hamilton largest-remainder quotas of a "
+    f"{_EVAL_BUDGET}-doc budget over the survivors per language "
+    "(curation.hamilton_quota — exact integer seats, triangular "
+    "extra-seat rule); (4) SELECT: deterministic md5-rank inside each "
+    "language; report per-language funnel counts (initial -> "
+    "decontaminated -> quality -> quota -> selected + char mass) so "
+    "every stage's drop is auditable in one hash-verified relation.  "
+    "Scale: benchmark grams broadcast; every stage is scan + hash-agg "
+    "or lang-partitioned rank; nothing corpus-squared anywhere.",
+)
+def qp10_eval_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..api import word_grams
+    from .curation import hamilton_quota
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.split("text", " ").alias("w"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(word_grams(F.col("w"), 3, distinct=True)).alias("g"),
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    corpus = toks.filter(F.col("source") != "src0")
+    contaminated = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    n_tokens = F.size("w")
+    quality = clean.filter(
+        (n_tokens >= 10)
+        & (F.col("n_chars") >= 3 * n_tokens)
+        & (F.col("n_chars") <= 12 * n_tokens)
+    ).select("doc_id", "lang", "n_chars")
+    counts = quality.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    quota = hamilton_quota(counts, _EVAL_BUDGET).select("lang", "quota")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+        )
+    )
+    ranked = quality.withColumn("rk", rk)
+    sel = ranked.join(F.broadcast(quota), "lang").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    stage0 = corpus.groupBy("lang").agg(F.count("*").alias("n_initial"))
+    stage1 = clean.groupBy("lang").agg(F.count("*").alias("n_decontam"))
+    stage2 = quality.groupBy("lang").agg(F.count("*").alias("n_quality"))
+    sel_agg = sel.groupBy("lang").agg(
+        F.count("*").alias("n_selected_raw"),
+        F.sum("n_chars").alias("selected_chars_raw"),
+    )
+    return (
+        stage0.join(stage1, "lang", "left")
+        .join(stage2, "lang", "left")
+        .join(quota, "lang", "left")
+        .join(sel_agg, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_initial").cast("long").alias("n_initial"),
+            F.coalesce("n_decontam", F.lit(0)).cast("long").alias("n_decontam"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("quota", F.lit(0)).cast("long").alias("quota"),
+            F.coalesce("n_selected_raw", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("selected_chars_raw", F.lit(0))
+            .cast("long")
+            .alias("selected_chars"),
+        )
+    )

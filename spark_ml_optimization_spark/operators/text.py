@@ -881,10 +881,7 @@ def q80c_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q80d_cavnar_trenkle_langid",
-    oracle="""
-        WITH grams AS (
+_CT_LANGID_CTES = """ grams AS (
             SELECT doc_id, lang, substr(text, i, 3) AS g
             FROM documents
             CROSS JOIN UNNEST(generate_series(1, len(text) - 2)) u(i)
@@ -925,7 +922,13 @@ def q80c_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    first(cand ORDER BY dist ASC, cand ASC) AS predicted_lang
             FROM dists GROUP BY doc_id
-        )
+        )"""
+
+
+@register(
+    "q80d_cavnar_trenkle_langid",
+    oracle=f"""
+        WITH {_CT_LANGID_CTES}
         SELECT d.lang, p.predicted_lang, count(*) AS n_docs
         FROM documents d JOIN pred p USING (doc_id)
         GROUP BY d.lang, p.predicted_lang
@@ -1209,4 +1212,100 @@ def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+@register(
+    "q80e_langid_prf",
+    oracle=f"""
+        WITH {_CT_LANGID_CTES},
+        m AS (
+            SELECT d.lang, p.predicted_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.predicted_lang
+        ),
+        langs2 AS (SELECT DISTINCT lang FROM documents),
+        tp AS (SELECT lang, n FROM m WHERE lang = predicted_lang),
+        truth AS (SELECT lang, sum(n) AS n_true FROM m GROUP BY lang),
+        predt AS (
+            SELECT predicted_lang AS lang, sum(n) AS n_pred
+            FROM m GROUP BY predicted_lang
+        )
+        SELECT l.lang,
+               CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(pr.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(tp.n, 0) AS BIGINT) AS tp,
+               CASE WHEN coalesce(pr.n_pred, 0) = 0 THEN NULL
+                    ELSE round(coalesce(tp.n, 0) * 1.0 / pr.n_pred, 6)
+               END AS precision,
+               CASE WHEN coalesce(t.n_true, 0) = 0 THEN NULL
+                    ELSE round(coalesce(tp.n, 0) * 1.0 / t.n_true, 6)
+               END AS recall,
+               CASE WHEN coalesce(t.n_true, 0) + coalesce(pr.n_pred, 0) = 0
+                    THEN NULL
+                    ELSE round(2.0 * coalesce(tp.n, 0)
+                         / (coalesce(t.n_true, 0) + coalesce(pr.n_pred, 0)), 6)
+               END AS f1
+        FROM langs2 l
+        LEFT JOIN tp ON tp.lang = l.lang
+        LEFT JOIN truth t ON t.lang = l.lang
+        LEFT JOIN predt pr ON pr.lang = l.lang
+    """,
+    doc="Per-class precision / recall / F1 derived from q80d's "
+    "Cavnar-Trenkle confusion matrix — the evaluation readout a "
+    "labeling-quality review actually consumes: per language, "
+    "true-support and predicted-support counts, true positives, and "
+    "the three rates (F1 as the single-division form 2tp/(n_true + "
+    "n_pred) — exact integers until one correctly-rounded division; "
+    "zero-support langs yield NULL explicitly in both engines, never "
+    "a divide-by-zero dialect difference).  Classified docs only "
+    "(q80d's >= 3-char gate), matching the matrix.  Scale: the "
+    "metrics tail runs over the 25-row matrix — free; the cost is "
+    "q80d's corpus pass, shared shape.",
+)
+def q80e_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = q80d_cavnar_trenkle_langid(spark, sf_dir).withColumnRenamed(
+        "n_docs", "n"
+    )
+    langs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+    )
+    tp = m.filter(F.col("lang") == F.col("predicted_lang")).select(
+        "lang", F.col("n").alias("tp_n")
+    )
+    truth = m.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    predt = m.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    j = (
+        langs.join(tp, "lang", "left")
+        .join(truth, "lang", "left")
+        .join(predt, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp_n", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(None))
+        .otherwise(F.round(F.col("tp") * 1.0 / F.col("n_pred"), 6))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(None))
+        .otherwise(F.round(F.col("tp") * 1.0 / F.col("n_true"), 6))
+        .alias("recall"),
+        F.when(F.col("n_true") + F.col("n_pred") == 0, F.lit(None))
+        .otherwise(
+            F.round(
+                2.0 * F.col("tp") / (F.col("n_true") + F.col("n_pred")), 6
+            )
+        )
+        .alias("f1"),
     )
