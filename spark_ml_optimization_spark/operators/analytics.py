@@ -1526,3 +1526,63 @@ def qa29_category_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "qa30_share_of_parent",
+    oracle="""
+        WITH nat AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation,
+               CAST(cents AS BIGINT) AS nation_cents,
+               round(cents * 1.0 / sum(cents) OVER (PARTITION BY region), 6)
+                   AS region_share,
+               round(cents * 1.0 / sum(cents) OVER (), 6) AS global_share
+        FROM nat
+    """,
+    doc="RATIO-TO-REPORT (share-of-parent) rollup — the warehouse "
+    "staple a flat GROUP BY can't express: per-nation revenue in "
+    "EXACT CENTS with its share of the region (window partitioned by "
+    "region — bounded, 5 rows per partition) and of the world (an "
+    "unpartitioned window over the 25-row NATION relation — bounded "
+    "domain by construction, the dimension table never grows with "
+    "fact volume; allowlisted).  Shares are one correctly-rounded "
+    "division of exact integers each, so both engines compute "
+    "identical doubles.  Scale: one fact-side star join + hash agg "
+    "to 25 rows; the windows run over the dimension-sized rollup, "
+    "never the fact table.",
+)
+def qa30_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    return nat.select(
+        "region",
+        "nation",
+        F.col("cents").cast("long").alias("nation_cents"),
+        F.round(
+            F.col("cents") * 1.0 / F.sum("cents").over(W.partitionBy("region")), 6
+        ).alias("region_share"),
+        F.round(F.col("cents") * 1.0 / F.sum("cents").over(W.partitionBy()), 6).alias(
+            "global_share"
+        ),
+    )

@@ -788,3 +788,61 @@ def src21_dynamic_partition_overwrite(
         F.sum("event_id").cast("long").alias("id_sum"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "src22_csv_dialect_roundtrip",
+    oracle="""
+        SELECT c_custkey,
+               'seg|' || c_mktsegment || '|"' || c_name || '"' AS noisy,
+               c_acctbal
+        FROM customer
+    """,
+    doc="CSV DIALECT + compression roundtrip: a column deliberately "
+    "containing the delimiter AND double quotes ('seg|...|\"name\"') "
+    "is written as PIPE-separated, quoted, backslash-escaped, "
+    "GZIP-compressed CSV and read back with an explicit schema and "
+    "the same dialect options — hash-match against the recomputed "
+    "expression proves the quote/escape/compression chain is "
+    "lossless, the property every dirty-feed ingest silently depends "
+    "on (src01 covers the happy path; src15 covers corrupt-record "
+    "quarantine; THIS pins the escaping).  Scale: gzip CSV is "
+    "non-splittable — one task per file; the write side controls "
+    "file count via partitions, and columnar formats remain the "
+    "real at-rest answer (the doc-string caveat IS the operator's "
+    "lesson).",
+)
+def src22_csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    noisy = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("seg|"), F.col("c_mktsegment"), F.lit('|"'), F.col("c_name"), F.lit('"')
+        ).alias("noisy"),
+        "c_acctbal",
+    )
+    path = _scratch(f"csv_dialect_{sf_dir.replace('/', '_')}")
+    (
+        noisy.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("noisy", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .csv(path)
+    )

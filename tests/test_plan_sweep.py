@@ -75,6 +75,7 @@ _GLOBAL_WINDOW_OK = {
     "q83d_pmi_cooccurrence",  # top-30 df vocabulary rank, sublinear (Heaps)
     "qd14_ks_drift",  # fixed quantile-grid bins
     "qd20_anomaly_episodes",  # day spine: one row per calendar day
+    "qa30_share_of_parent",  # 25-row NATION dimension rollup (bounded)
 }
 
 
