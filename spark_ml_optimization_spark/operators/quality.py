@@ -2061,3 +2061,74 @@ def qd28_staleness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+#: (table, key expr, value expr) triples for the qd30 manifest — the
+#: key column plus one value column per fixture table, checksummed via
+#: the first two md5 hex chars as an engine-portable integer.
+_CHECKSUM_COLS = (
+    ("region", "r_regionkey", "r_name"),
+    ("nation", "n_nationkey", "n_name"),
+    ("customer", "c_custkey", "c_name"),
+    ("supplier", "s_suppkey", "s_name"),
+    ("part", "p_partkey", "p_name"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("events", "event_id", "event_type"),
+    ("documents", "doc_id", "lang"),
+    ("embeddings", "vec_id", "label"),
+)
+
+
+def _md5_pair_int_sql(expr: str) -> str:
+    """Engine-portable integer from a value: first two hex chars of its
+    md5, as ascii(c1)*256 + ascii(c2) — both engines agree on md5 text
+    and ascii(), avoiding hex-parse dialect differences."""
+    m = f"md5(CAST({expr} AS VARCHAR))"
+    return f"(ascii(substr({m}, 1, 1)) * 256 + ascii(substr({m}, 2, 1)))"
+
+
+@register(
+    "qd30_table_checksums",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({_md5_pair_int_sql(k)}) AS BIGINT) AS key_checksum,
+               CAST(sum({_md5_pair_int_sql(v)}) AS BIGINT) AS value_checksum
+        FROM {t}"""
+        for t, k, v in _CHECKSUM_COLS
+    ),
+    doc="CROSS-ENGINE table-checksum MANIFEST — the data-contract "
+    "fingerprint a migration / replication / backfill signs off "
+    "against: for every fixture table, the row count plus "
+    "order-insensitive integer checksums of the key column and one "
+    "value column (per row: ascii-pair of the md5's first two hex "
+    "chars — md5 text and ascii() agree across engines, so no "
+    "hex-parse dialect trap; the SUM is an exact integer, "
+    "commutative, partition-order-free).  Any dropped / duplicated / "
+    "mutated row moves a checksum; the manifest travels as 10 tiny "
+    "rows.  This is how you verify THIS engine against the system it "
+    "replaces, table by table, without shipping data.  Scale: one "
+    "map-side-combinable agg per table, no shuffle beyond the "
+    "one-row partials.",
+)
+def qd30_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, k, v in _CHECKSUM_COLS:
+        df = load_table(spark, sf_dir, t)
+
+        def pair_int(col: str):
+            m = F.md5(F.col(col).cast("string"))
+            return F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(
+                F.substring(m, 2, 1)
+            )
+
+        one = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(pair_int(k)).cast("long").alias("key_checksum"),
+            F.sum(pair_int(v)).cast("long").alias("value_checksum"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -767,3 +767,44 @@ def q53d_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(charged).cast("double").alias("charged"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "q55f_json_codec_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS rt_status,
+               o_totalprice AS rt_price,
+               o_orderpriority AS rt_priority
+        FROM orders
+    """,
+    doc="JSON ENCODE/DECODE roundtrip losslessness: each order row is "
+    "packed into a JSON document (to_json over a struct), parsed back "
+    "with an explicit schema (from_json), and the extracted fields "
+    "must hash-match the ORIGINAL columns — the oracle never touches "
+    "JSON, so the parity proves Spark's codec is bit-lossless for "
+    "strings AND doubles (to_json emits the shortest "
+    "round-trippable double representation; from_json restores the "
+    "identical IEEE value — the property event-bus producers rely on "
+    "without checking).  Scale: map-side expression pair, "
+    "whole-stage codegen, no UDF; the real lesson is the NEGATIVE "
+    "space — anything not exercised here (timestamps with zone, "
+    "NaN) needs its own pin before a JSON hop.",
+)
+def q55f_json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+    )
+    schema = "s string, p double, pr string"
+    parsed = F.from_json(js, schema)
+    return o.select(
+        "o_orderkey",
+        parsed["s"].alias("rt_status"),
+        parsed["p"].alias("rt_price"),
+        parsed["pr"].alias("rt_priority"),
+    )

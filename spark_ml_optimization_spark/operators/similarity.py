@@ -1477,3 +1477,120 @@ def q92d_incremental_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFram
             "needs_split"
         ),
     )
+
+
+@register(
+    "q90b_cell_cohesion_audit",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id,
+                   CAST(embedding[1] >= 0 AS INT) * 8
+                   + CAST(embedding[2] >= 0 AS INT) * 4
+                   + CAST(embedding[3] >= 0 AS INT) * 2
+                   + CAST(embedding[4] >= 0 AS INT) AS cell,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 127) AS BIGINT)) AS ivec
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT cell, u.j, sum(ivec[u.j]) AS s
+            FROM coded CROSS JOIN UNNEST(generate_series(1, 64)) u(j)
+            GROUP BY cell, u.j
+        ),
+        cells AS (
+            SELECT cell, CAST(max(n.n) AS BIGINT) AS n_members,
+                   sum(s * s) AS self_dot
+            FROM sums
+            JOIN (SELECT cell, count(*) AS n FROM coded GROUP BY cell) n
+              USING (cell)
+            GROUP BY cell
+        ),
+        pairs AS (
+            SELECT a.cell,
+                   max(psum.d * 1.0 / (a.n_members * b.n_members))
+                       AS max_inter_sim
+            FROM cells a
+            JOIN cells b ON b.cell <> a.cell
+            JOIN (
+                SELECT x.cell AS ca, y.cell AS cb, sum(x.s * y.s) AS d
+                FROM sums x JOIN sums y ON x.j = y.j AND y.cell <> x.cell
+                GROUP BY x.cell, y.cell
+            ) psum ON psum.ca = a.cell AND psum.cb = b.cell
+            GROUP BY a.cell
+        )
+        SELECT c.cell,
+               c.n_members,
+               round(c.self_dot * 1.0 / (c.n_members * c.n_members), 6)
+                   AS cohesion,
+               round(p.max_inter_sim, 6) AS max_inter_sim,
+               c.self_dot * 1.0 / (c.n_members * c.n_members)
+                   > p.max_inter_sim AS well_separated
+        FROM cells c JOIN pairs p USING (cell)
+    """,
+    doc="CLUSTER-QUALITY audit for the vector index, fully relational "
+    "and hash-verified — the commit-gate before trusting q92c/q92d's "
+    "cell layout: per cell, COHESION = squared norm of the mean "
+    "vector (mean member-to-centroid dot collapses to |S|^2/n^2 — "
+    "the per-dim integer sums S are exact, so the only doubles are "
+    "final divisions) vs the max INTER-CELL centroid similarity "
+    "(S_a.S_b/(n_a n_b) over the 16x16 cell pairs), plus the "
+    "well_separated flag (cohesion above every inter-cell "
+    "similarity — the silhouette-style criterion).  A cell that "
+    "fails is the one q92d's needs_split would re-cluster.  Scale: "
+    "ONE corpus pass builds the 16x64 integer sum matrix "
+    "(map-side-combinable); everything after runs on bounded "
+    "cell-level relations.",
+)
+def q90b_cell_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    cell = (
+        (F.element_at(emb, 1) >= 0).cast("int") * 8
+        + (F.element_at(emb, 2) >= 0).cast("int") * 4
+        + (F.element_at(emb, 3) >= 0).cast("int") * 2
+        + (F.element_at(emb, 4) >= 0).cast("int")
+    )
+    ivec = F.transform(emb, lambda x: F.round(x * 127, 0).cast("long"))
+    coded = e.select(cell.alias("cell"), ivec.alias("ivec"))
+    sums = (
+        coded.select("cell", F.posexplode("ivec").alias("j", "v"))
+        .groupBy("cell", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    counts = coded.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cells = (
+        sums.groupBy("cell")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("self_dot"))
+        .join(F.broadcast(counts), "cell")
+    )
+    x = sums.select(
+        F.col("cell").alias("ca"), F.col("j").alias("j"), F.col("s").alias("sa")
+    )
+    y = sums.select(
+        F.col("cell").alias("cb"), F.col("j").alias("j2"), F.col("s").alias("sb")
+    )
+    psum = (
+        x.join(F.broadcast(y), (F.col("j") == F.col("j2")) & (F.col("cb") != F.col("ca")))
+        .groupBy("ca", "cb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("d"))
+    )
+    na = cells.select(F.col("cell").alias("ca"), F.col("n_members").alias("n_a"))
+    nb = cells.select(F.col("cell").alias("cb"), F.col("n_members").alias("n_b"))
+    pairs = (
+        psum.join(F.broadcast(na), "ca")
+        .join(F.broadcast(nb), "cb")
+        .groupBy(F.col("ca").alias("cell"))
+        .agg(
+            F.max(F.col("d") * 1.0 / (F.col("n_a") * F.col("n_b"))).alias(
+                "max_inter_sim"
+            )
+        )
+    )
+    coh = F.col("self_dot") * 1.0 / (F.col("n_members") * F.col("n_members"))
+    return cells.join(pairs, "cell").select(
+        "cell",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round(coh, 6).alias("cohesion"),
+        F.round("max_inter_sim", 6).alias("max_inter_sim"),
+        (coh > F.col("max_inter_sim")).alias("well_separated"),
+    )
