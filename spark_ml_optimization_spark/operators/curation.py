@@ -2257,3 +2257,102 @@ def qc41_hamilton_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected_chars"),
         )
     )
+
+
+_OVERFLOW_BUDGET = 512  # whitespace tokens per packed sequence (qc44)
+
+
+@register(
+    "qc44_overflow_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS toks
+            FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE toks > 0),
+        offs AS (
+            SELECT lang, doc_id, toks,
+                   COALESCE(sum(toks) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM nz
+        ),
+        pieces AS (
+            SELECT lang, doc_id, off, toks, s AS seq_id,
+                   least(off + toks, (s + 1) * {_OVERFLOW_BUDGET})
+                   - greatest(off, s * {_OVERFLOW_BUDGET}) AS piece_tokens
+            FROM offs
+            CROSS JOIN UNNEST(generate_series(
+                CAST(off // {_OVERFLOW_BUDGET} AS BIGINT),
+                CAST((off + toks - 1) // {_OVERFLOW_BUDGET} AS BIGINT))) u(s)
+        )
+        SELECT lang,
+               CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_pieces,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(piece_tokens) AS BIGINT) AS seq_tokens,
+               CAST(sum(CASE WHEN off < seq_id * {_OVERFLOW_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_carryins
+        FROM pieces
+        GROUP BY lang, seq_id
+    """,
+    doc=f"OVERFLOW (boundary-splitting) sequence packing — the packer a "
+    "pretraining batch actually runs, where qc04/qc35 keep document "
+    "boundaries and waste tail space: the per-lang token stream "
+    f"(doc_id order) is cut into EXACTLY-{_OVERFLOW_BUDGET}-token "
+    "sequences and a document crossing a boundary contributes a "
+    "PIECE to each side.  Fully closed-form: each doc's exclusive "
+    "running offset places it at [off, off+toks); its pieces span "
+    "seq floor(off/B)..floor((off+toks-1)/B) (a bounded generator — "
+    "ceil(toks/B)+1 pieces max), and each piece's token count is the "
+    "interval overlap min(off+toks,(s+1)B) - max(off,sB) — all "
+    "integer arithmetic, so every sequence provably holds exactly B "
+    "tokens except each language's last (the audit the n_carryins "
+    "column completes: how many sequences start mid-document — the "
+    "attention-masking cost of overflow packing).  Scale: one "
+    "lang-partitioned cumulative window over COUNTS, one map-side "
+    "explode; text never moves.",
+)
+def qc44_overflow_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    B = _OVERFLOW_BUDGET
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias("toks"),
+    ).filter(F.col("toks") > 0)
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = t.withColumn("off", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    pieces = offs.select(
+        "lang",
+        "doc_id",
+        "off",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.expr(f"off div {B}"), F.expr(f"(off + toks - 1) div {B}")
+            )
+        ).alias("seq_id"),
+    ).withColumn(
+        "piece_tokens",
+        F.least(F.col("off") + F.col("toks"), (F.col("seq_id") + 1) * B)
+        - F.greatest(F.col("off"), F.col("seq_id") * B),
+    )
+    return pieces.groupBy("lang", "seq_id").agg(
+        F.count("*").cast("long").alias("n_pieces"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("piece_tokens").cast("long").alias("seq_tokens"),
+        F.sum(
+            F.when(F.col("off") < F.col("seq_id") * B, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_carryins"),
+    )
