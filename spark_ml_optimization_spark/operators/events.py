@@ -1290,3 +1290,125 @@ def q68g_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "q66d_nearest_event_join",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(event_type = 'purchase' AS INT) AS is_p
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        o AS (
+            SELECT user_id, event_id, ts, is_p,
+                   last_value(CASE WHEN is_p = 0 THEN
+                       struct_pack(c_us := epoch_us(ts), click_id := event_id)
+                   END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prevs,
+                   first_value(CASE WHEN is_p = 0 THEN
+                       struct_pack(c_us := epoch_us(ts), click_id := event_id)
+                   END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nexts
+            FROM ev
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CASE
+                   WHEN prevs IS NULL AND nexts IS NULL THEN NULL
+                   WHEN nexts IS NULL THEN prevs.click_id
+                   WHEN prevs IS NULL THEN nexts.click_id
+                   WHEN epoch_us(ts) - prevs.c_us
+                        <= nexts.c_us - epoch_us(ts) THEN prevs.click_id
+                   ELSE nexts.click_id
+               END AS nearest_click_id,
+               CASE
+                   WHEN prevs IS NULL AND nexts IS NULL THEN NULL
+                   WHEN nexts IS NULL THEN epoch_us(ts) - prevs.c_us
+                   WHEN prevs IS NULL THEN nexts.c_us - epoch_us(ts)
+                   WHEN epoch_us(ts) - prevs.c_us
+                        <= nexts.c_us - epoch_us(ts)
+                       THEN epoch_us(ts) - prevs.c_us
+                   ELSE nexts.c_us - epoch_us(ts)
+               END AS gap_us,
+               CASE
+                   WHEN prevs IS NULL AND nexts IS NULL THEN NULL
+                   WHEN nexts IS NULL THEN 'backward'
+                   WHEN prevs IS NULL THEN 'forward'
+                   WHEN epoch_us(ts) - prevs.c_us
+                        <= nexts.c_us - epoch_us(ts) THEN 'backward'
+                   ELSE 'forward'
+               END AS direction
+        FROM o WHERE is_p = 1
+    """,
+    doc="NEAREST-event join — the symmetric completion of the as-of "
+    "family (q65 backward, q65b backward+tolerance): every purchase "
+    "pairs with its temporally NEAREST same-user click in EITHER "
+    "direction, ties to the backward side (the earlier click), "
+    "same-instant clicks counting as backward with gap 0.  One "
+    "user-partitioned ordered pass: running last-click-so-far and "
+    "first-click-after structs (ignorenulls window moves over the "
+    "merged click+purchase sequence, clicks sorting before "
+    "purchases at equal timestamps), then a pure CASE pick — exact "
+    "microsecond integer gaps, no join at all, so ties and "
+    "boundaries cannot flake.  Users with no clicks keep their "
+    "purchases with NULLs (audit-friendly, never silently dropped).  "
+    "Scale: one shuffle on user_id, two frames over the same sort — "
+    "the classic merge-scan as-of shape, no range join, no "
+    "broadcast of the big side.",
+)
+def q66d_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    click_struct = F.when(
+        F.col("is_p") == 0,
+        F.struct(
+            F.unix_micros("ts").alias("c_us"), F.col("event_id").alias("click_id")
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "is_p", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_p",
+        F.last(click_struct, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("prevs"),
+        F.first(click_struct, ignorenulls=True)
+        .over(w.rowsBetween(W.currentRow, W.unboundedFollowing))
+        .alias("nexts"),
+    ).filter(F.col("is_p") == 1)
+    p_us = F.unix_micros("ts")
+    gap_b = p_us - F.col("prevs.c_us")
+    gap_f = F.col("nexts.c_us") - p_us
+    backward = F.col("nexts").isNull() | (
+        F.col("prevs").isNotNull() & (gap_b <= gap_f)
+    )
+    none = F.col("prevs").isNull() & F.col("nexts").isNull()
+    return o.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(none, F.lit(None))
+        .when(backward, F.col("prevs.click_id"))
+        .otherwise(F.col("nexts.click_id"))
+        .alias("nearest_click_id"),
+        F.when(none, F.lit(None))
+        .when(backward, gap_b)
+        .otherwise(gap_f)
+        .alias("gap_us"),
+        F.when(none, F.lit(None))
+        .when(backward, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -1687,3 +1687,51 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them), but emission timing is an engine detail — the type key
     # makes them deterministically filterable either way.
     return spark.table(name).filter(F.col("event_type") != "wm_sentinel")
+
+
+@register(
+    "st23_stream_static_left_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type,
+               p.vip_cents
+        FROM events e
+        LEFT JOIN (
+            SELECT c_custkey AS user_id,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS vip_cents
+            FROM customer
+            WHERE c_acctbal > 9000
+        ) p USING (user_id)
+    """,
+    # Append-mode LEFT stream-static join needs no watermark: the
+    # static side is complete at every micro-batch, so unmatched
+    # stream rows emit their NULLs immediately — unlike st09/st21's
+    # stream-stream outers, no eviction wait, no driver trick.
+    doc="LEFT OUTER stream-static enrichment — st07's inner twin "
+    "completed: every stream event emits exactly once, carrying the "
+    "static VIP profile (account balance in exact cents for "
+    "customers above a threshold) when the user matches and NULL "
+    "otherwise.  The left-outer mode matters operationally: an "
+    "enrichment join must NEVER drop events just because the dim is "
+    "sparse, and unlike the stream-stream outers (st09/st21) it "
+    "needs no watermark — the static side is complete at every "
+    "micro-batch, so NULLs emit immediately.  Hash-verified against "
+    "the batch LEFT JOIN.  Scale: the static side localCheckpoints "
+    "once and broadcasts; state-free join, O(batch) per trigger.",
+)
+def st23_stream_static_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    vip = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("vip_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stream = _read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(vip), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "vip_cents"
+    )
+    return _run_to_memory(joined, "append")
