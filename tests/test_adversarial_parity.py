@@ -89,6 +89,10 @@ ADV_FAMILIES = [
     "qc43_bpe_learned_count",    # learned-vocab greedy scan over the same plants
     "q80d_cavnar_trenkle_langid",  # <3-char docs excluded; profile rank ties
     "mm09_scene_change",         # empty/short docs pad to all-dot frames (delta 0)
+    "q66d_nearest_event_join",   # same-instant clicks, equal-gap ties, clickless users
+    "q68g_twap",                 # same-instant events (zero-duration segments drop)
+    "qc44_overflow_packing",     # zero-token docs excluded; boundary-exact splits
+    "q80e_langid_prf",           # zero-support classes -> explicit NULL rates
 ]
 
 
