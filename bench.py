@@ -195,9 +195,13 @@ def main() -> int:
             pass
 
     # Full per-query map → sidecar file; printed line stays compact
-    # (driver tail-capture safe, see module docstring).
+    # (driver tail-capture safe, see module docstring).  BENCH_QUERIES
+    # subset runs write a SEPARATE sidecar: BENCH_DETAIL.json is the
+    # full-suite record tests/test_bench_gate.py asserts the budget on,
+    # and an 11-query ad-hoc subset must never masquerade as it.
+    detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     # Budget gate (round-5 tripwire): the last three rounds established
     # that the expensive tail is INTRINSIC iteration cost (MLlib fits,
@@ -240,7 +244,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failures": len(failures),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": detail_name,
         "budget_ok": budget["ok"],
         "budget_breaches": len(budget["breaches"]),
     }

@@ -486,3 +486,37 @@ _registry_mod._REGISTRY["q37b_merge_delete_compact"] = _registry_mod.Query(
     oracle=q37b_oracle_for("/root/testdata/sf0.01"),
     doc=_registry_mod._REGISTRY["q37b_merge_delete_compact"].doc,
 )
+
+
+@register(
+    "q46b_global_topk_with_ties",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   rank() OVER (ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
+        ) WHERE rnk <= 10
+    """,
+    doc="GLOBAL top-10 WITH TIES — without the global window the naive "
+    "form implies: the oracle says rank() <= 10, but rank's tie "
+    "semantics mean the answer is exactly 'every row whose price >= "
+    "the 10th-highest price', so the Spark plan computes the "
+    "threshold with a TakeOrdered(10) (no sort of the full relation, "
+    "no single-task WindowExec), broadcasts the one-row min back, "
+    "and keeps rows by a map-side >= filter — set-identical to the "
+    "window form for any k, including boundary ties that a LIMIT "
+    "would cut arbitrarily.  Scale: TakeOrdered holds k rows per "
+    "partition + a k-row driver merge; the filter is one broadcast "
+    "scalar against the scan — this is THE pattern for global "
+    "with-ties top-k at 100 TB.",
+)
+def q46b_global_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    top10 = o.select("o_totalprice").orderBy(F.col("o_totalprice").desc()).limit(10)
+    thresh = top10.agg(F.min("o_totalprice").alias("p10"))
+    return (
+        o.crossJoin(F.broadcast(thresh))
+        .filter(F.col("o_totalprice") >= F.col("p10"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -346,3 +346,43 @@ def q41b_window_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c_acctbal", 2, -1.0).over(w).alias("lag2_bal"),
         F.lead("c_custkey", 3, -1).over(w).alias("lead3_key"),
     )
+
+
+@register(
+    "q40b_topk_with_ties",
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                o_custkey,
+                o_orderkey,
+                o_totalprice,
+                rank() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC
+                ) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per customer WITH TIES (FETCH FIRST 3 ROWS WITH "
+    "TIES semantics): rank() instead of q40's row_number(), so orders "
+    "tied on price at the boundary are ALL kept — the difference "
+    "between 'give me 3 rows' and 'give me the top 3 price points', "
+    "which matters whenever the ranking key is coarse (grades, "
+    "rounded scores, dates).  Deliberately no unique tiebreak in the "
+    "ORDER BY: with-ties output is set-deterministic even though a "
+    "row_number would not be.  Scale: identical shape to q40 — one "
+    "shuffle on the partition key, rank evaluates streaming within "
+    "each partition.",
+)
+def q40b_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
