@@ -1586,3 +1586,84 @@ def qa30_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_share"
         ),
     )
+
+
+@register(
+    "qa35_rfm_tier_migration",
+    oracle="""
+        WITH early AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ),
+        late AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ),
+        et AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS tier
+            FROM early
+        ),
+        lt AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS tier
+            FROM late
+        )
+        SELECT coalesce(e.tier, 0) AS tier_early,
+               coalesce(l.tier, 0) AS tier_late,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM et e FULL JOIN lt l USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+    doc="CUSTOMER-VALUE tier MIGRATION matrix — qa24's RFM machinery "
+    "pointed at the question retention teams actually ask: each "
+    "customer's monetary quintile in the early period (orders before "
+    "1998) vs the late period (1998+), full-joined so ARRIVALS (tier "
+    "0 early) and CHURNED (tier 0 late) are first-class rows of the "
+    "same 6x6 matrix.  Spend is exact integer cents; both quintiles "
+    "are DISTRIBUTED exact ntiles (dist_rank.distributed_ntile — the "
+    "customer relation grows with data, so no unpartitioned "
+    "WindowExec; the DuckDB oracle's plain ntile is bit-identical by "
+    "the integer size law).  The narrow per-period aggregates are "
+    "lazily localCheckpointed before ranking (the qa24 lesson: range "
+    "boundary sampling re-executes upstream otherwise).  Scale: two "
+    "fact scans, two distributed ranks, one key-partitioned full "
+    "join of customer-sized relations.",
+)
+def qa35_rfm_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def tiers(df, name):
+        agg = (
+            df.groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "cents"
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+        return distributed_ntile(
+            agg,
+            5,
+            [F.col("cents").desc(), F.col("o_custkey").asc()],
+            name,
+        ).select("o_custkey", name)
+
+    et = tiers(o.filter(F.col("o_orderdate") < cut), "tier_early")
+    lt = tiers(o.filter(F.col("o_orderdate") >= cut), "tier_late")
+    return (
+        et.join(lt, "o_custkey", "full")
+        .groupBy(
+            F.coalesce("tier_early", F.lit(0)).alias("tier_early"),
+            F.coalesce("tier_late", F.lit(0)).alias("tier_late"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )

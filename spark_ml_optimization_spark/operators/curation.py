@@ -2356,3 +2356,84 @@ def qc44_overflow_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_carryins"),
     )
+
+
+@register(
+    "qc45_contaminated_span",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source, i,
+                   array_to_string(w[i:i+2], ' ') AS g
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        hits AS (
+            SELECT gr.doc_id, gr.i
+            FROM grams gr JOIN bench b USING (g)
+            WHERE gr.source <> 'src0'
+        ),
+        islands AS (
+            SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+            FROM hits
+        ),
+        runs AS (
+            SELECT doc_id, grp,
+                   count(*) AS run_grams,
+                   count(*) + 2 AS run_tokens
+            FROM islands GROUP BY doc_id, grp
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(sum(run_grams) AS BIGINT) AS flagged_grams,
+               CAST(max(run_tokens) AS BIGINT) AS longest_span_tokens,
+               max(run_tokens) >= 8 AS hard_contaminated
+        FROM runs GROUP BY doc_id
+    """,
+    doc="CONTAMINATED-SPAN profiling — the decontamination upgrade "
+    "qc01's shared-gram COUNT can't make: a doc sharing 12 scattered "
+    "3-grams with the benchmark is probably topic overlap, but 12 "
+    "CONSECUTIVE gram positions are a verbatim quote.  Per corpus "
+    "doc: benchmark-gram hit positions -> gap-and-island grouping "
+    "(position minus per-doc row_number — consecutive hits share a "
+    "group, the q48/qd20 island recipe) -> per-run lengths; output "
+    "run count, total flagged grams, the LONGEST contiguous span in "
+    "tokens (run_grams + n - 1 for 3-grams), and a hard_contaminated "
+    "gate at >= 8 tokens — the Lee et al.-style span threshold.  All "
+    "integers, hash-verified.  Scale: benchmark grams broadcast; the "
+    "island window is PARTITIONED by doc (hit-count sized); nothing "
+    "corpus-squared.",
+)
+def qc45_contaminated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(api.word_grams(F.split("text", " "), 3)).alias("i0", "g"),
+    ).withColumn("i", F.col("i0") + 1)
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    hits = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "i")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    islands = hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+    runs = islands.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("run_grams"),
+        (F.count("*") + 2).alias("run_tokens"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_grams").cast("long").alias("flagged_grams"),
+        F.max("run_tokens").cast("long").alias("longest_span_tokens"),
+        (F.max("run_tokens") >= 8).alias("hard_contaminated"),
+    )

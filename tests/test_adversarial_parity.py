@@ -93,6 +93,7 @@ ADV_FAMILIES = [
     "q68g_twap",                 # same-instant events (zero-duration segments drop)
     "qc44_overflow_packing",     # zero-token docs excluded; boundary-exact splits
     "q80e_langid_prf",           # zero-support classes -> explicit NULL rates
+    "qc45_contaminated_span",    # exact-duplicate docs -> full-length spans; short docs
 ]
 
 
