@@ -1735,3 +1735,120 @@ def st23_stream_static_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "vip_cents"
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "st24_stream_late_data_drop",
+    oracle="""
+        SELECT
+            epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+                AS window_start_us,
+            event_type,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="WATERMARK LATE-DATA DROP, proven by hash: an append-mode "
+    "hourly count runs over the fixture, a sentinel batch advances "
+    "the watermark past every fixture window (st09's sequenced-driver "
+    "recipe), and then a third driver batch delivers a LATE fixture "
+    "event — same type, same user, timestamp equal to the stream's "
+    "MINIMUM — whose window closed long ago.  The oracle counts the "
+    "fixture ONLY: the result hash-matches iff the engine DROPPED "
+    "the late row (a broken watermark would re-emit or double-count "
+    "its window and diverge).  q63 demonstrates the batch-side "
+    "filter; THIS pins the streaming engine's actual state-eviction "
+    "behavior.  Sentinel rows carry their own event_type and are "
+    "filtered; the late plant needs no filter — being dropped IS the "
+    "assertion.  Scale: watermark-bounded state regardless of stream "
+    "length; the drop is what makes that bound safe to enforce.",
+)
+def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(tempfile.gettempdir(), f"st24_{uuid.uuid4().hex[:12]}")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        os.link(src, os.path.join(base, "events.parquet"))
+    except OSError:
+        import shutil
+
+        shutil.copyfile(src, os.path.join(base, "events.parquet"))
+
+    raw = spark.read.parquet(src)
+    schema = raw.schema
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
+
+    def _plant(agg_col: str, hours: int, event_type: str) -> DataFrame:
+        """One event at min/max(ts)+hours with the given type; sentinel
+        ids.  agg_col: 'max' advances the watermark, 'min' is LATE."""
+        fn = F.max("ts") if agg_col == "max" else F.min("ts")
+        mx = raw.agg(fn.alias("_t"))
+        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
+        if ts_is_long:
+            ts_col = (F.col("_t") + F.lit(hours * 3600 * 10**9)).cast("long")
+        else:
+            ts_col = F.col("_t") + F.expr(f"INTERVAL {hours} HOURS")
+        return (
+            tpl.withColumn("ts", ts_col)
+            .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
+            .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
+            .withColumn("event_type", F.lit(event_type))
+            .select(*schema.fieldNames())
+        )
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    try:
+        spark.conf.set(key, _STREAM_PARTS)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: fixture (wm still 0)
+            # batch 1+2: sentinels at max+2h/+4h — batch N applies batch
+            # N-1's watermark, so every fixture window emits by batch 2.
+            for step, hours in enumerate((2, 4), start=1):
+                _plant("max", hours, "wm_sentinel").repartition(1).write.parquet(
+                    os.path.join(base, f"drv{step}")
+                )
+                q.processAllAvailable()
+            # batch 3: the LATE row — a duplicate-shaped 'click' at the
+            # stream MINIMUM timestamp.  Its hour window closed (and was
+            # emitted) batches ago; the watermark drops it.  If it were
+            # counted, that window's n_events would differ from the
+            # fixture-only oracle and the hash would fail.
+            _plant("min", 0, "click").repartition(1).write.parquet(
+                os.path.join(base, "late")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, prev)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(name).filter(F.col("event_type") != "wm_sentinel")
