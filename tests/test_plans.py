@@ -16,7 +16,7 @@ from spark_ml_optimization_spark.plans import (  # noqa: F401
 )
 from spark_ml_optimization_spark.registry import all_queries
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def _df(spark, name):
@@ -520,3 +520,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_global_with_ties_topk_is_window_free(spark):
+    """q46b must plan as TakeOrdered + broadcast filter — the whole
+    point is that no WindowExec (and no global sort of orders) exists."""
+    from spark_ml_optimization_spark.registry import all_queries
+
+    df = all_queries()["q46b_global_topk_with_ties"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
