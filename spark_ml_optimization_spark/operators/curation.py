@@ -2437,3 +2437,66 @@ def qc45_contaminated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_tokens").cast("long").alias("longest_span_tokens"),
         (F.max("run_tokens") >= 8).alias("hard_contaminated"),
     )
+
+
+@register(
+    "qc46_sample_bias_audit",
+    oracle="""
+        WITH full_c AS (
+            SELECT lang, count(*) AS n_full FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_full) AS n FROM full_c),
+        samp AS (
+            SELECT lang, count(*) AS n_samp FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+            GROUP BY lang
+        ),
+        ns AS (SELECT sum(n_samp) AS m FROM samp)
+        SELECT f.lang,
+               CAST(f.n_full AS BIGINT) AS n_full,
+               CAST(coalesce(s.n_samp, 0) AS BIGINT) AS n_sampled,
+               round(ns.m * f.n_full * 1.0 / tot.n, 6) AS expected,
+               round(
+                   (coalesce(s.n_samp, 0) - ns.m * f.n_full * 1.0 / tot.n)
+                   * (coalesce(s.n_samp, 0) - ns.m * f.n_full * 1.0 / tot.n)
+                   / (ns.m * f.n_full * 1.0 / tot.n), 6) AS chi_term
+        FROM full_c f
+        LEFT JOIN samp s USING (lang)
+        CROSS JOIN tot CROSS JOIN ns
+    """,
+    doc="SAMPLING-BIAS audit — the check that belongs beside every "
+    "deterministic sampler (qc03's md5-prefix hash sample here): per "
+    "language, observed sampled count vs the proportional expectation "
+    "m*n_l/N and the chi-square contribution (o-e)^2/e — summed "
+    "against the chi-square table off-line, but the PER-CLASS terms "
+    "are what you act on (the one stratum a hash sampler "
+    "under-draws).  Expectation and terms are divisions of exact "
+    "integers (counts only), so both engines compute identical "
+    "doubles — the statistic is hash-verified, not approximated.  "
+    "Scale: two counts-only aggs over the corpus, a languages-sized "
+    "join; the audit costs nothing next to the sample it validates.",
+)
+def qc46_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    full_c = d.groupBy("lang").agg(F.count("*").alias("n_full"))
+    tot = full_c.agg(F.sum("n_full").alias("n"))
+    samp = (
+        d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_samp"))
+    )
+    ns = samp.agg(F.sum("n_samp").alias("m"))
+    e = F.col("m") * F.col("n_full") * 1.0 / F.col("n")
+    o = F.coalesce(F.col("n_samp"), F.lit(0))
+    return (
+        full_c.join(samp, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "lang",
+            F.col("n_full").cast("long").alias("n_full"),
+            o.cast("long").alias("n_sampled"),
+            F.round(e, 6).alias("expected"),
+            F.round((o - e) * (o - e) / e, 6).alias("chi_term"),
+        )
+    )
