@@ -79,3 +79,55 @@ def test_decontaminate_excludes_benchmark_source(spark):
     }
     assert all(src[r.doc_id] != "src0" for r in rows)
     assert all(r.n_shared_grams >= 1 for r in rows)
+
+
+def test_overflow_packing_law(spark):
+    """qc44's defining law: within each language, every sequence holds
+    exactly B tokens except the last (which holds total % B, unless the
+    total divides evenly), and sequence ids are dense from 0."""
+    from spark_ml_optimization_spark.operators.curation import (
+        _OVERFLOW_BUDGET as B,
+    )
+    from spark_ml_optimization_spark.registry import all_queries
+
+    from .conftest import SF_CORRECT
+
+    rows = (
+        all_queries()["qc44_overflow_packing"]
+        .fn(spark, SF_CORRECT)
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        ids = [r["seq_id"] for r in rs]
+        assert ids == list(range(len(ids))), f"{lang}: sparse seq ids"
+        total = sum(r["seq_tokens"] for r in rs)
+        for r in rs[:-1]:
+            assert r["seq_tokens"] == B, (lang, r["seq_id"], r["seq_tokens"])
+        last = rs[-1]["seq_tokens"]
+        assert last == (total % B or B), (lang, last, total)
+
+
+def test_hamilton_quota_laws(spark):
+    """Largest-remainder apportionment laws on the shared helper:
+    quotas sum to min(B, N); every quota within 1 of true
+    proportionality; quota never exceeds availability."""
+    from spark_ml_optimization_spark.operators.curation import hamilton_quota
+
+    counts = spark.createDataFrame(
+        [("a", 7), ("b", 13), ("c", 1), ("d", 29), ("e", 50)],
+        "lang string, n_docs long",
+    )
+    for budget in (1, 3, 10, 37, 99, 100, 250):
+        rows = hamilton_quota(counts, budget).collect()
+        n = sum(r["n_docs"] for r in rows)
+        beff = min(budget, n)
+        assert sum(r["quota"] for r in rows) == beff
+        for r in rows:
+            exact = beff * r["n_docs"] / n
+            assert abs(r["quota"] - exact) < 1.0 + 1e-9, (budget, r)
+            assert r["quota"] <= r["n_docs"] or beff == n
