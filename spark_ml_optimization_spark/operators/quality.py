@@ -2132,3 +2132,67 @@ def qd30_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "qd31_session_gap_sizing",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type,
+                   us - lag(us) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS gap_us
+            FROM e
+        ),
+        g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_us, 0.50), 4) AS p50_gap_us,
+               round(quantile_cont(gap_us, 0.90), 4) AS p90_gap_us,
+               round(quantile_cont(gap_us, 0.99), 4) AS p99_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(ceil(quantile_cont(gap_us, 0.99) / 60000000.0)
+                    AS BIGINT) AS suggested_gap_min
+        FROM g GROUP BY event_type
+    """,
+    doc="SESSION-GAP sizing quantiles — the measurement behind "
+    "q62/st03's '30 minutes' session window (and st17's dedup "
+    "horizon): per event type, the exact p50/p90/p99 of per-user "
+    "inter-event gaps (continuous interpolation — the q22 "
+    "percentile<->quantile_cont parity recipe), the worst case, and "
+    "the SUGGESTED session gap = ceil(p99 / 1 minute), i.e. a "
+    "timeout that merges 99%% of genuine within-session gaps and "
+    "splits the tail — the classic inactivity-threshold elbow, now "
+    "a query instead of folklore.  Gaps order by (ts, event_id) so "
+    "ties cannot flake; one percentile(array(...)) aggregate per "
+    "type — a single sorted mergeable buffer, no window over gap "
+    "values.  Scale: one keyed lag frame over (user, 2 longs), one "
+    "types-sized agg — run it on a day sample before committing "
+    "session semantics on a 100 TB/day stream.",
+)
+def qd31_session_gap_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    pct = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(pct[0], 4).alias("p50_gap_us"),
+        F.round(pct[1], 4).alias("p90_gap_us"),
+        F.round(pct[2], 4).alias("p99_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.ceil(pct[2] / 60000000.0).cast("long").alias("suggested_gap_min"),
+    )
