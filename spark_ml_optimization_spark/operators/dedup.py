@@ -2051,3 +2051,141 @@ def qc39_incremental_neardup_admission(
             .alias("n_admitted"),
         )
     )
+
+
+_BANDING_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # (bands, rows/band)
+
+
+def _banding_oracle_sql() -> str:
+    sig_cols = ",\n                   ".join(
+        f"min(substr(md5(s || '#{i}'), 1, 16)) AS h{i}" for i in range(16)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    parts = [f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], '_') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM sh GROUP BY doc_id
+        )"""]
+    selects = []
+    for b, r in _BANDING_CONFIGS:
+        bands = "\n            UNION ALL\n".join(
+            "            SELECT doc_id, {j} AS band, md5({cat}) AS band_sig FROM sig".format(
+                j=j,
+                cat=" || '|' || ".join(f"h{j * r + k}" for k in range(r)),
+            )
+            for j in range(b)
+        )
+        parts.append(f"""
+        banded_{b}_{r} AS (
+{bands}
+        ),
+        cand_{b}_{r} AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM banded_{b}_{r} a
+            JOIN banded_{b}_{r} b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        stats_{b}_{r} AS (
+            SELECT {b} AS bands, {r} AS rows_per_band,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(coalesce(sum(CASE WHEN ({eq}) >= 8
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_accepted
+            FROM cand_{b}_{r} c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db
+        )""")
+        selects.append(
+            f"SELECT bands, rows_per_band, n_candidates, n_accepted, "
+            f"CASE WHEN n_candidates = 0 THEN NULL "
+            f"ELSE round(n_accepted * 1.0 / n_candidates, 6) END AS precision "
+            f"FROM stats_{b}_{r}"
+        )
+    return ",".join(parts) + "\n        " + "\n        UNION ALL ".join(selects)
+
+
+@register(
+    "q72f_banding_tradeoff",
+    oracle=_banding_oracle_sql(),
+    doc="LSH BANDING (b, r) TRADEOFF table — the S-curve engineers "
+    "consult before committing a near-dup sweep, computed on the "
+    "actual corpus instead of the textbook formula: the same 16 "
+    "portable minhashes (q72c's md5 family) are banded four ways "
+    "(16x1, 8x2, 4x4, 2x8), and each configuration reports its "
+    "candidate-pair count and the fraction accepted by the "
+    "est-Jaccard >= 0.5 gate (>= 8 of 16 signature agreements — "
+    "integer compare, no division luck).  16x1 recalls everything "
+    "and drowns in candidates; 2x8 is surgical and misses; the "
+    "table shows exactly where THIS corpus's elbow is.  Fully "
+    "hash-verified: every stage is the q72c portable family.  "
+    "Scale: candidates are banded-join sized per config — the whole "
+    "point of the table is to SEE that 16x1's candidate count is "
+    "unaffordable before running it on 100 TB; signatures are "
+    "computed once (memoized vocabulary + cached shingles) and "
+    "reused by all four configs.",
+)
+def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _sh, sig, _banded = _pmh_sig_banded(spark, sf_dir)
+    sig = sig.localCheckpoint(eager=False)
+    eq = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
+    )
+    out = None
+    for b, r in _BANDING_CONFIGS:
+        banded = None
+        for j in range(b):
+            one = sig.select(
+                "doc_id",
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{j * r + k}") for k in range(r)])
+                ).alias("band_sig"),
+            )
+            banded = one if banded is None else banded.unionByName(one)
+        a, bb = banded.alias("ba"), banded.alias("bb")
+        cand = (
+            a.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+            )
+            .distinct()
+        )
+        scored = (
+            cand.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))
+            .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
+            .select(eq.alias("n_agree"))
+        )
+        stats = scored.agg(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.count("*").cast("long").alias("n_candidates"),
+            F.coalesce(F.count_if(F.col("n_agree") >= 8), F.lit(0))
+            .cast("long")
+            .alias("n_accepted"),
+        ).select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_accepted",
+            F.when(F.col("n_candidates") == 0, F.lit(None))
+            .otherwise(
+                F.round(F.col("n_accepted") * 1.0 / F.col("n_candidates"), 6)
+            )
+            .alias("precision"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
