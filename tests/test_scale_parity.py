@@ -105,6 +105,9 @@ SCALE_SENSITIVE = [
     # cell occupancy / scene-delta density shift with corpus size.
     "q92d_incremental_ivf_admission",
     "mm09_scene_change",
+    # banding-config candidate counts only bite under sf0.1's planted
+    # near-dup density (the 2x8 config is empty at sf0.01).
+    "q72f_banding_tradeoff",
 ]
 
 TABLES = (
