@@ -846,3 +846,46 @@ def src22_csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", "\\")
         .csv(path)
     )
+
+
+@register(
+    "src23_format_fidelity_chain",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CROSS-FORMAT fidelity CHAIN: the nation dim travels parquet -> "
+    "ORC -> JSON-lines -> CSV -> parquet, each hop written then "
+    "re-read with an explicit schema, and the FINAL re-read must "
+    "hash-match the ORIGINAL table — one assertion covering four "
+    "encoder/decoder pairs composed, the multi-hop property that "
+    "single-format roundtrips (src01/src02/src07) cannot see "
+    "(a lossy hop anywhere in the chain breaks the final hash).  "
+    "Ints and strings only by design: doubles through CSV/JSON hops "
+    "get their own pins (q55f for JSON; src22 for CSV dialect).  "
+    "Scale: dims flow through staging formats constantly in real "
+    "integrations — this is the cheap invariant to assert after "
+    "every such pipeline.",
+)
+def src23_format_fidelity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    base = _scratch(f"fidelity_{sf_dir.replace('/', '_')}")
+    cur = n.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+    cur.write.mode("overwrite").orc(f"{base}/orc")
+    cur = spark.read.schema(schema).orc(f"{base}/orc")
+    cur.write.mode("overwrite").json(f"{base}/json")
+    cur = spark.read.schema(schema).json(f"{base}/json")
+    cur.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    cur = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    cur.write.mode("overwrite").parquet(f"{base}/parquet")
+    return spark.read.schema(schema).parquet(f"{base}/parquet")

@@ -2196,3 +2196,74 @@ def qd31_session_gap_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("long").alias("max_gap_us"),
         F.ceil(pct[2] / 60000000.0).cast("long").alias("suggested_gap_min"),
     )
+
+
+#: (table, column) pairs profiled by qd32 — low-cardinality categoricals
+#: where value-distribution entropy is a meaningful balance signal.
+_ENTROPY_COLS = (
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("customer", "c_mktsegment"),
+)
+
+
+@register(
+    "qd32_categorical_entropy",
+    oracle="\n        UNION ALL\n".join(
+        f"""
+        SELECT '{t}.{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4)
+                   AS entropy_nats,
+               round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot))
+                     / ln(count(*)), 4) AS balance
+        FROM (
+            SELECT {c} AS v, count(*) AS n,
+                   sum(count(*)) OVER () AS tot
+            FROM {t} GROUP BY {c}
+        )"""
+        for t, c in _ENTROPY_COLS
+    ),
+    doc="CATEGORICAL value-distribution ENTROPY profile — the balance "
+    "signal qd01's null/distinct counts miss: per profiled column, "
+    "Shannon entropy of the value distribution in nats and the "
+    "normalized BALANCE = H / ln(k) (1.0 = perfectly uniform, -> 0 = "
+    "one value dominates — the column a stratified sampler or a "
+    "partition key should NOT trust).  The q83 entropy recipe: the "
+    "inner per-value p*ln(p) terms are per-row double arithmetic, "
+    "the outer sum runs over <= tens of category rows, and the 4-dp "
+    "wire absorbs summation order — hash-verified like q83.  Scale: "
+    "one map-side-combinable count agg per column; the entropy math "
+    "runs on the category-sized result (the window in the oracle is "
+    "over category rows, not data — the Spark side broadcasts the "
+    "total instead).",
+)
+def qd32_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, c in _ENTROPY_COLS:
+        counts = (
+            load_table(spark, sf_dir, t)
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count("*").alias("n"))
+        )
+        tot = counts.agg(F.sum("n").alias("tot"))
+        p = F.col("n") * 1.0 / F.col("tot")
+        one = (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(f"{t}.{c}").alias("col_name"),
+                F.count("*").cast("long").alias("n_values"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+                F.round(
+                    -F.sum(p * F.log(p)) / F.log(F.count("*").cast("double")), 4
+                ).alias("balance"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

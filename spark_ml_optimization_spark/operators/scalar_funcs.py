@@ -808,3 +808,59 @@ def q55f_json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["p"].alias("rt_price"),
         parsed["pr"].alias("rt_priority"),
     )
+
+
+@register(
+    "q52c_weekday_profile",
+    oracle="""
+        SELECT dow + 1 AS day_idx,
+               CASE dow WHEN 0 THEN 'Sun' WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue'
+                        WHEN 3 THEN 'Wed' WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri'
+                        ELSE 'Sat' END AS day_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               dow IN (0, 6) AS is_weekend,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS day_cents
+        FROM (SELECT CAST(dayofweek(CAST(o_orderdate AS TIMESTAMP)) AS INT)
+                         AS dow,
+                     o_totalprice
+              FROM orders)
+        GROUP BY dow
+    """,
+    doc="WEEKDAY profile — and deliberately a DIALECT-TRAP pin: Spark's "
+    "dayofweek() is 1=Sunday..7=Saturday while DuckDB's dayofweek() is "
+    "0=Sunday..6=Saturday, the off-by-one that silently shifts every "
+    "weekend metric when a query migrates engines.  Both sides "
+    "normalize to the SAME 1-based index and derive day names from an "
+    "explicit CASE ladder (never locale-dependent date_format "
+    "patterns), so the parity proves the normalization, and the "
+    "weekend flag + exact-cents revenue ride along as the business "
+    "readout.  Scale: map-side extraction + a 7-row agg.",
+)
+def q52c_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Spark: 1=Sun..7=Sat already — the shared wire format.
+    idx = F.dayofweek(F.col("o_orderdate").cast("timestamp"))
+    name = (
+        F.when(idx == 1, "Sun")
+        .when(idx == 2, "Mon")
+        .when(idx == 3, "Tue")
+        .when(idx == 4, "Wed")
+        .when(idx == 5, "Thu")
+        .when(idx == 6, "Fri")
+        .otherwise("Sat")
+    )
+    return (
+        o.select(
+            idx.alias("day_idx"),
+            name.alias("day_name"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_idx", "day_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.col("day_idx").isin(1, 7).alias("is_weekend"),
+            F.sum("cents").cast("long").alias("day_cents"),
+        )
+        .select("day_idx", "day_name", "n_orders", "is_weekend", "day_cents")
+    )
