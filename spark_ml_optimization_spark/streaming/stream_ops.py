@@ -1852,3 +1852,94 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(base, ignore_errors=True)
     return spark.table(name).filter(F.col("event_type") != "wm_sentinel")
+
+
+@register(
+    "st25_stateful_restart_recovery",
+    oracle="""
+        SELECT
+            epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)))
+                AS window_start_us,
+            event_type,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="STATE-STORE recovery across a restart, proven by hash — the "
+    "stateful complement of st11's source-log exactly-once: a "
+    "complete-mode 1-day tumbling count runs over HALF the fixture "
+    "(even event_ids) with a durable checkpointLocation and stops; "
+    "the odd half then lands and a NEW query object — same pipeline, "
+    "same checkpoint — processes it.  Complete mode re-emits the "
+    "whole aggregate each batch, so the post-restart memory sink "
+    "holds full-fixture counts IFF the aggregation state survived "
+    "the restart: lost state would leave only the odd half's counts "
+    "(hash breaks small), re-read of file 1 would double the even "
+    "half (hash breaks big).  Together st11/st25 pin both halves of "
+    "streaming fault tolerance — the source log and the state store "
+    "— as hash assertions, not docs.  Scale: this is the property "
+    "that makes a 100 TB/day stateful pipeline restartable at all; "
+    "checkpoint + fixed partitioning are the operational contract.",
+)
+def st25_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(tempfile.gettempdir(), f"st25_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    ckpt_dir = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    schema = raw.schema
+    raw.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src_dir, "part1")
+    )
+    part2_staging = os.path.join(base, "part2_staging")
+    raw.filter(F.col("event_id") % 2 == 1).write.parquet(part2_staging)
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+
+    def run_once(qname: str) -> None:
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                    "window_start_us"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        spark.conf.set(key, _STREAM_PARTS)  # MUST stay fixed across restarts
+        run_once(name)  # phase 1: even half builds state
+        os.rename(part2_staging, os.path.join(src_dir, "part2"))
+        run_once(name)  # phase 2: restart recovers state, adds odd half
+    finally:
+        spark.conf.set(key, prev)
+        # Result lives in the memory sink; source/checkpoint dirs are
+        # dead weight after phase 2 (the st09 disk-leak lesson).
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(name)
