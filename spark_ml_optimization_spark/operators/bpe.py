@@ -311,7 +311,10 @@ def learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WORD-FREQUENCY table (sublinear, Heaps' law), not the corpus;
     rounds are sequential by nature (each argmax depends on the last),
     exactly like production BPE trainers."""
-    key = (id(spark), sf_dir)
+    # Keyed on applicationId, not id(spark): CPython reuses id() after
+    # GC, so a new session could inherit a dead session's checkpointed
+    # plan; applicationId is unique per SparkContext lifetime.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MERGES_MEMO:
         return _MERGES_MEMO[key]
     d = load_table(spark, sf_dir, "documents")

@@ -2455,11 +2455,15 @@ def qc45_contaminated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.lang,
                CAST(f.n_full AS BIGINT) AS n_full,
                CAST(coalesce(s.n_samp, 0) AS BIGINT) AS n_sampled,
-               round(ns.m * f.n_full * 1.0 / tot.n, 6) AS expected,
-               round(
+               CASE WHEN coalesce(ns.m, 0) = 0 THEN NULL
+                    ELSE round(ns.m * f.n_full * 1.0 / tot.n, 6)
+               END AS expected,
+               CASE WHEN coalesce(ns.m, 0) = 0 THEN NULL
+                    ELSE round(
                    (coalesce(s.n_samp, 0) - ns.m * f.n_full * 1.0 / tot.n)
                    * (coalesce(s.n_samp, 0) - ns.m * f.n_full * 1.0 / tot.n)
-                   / (ns.m * f.n_full * 1.0 / tot.n), 6) AS chi_term
+                   / (ns.m * f.n_full * 1.0 / tot.n), 6)
+               END AS chi_term
         FROM full_c f
         LEFT JOIN samp s USING (lang)
         CROSS JOIN tot CROSS JOIN ns
@@ -2488,6 +2492,10 @@ def qc46_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = samp.agg(F.sum("n_samp").alias("m"))
     e = F.col("m") * F.col("n_full") * 1.0 / F.col("n")
     o = F.coalesce(F.col("n_samp"), F.lit(0))
+    # Explicit m=0 guard in BOTH engines: a zero-row sample would make
+    # e = 0 and the unguarded 0/0 double division is an engine-specific
+    # NULL-vs-NaN choice (the qd32/q80e CASE-guard convention).
+    m_zero = F.coalesce(F.col("m"), F.lit(0)) == 0
     return (
         full_c.join(samp, "lang", "left")
         .crossJoin(F.broadcast(tot))
@@ -2496,7 +2504,9 @@ def qc46_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n_full").cast("long").alias("n_full"),
             o.cast("long").alias("n_sampled"),
-            F.round(e, 6).alias("expected"),
-            F.round((o - e) * (o - e) / e, 6).alias("chi_term"),
+            F.when(m_zero, F.lit(None)).otherwise(F.round(e, 6)).alias("expected"),
+            F.when(m_zero, F.lit(None))
+            .otherwise(F.round((o - e) * (o - e) / e, 6))
+            .alias("chi_term"),
         )
     )

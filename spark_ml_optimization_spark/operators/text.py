@@ -509,23 +509,30 @@ def q77b_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family — slope near -1 is the natural-language signature; "
     "synthetic or template-generated text shows up as a flat or "
     "kinked spectrum, making this a generated-content screen.  The "
-    "rank window runs over the VOCABULARY (types, not tokens), so the "
-    "sort is vocabulary-sized — sublinear by Heaps' law (q77b) and "
-    "allowlisted in test_plan_sweep; at web scale swap the exact rank "
-    "for the approx_top_k sketch — EXECUTABLE as q77d, hash-verified; "
-    "regr_slope/regr_r2 are single-pass mergeable aggregates — "
-    "hash-stable cross-engine (q20c established the regr_* parity "
-    "pattern).",
+    "exact vocabulary rank is computed DISTRIBUTED via "
+    "dist_rank.distributed_row_number (range exchange + pid-local "
+    "row_number + broadcast offsets — bit-identical to the global "
+    "window for this total order, no single-task WindowExec), so even "
+    "a 10^8-type web vocabulary ranks in parallel; the approx_top_k "
+    "sketch alternative stays EXECUTABLE as q77d.  regr_slope/regr_r2 "
+    "are single-pass mergeable aggregates — hash-stable cross-engine "
+    "(q20c established the regr_* parity pattern).",
 )
 def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_row_number
+
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("f"))
+        # Range-exchange boundary sampling re-executes the input plan;
+        # pin the corpus-sized explode+agg once (lazy, repo policy).
+        .localCheckpoint(eager=False)
     )
-    w = W.orderBy(F.col("f").desc(), F.col("tok").asc())
-    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    ranked = distributed_row_number(
+        freq, [F.col("f").desc(), F.col("tok").asc()], "r"
+    ).select("f", "r")
     return ranked.agg(
         F.count("*").cast("long").alias("n_types"),
         F.round(F.expr("regr_slope(ln(f), ln(r))"), 4).alias("zipf_slope"),
@@ -959,7 +966,8 @@ def q80d_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memoized per (session, fixture) as a lazy localCheckpoint: q80e's
     # metrics tail reuses the materialized 25-row matrix instead of
     # re-running the corpus trigram pass (the learned_merges pattern).
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): id() is GC-reusable across sessions.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CT_MATRIX_MEMO:
         return _CT_MATRIX_MEMO[key]
     K = 20
@@ -1185,10 +1193,12 @@ def q81b_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary), so the only corpus-sized shuffle carries (doc, "
     "token-id) pairs; this is the standard collocation-mining shape "
     "for building phrase lists over a 100 TB crawl.  The top-30-df "
-    "vocabulary rank is a vocabulary-sized global window (sublinear, "
-    "allowlisted in test_plan_sweep) — the approx_top_k swap is "
-    "EXECUTABLE as q77d (hash-verified sketch vocabulary), per "
-    "SCALE.md 'Global-window policy'.",
+    "vocabulary cut is WINDOW-FREE: (df DESC, t ASC) is a total order, "
+    "so orderBy+limit(30) — Spark's TakeOrderedAndProject, k rows per "
+    "partition + a k-row driver merge, never a global sort or "
+    "single-task WindowExec — selects exactly the row_number()<=30 "
+    "set (the q46b pattern); the approx_top_k sketch swap stays "
+    "EXECUTABLE as q77d.",
 )
 def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1197,8 +1207,7 @@ def q83d_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))).alias("t"),
     )
     df = tok.groupBy("t").agg(F.count("*").alias("df"))
-    w = W.orderBy(F.col("df").desc(), F.col("t").asc())
-    vocab = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 30).drop("rn")
+    vocab = df.orderBy(F.col("df").desc(), F.col("t").asc()).limit(30)
     n_docs = d.count()  # scalar dimension, baked as a literal
     vtok = tok.join(F.broadcast(vocab.select("t")), "t")
     a = vtok.select("doc_id", F.col("t").alias("t1"))

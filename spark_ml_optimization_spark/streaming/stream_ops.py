@@ -1004,10 +1004,6 @@ def st13_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INGEST_STAGE_CACHE: dict[str, str] = {}
 
-#: Shuffle/state-store partitions for the streaming demos (see
-#: _run_to_memory's sizing note; overridable for experiments).
-_STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
-
 
 def _stage_incoming_docs(spark: SparkSession, sf_dir: str) -> str:
     """Stage the deterministic 'incoming batch' for st14: every document

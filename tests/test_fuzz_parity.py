@@ -1,0 +1,399 @@
+"""Seeded differential query fuzzer vs DuckDB (SQLancer/TLP-style).
+
+The adversarial suite (`test_adversarial_parity.py`) is hand-planted
+edge-case families; this module GENERATES queries nobody thought to
+plant.  Two public techniques, both deterministic (seeded PRNG, no
+wall-clock, no Math.random — every CI run fuzzes the identical corpus):
+
+1. **Differential testing** (SQLancer's core loop, Rigger & Su 2020):
+   generate a query in the ANSI subset both engines parse identically,
+   run the SAME SQL text through Spark SQL and DuckDB over the same
+   parquet fixtures, and compare row multisets with the driver-shaped
+   `harness.compare`.  Templates cover filter/project, group-by
+   aggregates (+HAVING), FK joins (inner/left), set operations,
+   IN / NOT IN subqueries (three-valued logic with planted NULLs), and
+   DISTINCT over CASE projections.
+2. **Ternary Logic Partitioning** (TLP, Rigger & Su 2020): for a random
+   predicate p, `count(*)` must equal `count p` + `count NOT p` +
+   `count p IS NULL` — evaluated per-engine (self-consistency catches
+   optimizer bugs without an oracle) and then cross-engine.
+
+Generator hygiene that keeps the subset dialect-safe (the traps are the
+repo's documented DuckDB-vs-Spark list, SCALE.md / SKILL.md):
+- integer-only aggregate outputs (sums/counts/min/max; doubles enter
+  only as exact `CAST(round(x*100) AS BIGINT)` cents),
+- no `avg`, no division, no LIMIT-without-total-order,
+- timestamps appear in predicates only via `year()`/`month()` (both
+  engines agree; raw timestamp projection differs in pandas dtype),
+- NULLs are PLANTED via `nullif`/CASE so three-valued-logic paths
+  (NOT IN, left-join nulls, IS NULL atoms) actually execute.
+
+Any divergence this fuzzer ever finds graduates into a pinned plant in
+test_adversarial_parity.py's ADV_FAMILIES (the standing policy).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from .conftest import SF_CORRECT
+from .harness import compare
+
+# ---------------------------------------------------------------- schema
+
+#: table -> (int cols, string cols, double(money) cols, timestamp cols)
+META = {
+    "region": (["r_regionkey"], ["r_name"], [], []),
+    "nation": (["n_nationkey", "n_regionkey"], ["n_name"], [], []),
+    "customer": (
+        ["c_custkey", "c_nationkey"],
+        ["c_name", "c_mktsegment"],
+        ["c_acctbal"],
+        [],
+    ),
+    "supplier": (["s_suppkey", "s_nationkey"], ["s_name"], ["s_acctbal"], []),
+    "part": (
+        ["p_partkey", "p_size"],
+        ["p_name", "p_brand", "p_type"],
+        ["p_retailprice"],
+        [],
+    ),
+    "orders": (
+        ["o_orderkey", "o_custkey"],
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_totalprice"],
+        ["o_orderdate"],
+    ),
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ["l_returnflag", "l_linestatus"],
+        ["l_extendedprice", "l_quantity"],
+        ["l_shipdate"],
+    ),
+    "documents": (["doc_id", "n_chars"], ["lang", "source"], [], []),
+    "events": (["event_id", "user_id"], ["event_type"], ["value"], ["ts"]),
+}
+
+#: FK join edges: (left table, left col, right table, right col)
+FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+PREFIX = "fz_"  # dedicated view names so the fuzzer never collides
+FUZZ_TABLES = sorted(META)
+
+
+# ------------------------------------------------------------- generator
+
+
+class Gen:
+    """Deterministic query generator: one PRNG seeded per query, every
+    choice drawn from it — the corpus is a pure function of the seed."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    # -- scalar atoms ---------------------------------------------------
+
+    def _int_atom(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        col = q + self.r.choice(ints)
+        k = self.r.randint(2, 13)
+        op = self.r.choice(["<", "<=", "=", "<>", ">", ">="])
+        return f"({col} % {k}) {op} {self.r.randint(0, k - 1)}"
+
+    def _str_atom(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        col = q + self.r.choice(strs)
+        kind = self.r.randrange(3)
+        ch = self.r.choice("abcdefgmnoprstuACFHLMNOPRSU0123456789")
+        if kind == 0:
+            return f"{col} LIKE '%{ch}%'"
+        if kind == 1:
+            return f"{col} >= '{ch}'"
+        return f"substring({col}, 1, 1) = '{ch}'"
+
+    def _money_atom(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        if not cents:
+            return self._int_atom(t, q)
+        col = q + self.r.choice(cents)
+        lit = self.r.randint(1, 9000)
+        op = self.r.choice(["<", ">=", ">"])
+        return f"{col} {op} {lit}.{self.r.randint(0, 99):02d}"
+
+    def _ts_atom(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        if not ts:
+            return self._str_atom(t, q)
+        col = q + self.r.choice(ts)
+        if self.r.random() < 0.5:
+            return f"(year({col}) % {self.r.randint(2, 4)}) = 0"
+        return f"month({col}) {self.r.choice(['<', '>='])} {self.r.randint(2, 11)}"
+
+    def _null_atom(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        col = q + self.r.choice(ints)
+        k = self.r.randint(3, 9)
+        neg = self.r.choice(["", "NOT "])
+        return f"nullif({col} % {k}, {self.r.randint(0, k - 1)}) IS {neg}NULL"
+
+    def predicate(self, t: str, q: str = "", depth: int = 0) -> str:
+        """Random boolean expression over table t's columns (alias q)."""
+        if depth < 2 and self.r.random() < 0.45:
+            a = self.predicate(t, q, depth + 1)
+            b = self.predicate(t, q, depth + 1)
+            conj = self.r.choice(["AND", "OR"])
+            neg = "NOT " if self.r.random() < 0.2 else ""
+            return f"{neg}(({a}) {conj} ({b}))"
+        pick = self.r.choice(
+            [self._int_atom, self._str_atom, self._money_atom, self._ts_atom,
+             self._null_atom]
+        )
+        return pick(t, q)
+
+    # -- projections / aggregates --------------------------------------
+
+    def _proj_exprs(self, t: str, q: str = "") -> list[str]:
+        ints, strs, cents, ts = META[t]
+        out = []
+        n = self.r.randint(1, 3)
+        for i in range(n):
+            kind = self.r.randrange(4)
+            if kind == 0:
+                out.append(f"{q}{self.r.choice(ints)} AS c{i}")
+            elif kind == 1:
+                out.append(f"{q}{self.r.choice(strs)} AS c{i}")
+            elif kind == 2 and cents:
+                col = q + self.r.choice(cents)
+                out.append(f"CAST(round({col} * 100) AS BIGINT) AS c{i}")
+            else:
+                p = self.predicate(t, q, depth=2)
+                a, b = self.r.sample("wxyz", 2)
+                out.append(f"CASE WHEN {p} THEN '{a}' ELSE '{b}' END AS c{i}")
+        # planted NULLs in ~1/3 of projections (three-valued output path)
+        if self.r.random() < 0.33 and ints:
+            col = q + self.r.choice(ints)
+            k = self.r.randint(3, 7)
+            out.append(f"nullif({col} % {k}, {self.r.randint(0, k - 1)}) AS cn")
+        return out
+
+    def _group_key(self, t: str, q: str = "") -> str:
+        ints, strs, cents, ts = META[t]
+        if self.r.random() < 0.5:
+            return f"({q}{self.r.choice(ints)} % {self.r.randint(2, 12)})"
+        return f"substring({q}{self.r.choice(strs)}, 1, 1)"
+
+    def _agg_exprs(self, t: str, q: str = "") -> list[str]:
+        ints, strs, cents, ts = META[t]
+        out = ["count(*) AS cnt"]
+        n = self.r.randint(1, 3)
+        for i in range(n):
+            kind = self.r.randrange(6)
+            if kind == 0:
+                out.append(f"count(DISTINCT {q}{self.r.choice(ints)}) AS a{i}")
+            elif kind == 1:
+                k = self.r.randint(2, 13)
+                out.append(
+                    f"CAST(sum({q}{self.r.choice(ints)} % {k}) AS BIGINT) AS a{i}"
+                )
+            elif kind == 2:
+                out.append(f"min({q}{self.r.choice(ints)}) AS a{i}")
+            elif kind == 3:
+                out.append(f"max({q}{self.r.choice(strs)}) AS a{i}")
+            elif kind == 4 and cents:
+                col = q + self.r.choice(cents)
+                out.append(
+                    f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS BIGINT) AS a{i}"
+                )
+            else:
+                p = self.predicate(t, q, depth=2)
+                out.append(
+                    f"CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS a{i}"
+                )
+        return out
+
+    # -- query templates -------------------------------------------------
+
+    def q_filter_project(self) -> str:
+        t = self.r.choice(FUZZ_TABLES)
+        cols = ", ".join(self._proj_exprs(t))
+        return f"SELECT {cols} FROM {PREFIX}{t} WHERE {self.predicate(t)}"
+
+    def q_groupby(self) -> str:
+        t = self.r.choice(FUZZ_TABLES)
+        keys = [self._group_key(t) for _ in range(self.r.randint(1, 2))]
+        key_sel = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+        aggs = ", ".join(self._agg_exprs(t))
+        having = (
+            f" HAVING count(*) > {self.r.randint(1, 5)}"
+            if self.r.random() < 0.4
+            else ""
+        )
+        return (
+            f"SELECT {key_sel}, {aggs} FROM {PREFIX}{t} "
+            f"WHERE {self.predicate(t)} "
+            f"GROUP BY {', '.join(keys)}{having}"
+        )
+
+    def q_join(self) -> str:
+        lt, lc, rt, rc = self.r.choice(FK_EDGES)
+        jt = self.r.choice(["JOIN", "LEFT JOIN"])
+        key = self._group_key(lt, "a.")
+        aggs = self._agg_exprs(rt, "b.")[: self.r.randint(2, 3)]
+        where = self.predicate(lt, "a.")
+        # extra right-side predicate: in ON for LEFT (keeps nulls), in
+        # WHERE for INNER — both standard ANSI, both engines agree.
+        on_extra = ""
+        wh_extra = ""
+        if self.r.random() < 0.5:
+            rp = self.predicate(rt, "b.", depth=2)
+            if jt == "LEFT JOIN":
+                on_extra = f" AND ({rp})"
+            else:
+                wh_extra = f" AND ({rp})"
+        return (
+            f"SELECT {key} AS k0, {', '.join(aggs)} "
+            f"FROM {PREFIX}{lt} a {jt} {PREFIX}{rt} b "
+            f"ON a.{lc} = b.{rc}{on_extra} "
+            f"WHERE ({where}){wh_extra} "
+            f"GROUP BY {key}"
+        )
+
+    def q_setop(self) -> str:
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        col_i, col_s = self.r.choice(ints), self.r.choice(strs)
+        k = self.r.randint(2, 9)
+        sel = f"SELECT ({col_i} % {k}) AS c0, substring({col_s}, 1, 1) AS c1"
+        op = self.r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (
+            f"{sel} FROM {PREFIX}{t} WHERE {self.predicate(t)} "
+            f"{op} "
+            f"{sel} FROM {PREFIX}{t} WHERE {self.predicate(t)}"
+        )
+
+    def q_in_subquery(self) -> str:
+        lt, lc, rt, rc = self.r.choice(FK_EDGES)
+        neg = self.r.choice(["", "NOT "])
+        # ~half the NOT IN subqueries get a planted NULL: the poisoned
+        # set must empty the result (three-valued logic) in BOTH engines.
+        inner_col = rc
+        if neg and self.r.random() < 0.5:
+            k = self.r.randint(50, 200)
+            inner_col = f"nullif({rc}, {rc} - ({rc} % {k}) + {self.r.randint(0, 9)})"
+        return (
+            f"SELECT count(*) AS cnt FROM {PREFIX}{lt} "
+            f"WHERE ({self.predicate(lt)}) "
+            f"AND {lc} {neg}IN "
+            f"(SELECT {inner_col} FROM {PREFIX}{rt} WHERE {self.predicate(rt)})"
+        )
+
+    def q_distinct_case(self) -> str:
+        t = self.r.choice(FUZZ_TABLES)
+        cols = ", ".join(self._proj_exprs(t))
+        return (
+            f"SELECT DISTINCT {cols} FROM {PREFIX}{t} "
+            f"WHERE {self.predicate(t)}"
+        )
+
+    def query(self) -> str:
+        pick = self.r.choices(
+            [
+                self.q_filter_project,
+                self.q_groupby,
+                self.q_join,
+                self.q_setop,
+                self.q_in_subquery,
+                self.q_distinct_case,
+            ],
+            weights=[2, 3, 3, 2, 2, 2],
+        )[0]
+        return pick()
+
+
+# -------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    """Spark temp views + a dedicated DuckDB connection, both exposing
+    the fixture tables under fz_-prefixed names at sf0.01 — same setup
+    shape as the driver's oracle gate, isolated from other modules."""
+    import duckdb
+
+    from spark_ml_optimization_spark.sources import load_table
+
+    con = duckdb.connect()
+    for t in FUZZ_TABLES:
+        load_table(spark, SF_CORRECT, t).createOrReplaceTempView(f"{PREFIX}{t}")
+        con.execute(
+            f"CREATE VIEW {PREFIX}{t} AS "
+            f"SELECT * FROM read_parquet('{SF_CORRECT}/{t}.parquet')"
+        )
+    yield spark, con
+    con.close()
+
+
+# ----------------------------------------------------------------- tests
+
+#: 200 differential seeds, run in batches so one pytest node failure
+#: names its seed range; bump N_DIFF freely — runtime is ~0.2 s/query.
+N_DIFF = 200
+BATCH = 25
+
+
+@pytest.mark.parametrize("batch_start", list(range(0, N_DIFF, BATCH)))
+def test_fuzz_differential(fuzz_env, batch_start):
+    spark, con = fuzz_env
+    for seed in range(batch_start, batch_start + BATCH):
+        sql = Gen(seed).query()
+        try:
+            sdf = spark.sql(sql).toPandas()
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:  # pragma: no cover - generator bug, not engine
+            raise AssertionError(f"seed {seed} failed to EXECUTE: {e}\n{sql}")
+        try:
+            compare(sdf, odf, f"fuzz-seed-{seed}")
+        except AssertionError as e:  # pragma: no cover
+            raise AssertionError(f"DIVERGENCE at seed {seed}\nSQL: {sql}\n{e}")
+
+
+#: TLP: 60 seeded predicates; count(*) == p + NOT p + p IS NULL, checked
+#: inside each engine and cross-engine (partition counts must agree too).
+N_TLP = 60
+
+
+@pytest.mark.parametrize("batch_start", [0, 20, 40])
+def test_fuzz_tlp_partition(fuzz_env, batch_start):
+    spark, con = fuzz_env
+    for seed in range(1000 + batch_start, 1000 + batch_start + 20):
+        g = Gen(seed)
+        t = g.r.choice(FUZZ_TABLES)
+        p = g.predicate(t)
+        sql = (
+            f"SELECT count(*) AS total, "
+            f"sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS n_true, "
+            f"sum(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END) AS n_false, "
+            f"sum(CASE WHEN ({p}) IS NULL THEN 1 ELSE 0 END) AS n_null "
+            f"FROM {PREFIX}{t}"
+        )
+        srow = spark.sql(sql).collect()[0]
+        orow = con.execute(sql).fetchone()
+        assert srow.total == srow.n_true + srow.n_false + srow.n_null, (
+            f"Spark TLP violation at seed {seed}: {srow}\npred: {p}"
+        )
+        assert (srow.total, srow.n_true, srow.n_false, srow.n_null) == tuple(
+            int(v) for v in orow
+        ), (
+            f"cross-engine TLP divergence at seed {seed}: "
+            f"spark={tuple(srow)} duckdb={orow}\npred: {p}"
+        )

@@ -71,8 +71,8 @@ _GLOBAL_WINDOW_OK = {
     "ml29b_operating_point_binned",  # fixed 1024-bin score spine
     "qd15b_key_skew_gini_binned",  # <= 19 decimal-digit count bins
     "q67d_survival_curve",  # duration spine: distinct churn-day values
-    "q77c_zipf_fit",  # vocabulary rank: distinct tokens, sublinear (Heaps)
-    "q83d_pmi_cooccurrence",  # top-30 df vocabulary rank, sublinear (Heaps)
+    # q77c/q83d were de-globalized in round 7 (distributed_row_number /
+    # window-free TakeOrdered top-k) — no data-coupled entries remain.
     "qd14_ks_drift",  # fixed quantile-grid bins
     "qd20_anomaly_episodes",  # day spine: one row per calendar day
     "qa30_share_of_parent",  # 25-row NATION dimension rollup (bounded)

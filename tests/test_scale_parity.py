@@ -79,6 +79,10 @@ SCALE_SENSITIVE = [
     # within-tolerance pairs at sf0.1, the real test that bucket
     # replication matches the theta-join exactly-once under load.
     "q83d_pmi_cooccurrence",
+    # q77d's sketch==exact parity holds only while the vocabulary stays
+    # inside approx_top_k's tracked window (maxItemsTracked=10000) and
+    # qualifying tokens under k=100 — re-verify where vocabulary grows.
+    "q77d_vocab_topk_sketch",
     "q81b_bm25_retrieval",
     "qc25_dsir_importance",
     "qc29_bigram_surprisal",
