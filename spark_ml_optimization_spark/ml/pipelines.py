@@ -750,6 +750,10 @@ def ml17_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism=10 fits all 10 binary models in ONE wave (local[32] has
     # the task slots; 8 left a 2-fit straggler wave — measured 12.1 s →
     # 6.4 s best-of-N with maxIter 8→5, accuracy unchanged ±0.01).
+    # Round-7 A/B on the remaining tail: maxIter 5→3 saves only ~0.6 s
+    # warm (6.5→5.9) and costs accuracy 0.2135→0.2005; maxIter 2
+    # halves accuracy.  The ~6.5 s is intrinsic 10-binary-fit cost —
+    # kept at 5.
     ovr = OneVsRest(
         classifier=LinearSVC(maxIter=5, regParam=0.01), parallelism=10
     )

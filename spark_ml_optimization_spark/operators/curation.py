@@ -2510,3 +2510,75 @@ def qc46_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi_term"),
         )
     )
+
+
+@register(
+    "qc47_epoch_shuffle_order",
+    oracle="""
+        WITH spine AS (
+            SELECT d.doc_id, d.source, e.epoch,
+                   md5(CAST(e.epoch AS VARCHAR) || ':'
+                       || CAST(d.doc_id AS VARCHAR)) AS k
+            FROM documents d CROSS JOIN (VALUES (1), (2)) e(epoch)
+        ),
+        pos AS (
+            SELECT epoch, source,
+                   row_number() OVER (
+                       PARTITION BY epoch ORDER BY k, doc_id
+                   ) AS p
+            FROM spine
+        )
+        SELECT epoch, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(p) AS BIGINT) AS min_pos,
+               CAST(max(p) AS BIGINT) AS max_pos,
+               round(CAST(sum(p) AS DOUBLE) / count(*), 2) AS avg_pos
+        FROM pos
+        GROUP BY epoch, source
+    """,
+    doc="REPRODUCIBLE EPOCH SHUFFLE — the training-order materializer: "
+    "a training run must visit the corpus in a different order every "
+    "epoch, yet the order must be a pure function of (seed, epoch) so "
+    "any worker can recompute its shard and a crashed run resumes at "
+    "the exact sample (the standard content-addressed shuffle every "
+    "large-model data loader implements).  Position = rank of "
+    "md5(epoch:doc_id) — per-epoch ranks computed DISTRIBUTED via "
+    "dist_rank.distributed_row_number over (epoch, key, doc_id) with "
+    "the (epoch-1)*N offset subtracted (one range exchange ranks BOTH "
+    "epochs).  Output is the MIXING AUDIT per (epoch, source): count, "
+    "min/max/avg position — a well-mixed shuffle puts every source's "
+    "avg near N/2 and min/max near the extremes, while a broken one "
+    "(sorted-by-source ingest order, a constant-prefix hash bug) shows "
+    "up as a clustered band.  Scale: the shuffle of a 100 TB corpus is "
+    "exactly this rank — no driver-side permutation array, no RNG "
+    "state to replicate; epoch count multiplies rows linearly and the "
+    "range exchange parallelizes the sort.",
+)
+def qc47_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar (the per-epoch offset)
+    spine = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch"),
+    ).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    ).localCheckpoint(eager=False)
+    ranked = distributed_row_number(
+        spine, [F.col("epoch").asc(), F.col("k").asc(), F.col("doc_id").asc()], "g"
+    ).withColumn("p", F.col("g") - (F.col("epoch") - 1) * F.lit(n_docs))
+    return ranked.groupBy("epoch", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("p").cast("long").alias("min_pos"),
+        F.max("p").cast("long").alias("max_pos"),
+        F.round(F.sum("p").cast("double") / F.count("*"), 2).alias("avg_pos"),
+    )

@@ -889,3 +889,69 @@ def src23_format_fidelity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
     cur.write.mode("overwrite").parquet(f"{base}/parquet")
     return spark.read.schema(schema).parquet(f"{base}/parquet")
+
+
+@register(
+    "src24_parquet_codec_matrix",
+    oracle="""
+        WITH content AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents,
+                   CAST(sum(
+                       ascii(substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                           || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                           || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR)), 2, 1))
+                   ) AS BIGINT) AS content_digest
+            FROM orders
+        )
+        SELECT c.codec, n_rows, cents, content_digest
+        FROM content
+        CROSS JOIN (VALUES ('gzip'), ('snappy'), ('uncompressed'), ('zstd'))
+            c(codec)
+    """,
+    doc="Parquet COMPRESSION-CODEC matrix roundtrip: the same orders "
+    "relation written under snappy / gzip / zstd / uncompressed "
+    "(`option('compression', ...)` — the per-write knob a lakehouse "
+    "tunes per table tier: zstd for cold storage, snappy for hot "
+    "scan), each physically re-read, and reduced to (count, "
+    "cents-exact sum, qd30-style order-free md5 content digest).  The "
+    "oracle computes the SAME reduction from the original table once "
+    "per codec literal: all four rows must carry identical content "
+    "numbers — codec choice is proven to never touch data, only "
+    "bytes-on-disk.  Scale: codec is THE cheap 2-5x IO lever at "
+    "100 TB (zstd roughly halves scan bytes vs snappy at modest CPU); "
+    "this query pins that flipping it is semantics-free.",
+)
+def src24_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = None
+    for codec in ["gzip", "snappy", "uncompressed", "zstd"]:
+        path = _scratch(f"codec_{codec}_{sf_dir.replace('/', '_')}")
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        m = (
+            "md5(CAST(o_orderkey AS STRING) || '|' || CAST(_cents AS STRING))"
+        )
+        one = (
+            back.withColumn("_cents", cents)
+            .agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("_cents").cast("long").alias("cents"),
+                F.sum(
+                    F.expr(
+                        f"ascii(substr({m}, 1, 1)) * 256"
+                        f" + ascii(substr({m}, 2, 1))"
+                    )
+                )
+                .cast("long")
+                .alias("content_digest"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -2267,3 +2267,93 @@ def qd32_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "qd33_embedding_drift",
+    oracle="""
+        WITH q AS (
+            SELECT label,
+                   vec_id % 2 AS half,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                       AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT label, dim,
+                   sum(CASE WHEN half = 0 THEN qv ELSE 0 END) AS sa,
+                   sum(CASE WHEN half = 1 THEN qv ELSE 0 END) AS sb
+            FROM q GROUP BY label, dim
+        ),
+        per_label AS (
+            SELECT label,
+                   CAST(sum(sa * sb) AS DOUBLE) AS dot_ab,
+                   CAST(sum(sa * sa) AS DOUBLE) AS na2,
+                   CAST(sum(sb * sb) AS DOUBLE) AS nb2
+            FROM per_dim GROUP BY label
+        ),
+        counts AS (
+            SELECT label,
+                   CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT)
+                       AS n_ref,
+                   CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT)
+                       AS n_cur
+            FROM embeddings GROUP BY label
+        )
+        SELECT c.label, c.n_ref, c.n_cur,
+               round(p.dot_ab / (sqrt(p.na2) * sqrt(p.nb2)), 6)
+                   AS centroid_cos
+        FROM counts c JOIN per_label p USING (label)
+    """,
+    doc="EMBEDDING-SPACE drift audit — the vector-column counterpart of "
+    "qd13/qd17's scalar drift panels: per label, split the corpus into "
+    "reference (even vec_id) and current (odd vec_id) snapshots and "
+    "compare their CENTROIDS by cosine.  A re-embedded batch (new "
+    "encoder version, silent preprocessing change) moves the per-label "
+    "mean vector; centroid_cos < ~0.95 is the canary that retrieval "
+    "indexes and similarity thresholds trained on the old space are "
+    "stale.  Determinism recipe: q88's micro-quantization — each "
+    "component rounds to an int (x*1e6) BEFORE summing, so per-dim "
+    "sums are exact integers in both engines, the dot/norm reductions "
+    "stay in exact integer space, and the single final "
+    "divide-and-sqrt is computed from identical integers (6-dp wire).  "
+    "Scale: one posexplode shuffle of (label, dim) pairs — 64 rows per "
+    "vector, ~linear — then a labels x dims aggregate; at 100 TB the "
+    "per-dim partial sums combine map-side exactly like any sum.",
+)
+def qd33_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import to_double_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(to_double_array("embedding")).alias("dim0", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v") * 1000000, 0).cast("long").alias("qv"),
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qv")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("half") == 1, F.col("qv")).otherwise(0)).alias("sb"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).cast("double").alias("dot_ab"),
+        F.sum(F.col("sa") * F.col("sa")).cast("double").alias("na2"),
+        F.sum(F.col("sb") * F.col("sb")).cast("double").alias("nb2"),
+    )
+    counts = e.groupBy("label").agg(
+        F.count_if(F.col("vec_id") % 2 == 0).cast("long").alias("n_ref"),
+        F.count_if(F.col("vec_id") % 2 == 1).cast("long").alias("n_cur"),
+    )
+    return counts.join(per_label, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.col("dot_ab") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+        ).alias("centroid_cos"),
+    )

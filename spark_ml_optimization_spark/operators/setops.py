@@ -489,6 +489,194 @@ _registry_mod._REGISTRY["q37b_merge_delete_compact"] = _registry_mod.Query(
 
 
 @register(
+    "q37c_time_travel",
+    oracle=None,  # rendered per-sf below (scratch paths baked into the SQL)
+    doc="Lakehouse TIME TRAVEL emulated over q37b's physical snapshots — "
+    "version-pinned reads of the same logical table at three points of "
+    "its history, each reconstructed from the REAL files on disk: v0 "
+    "(pre-MERGE: the base file groups as written), v1 (post-MERGE, "
+    "pre-compaction: base + deletion vectors + the appended delta "
+    "group — exactly what `VERSION AS OF 1` resolves to in Delta/"
+    "Iceberg: old data files plus DV sidecars plus new delta files), "
+    "v2 (post-compaction: kept groups + DV + rewritten/appended "
+    "groups).  Per version: row count, cents-exact live sum, an "
+    "ORDER-FREE CONTENT DIGEST (qd30's md5-ascii-pair integer sum over "
+    "key|cents — proves v1 and v2 contain bit-identical logical rows, "
+    "not just equal counts), and dead-rows-still-on-disk (the "
+    "compaction delta: v1 carries every DV'd row physically, v2 only "
+    "those in below-threshold groups).  The v1==v2 digest equality IS "
+    "the snapshot-isolation law a table format must uphold through "
+    "OPTIMIZE; hash-verified cross-engine from the same parquet.  "
+    "Scale: version resolution is manifest arithmetic + file-pruned "
+    "reads — no shuffle grows with history length.",
+)
+def q37c_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize q37b's base + snapshot files if this session hasn't.
+    q37b_merge_delete_compact(spark, sf_dir)
+    base_dir = _lake_dir(sf_dir, "base")
+    snap_dir = _lake_dir(sf_dir, "snap")
+    is_del, is_upd = _lake_flags()
+    is_dead = is_del | is_upd
+    base = spark.read.parquet(base_dir).select(
+        "o_orderkey", "price", "o_orderstatus",
+        F.col("file_grp").cast("int").alias("file_grp"),
+    )
+    snap = spark.read.parquet(snap_dir).select(
+        "o_orderkey", "price", F.col("file_grp").cast("int").alias("file_grp")
+    )
+    cents = F.round(F.col("price") * 100).cast("long").alias("cents")
+    stats = base.groupBy("file_grp").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(is_dead, 1)).alias("n_dead"),
+    )
+    keptg = stats.filter(
+        F.col("n_dead") * 100 < F.col("n_total") * _LAKE_REWRITE_PCT
+    ).select("file_grp")
+
+    v0 = base.select("o_orderkey", cents)
+    v1 = (
+        base.filter(~is_dead)
+        .select("o_orderkey", cents)
+        .unionByName(snap.filter(F.col("file_grp") == -1).select("o_orderkey", cents))
+    )
+    v2 = (
+        base.join(F.broadcast(keptg), "file_grp")
+        .filter(~is_dead)
+        .select("o_orderkey", cents)
+        .unionByName(snap.select("o_orderkey", cents))
+    )
+    # qd30's engine-portable md5-ascii-pair integer (STRING spelling for
+    # Spark; the oracle renders the identical arithmetic with VARCHAR).
+    _m = (
+        "md5(CAST(o_orderkey AS STRING) || '|' || CAST(cents AS STRING))"
+    )
+    digest = F.expr(
+        f"(ascii(substr({_m}, 1, 1)) * 256 + ascii(substr({_m}, 2, 1)))"
+    )
+
+    def _summarize(df: DataFrame, version: int, files_read: str) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.lit(files_read).alias("files_read"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("live_cents"),
+            F.sum(digest).cast("long").alias("content_digest"),
+        )
+
+    dead_v1 = base.filter(is_dead).count()
+    dead_v2 = (
+        base.join(F.broadcast(keptg), "file_grp").filter(is_dead).count()
+    )
+    out = (
+        _summarize(v0, 0, "base")
+        .withColumn("dead_rows_on_disk", F.lit(0).cast("long"))
+        .unionByName(
+            _summarize(v1, 1, "base+dv+delta").withColumn(
+                "dead_rows_on_disk", F.lit(dead_v1).cast("long")
+            )
+        )
+        .unionByName(
+            _summarize(v2, 2, "kept+dv+snap").withColumn(
+                "dead_rows_on_disk", F.lit(dead_v2).cast("long")
+            )
+        )
+    )
+    return out
+
+
+def q37c_oracle_for(sf_dir: str) -> str:
+    """Render q37c's time-travel oracle against this scale's scratch
+    dirs — DuckDB re-reads the SAME base + snapshot parquet and
+    re-derives every version's row set independently."""
+    base = _lake_dir(sf_dir, "base")
+    snap = _lake_dir(sf_dir, "snap")
+    dig = (
+        "(ascii(substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+        "|| CAST(cents AS VARCHAR)), 1, 1)) * 256 "
+        "+ ascii(substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+        "|| CAST(cents AS VARCHAR)), 2, 1)))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, price, o_orderstatus,
+                   CAST(file_grp AS INT) AS file_grp
+            FROM read_parquet('{base}/*/*.parquet', hive_partitioning=true)
+        ),
+        flags AS (
+            SELECT *,
+                   ((o_orderkey % 16 < 2)
+                    OR (o_orderstatus = 'P' AND o_orderkey % 16 >= 2))
+                       AS is_dead
+            FROM base
+        ),
+        stats AS (
+            SELECT file_grp, count(*) AS n_total,
+                   count(CASE WHEN is_dead THEN 1 END) AS n_dead
+            FROM flags GROUP BY file_grp
+        ),
+        keptg AS (
+            SELECT file_grp FROM stats
+            WHERE n_dead * 100 < n_total * {_LAKE_REWRITE_PCT}
+        ),
+        snap AS (
+            SELECT o_orderkey, price, CAST(file_grp AS INT) AS file_grp
+            FROM read_parquet('{snap}/*/*.parquet', hive_partitioning=true)
+        ),
+        v0 AS (
+            SELECT o_orderkey, CAST(round(price * 100) AS BIGINT) AS cents
+            FROM base
+        ),
+        v1 AS (
+            SELECT o_orderkey, CAST(round(price * 100) AS BIGINT) AS cents
+            FROM flags WHERE NOT is_dead
+            UNION ALL
+            SELECT o_orderkey, CAST(round(price * 100) AS BIGINT)
+            FROM snap WHERE file_grp = -1
+        ),
+        v2 AS (
+            SELECT f.o_orderkey, CAST(round(f.price * 100) AS BIGINT) AS cents
+            FROM flags f JOIN keptg k USING (file_grp)
+            WHERE NOT f.is_dead
+            UNION ALL
+            SELECT o_orderkey, CAST(round(price * 100) AS BIGINT) FROM snap
+        ),
+        deads AS (
+            SELECT
+                CAST(sum(CASE WHEN is_dead THEN 1 ELSE 0 END) AS BIGINT)
+                    AS dead_v1,
+                CAST(sum(CASE WHEN is_dead AND file_grp IN
+                         (SELECT file_grp FROM keptg)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dead_v2
+            FROM flags
+        )
+        SELECT 0 AS version, 'base' AS files_read,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS live_cents,
+               CAST(sum({dig}) AS BIGINT) AS content_digest,
+               CAST(0 AS BIGINT) AS dead_rows_on_disk
+        FROM v0
+        UNION ALL
+        SELECT 1, 'base+dv+delta', CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT), CAST(sum({dig}) AS BIGINT),
+               (SELECT dead_v1 FROM deads)
+        FROM v1
+        UNION ALL
+        SELECT 2, 'kept+dv+snap', CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT), CAST(sum({dig}) AS BIGINT),
+               (SELECT dead_v2 FROM deads)
+        FROM v2
+    """
+
+
+_registry_mod._REGISTRY["q37c_time_travel"] = _registry_mod.Query(
+    name="q37c_time_travel",
+    fn=_registry_mod._REGISTRY["q37c_time_travel"].fn,
+    oracle=q37c_oracle_for("/root/testdata/sf0.01"),
+    doc=_registry_mod._REGISTRY["q37c_time_travel"].doc,
+)
+
+
+@register(
     "q46b_global_topk_with_ties",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice

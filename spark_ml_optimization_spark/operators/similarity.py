@@ -1594,3 +1594,87 @@ def q90b_cell_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_inter_sim", 6).alias("max_inter_sim"),
         (coh > F.col("max_inter_sim")).alias("well_separated"),
     )
+
+
+@register(
+    "q86b_bucketed_ann_join",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(embedding[1] >= 0 AS INT) * 8
+                   + CAST(embedding[2] >= 0 AS INT) * 4
+                   + CAST(embedding[3] >= 0 AS INT) * 2
+                   + CAST(embedding[4] >= 0 AS INT) AS cell
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, v AS pvec, cell
+            FROM coded WHERE vec_id % 97 = 1
+        ),
+        corpus AS (
+            SELECT vec_id, v, cell FROM coded WHERE vec_id % 97 <> 1
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id AS neighbor_id, c.cell,
+                   list_dot_product(c.v, p.pvec) AS score,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_dot_product(c.v, p.pvec) DESC,
+                                c.vec_id ASC
+                   ) AS rnk
+            FROM corpus c JOIN probes p USING (cell)
+        )
+        SELECT probe_id, neighbor_id, cell, rnk, round(score, 6) AS score
+        FROM scored WHERE rnk <= 3
+    """,
+    doc="Two-sided BUCKETED ANN JOIN — the scale path q86 points at "
+    "when the probe set itself is too large to broadcast (batch "
+    "retrieval, dedup-against-index, cross-corpus alignment): BOTH "
+    "relations are cell-coded map-side with q92c's deterministic "
+    "4-bit sign quantizer, the join is a plain EQUI-join on cell "
+    "(shuffle both sides by cell key — never a probes-x-corpus "
+    "cartesian, never a driver broadcast of millions of probes), and "
+    "top-3 per probe ranks inside the probe-PARTITIONED window.  "
+    "Probe set = vec_id % 97 == 1 (a deterministic ~1% slice standing "
+    "in for an incoming batch).  Approximate-by-construction (cell "
+    "collisions only — same contract as q92c single-probe) but every "
+    "mechanism is hash-verified because the quantizer is "
+    "engine-reproducible.  Scale: cell fan-out bounds the join output "
+    "at |probes| * |corpus| / n_cells; production swaps in a trained "
+    "codebook with thousands of cells (q92's KMeans) and the same "
+    "plan becomes cluster-by-cell parquet + co-partitioned join — "
+    "cost per probe is one cell, not one corpus.",
+)
+def q86b_bucketed_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    cell = (
+        (F.element_at(emb, 1) >= 0).cast("int") * 8
+        + (F.element_at(emb, 2) >= 0).cast("int") * 4
+        + (F.element_at(emb, 3) >= 0).cast("int") * 2
+        + (F.element_at(emb, 4) >= 0).cast("int")
+    )
+    coded = e.select("vec_id", emb.alias("v"), cell.alias("cell"))
+    probes = coded.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pvec"), "cell"
+    )
+    corpus = coded.filter(F.col("vec_id") % 97 != 1)
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        corpus.join(probes, "cell")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            dot(F.col("v"), F.col("pvec")).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "probe_id", "neighbor_id", "cell", "rnk",
+            F.round("score", 6).alias("score"),
+        )
+    )

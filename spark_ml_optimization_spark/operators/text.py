@@ -1330,3 +1330,178 @@ def q80e_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1"),
     )
+
+
+@register(
+    "q81c_rrf_hybrid_fusion",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+                   len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS tf_spark,
+                   len(list_filter(string_split(text, ' '), t -> t = 'join')) AS tf_join,
+                   len(list_filter(string_split(text, ' '), t -> t = 'window')) AS tf_window
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+                   count(*) FILTER (WHERE tf_join > 0) AS df_join,
+                   count(*) FILTER (WHERE tf_window > 0) AS df_window
+            FROM base
+        ),
+        lex AS (
+            SELECT b.doc_id,
+                   round(
+                       ln((s.n - s.df_spark + 0.5) / (s.df_spark + 0.5) + 1.0)
+                         * (b.tf_spark * 2.2) / (b.tf_spark + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+                     + ln((s.n - s.df_join + 0.5) / (s.df_join + 0.5) + 1.0)
+                         * (b.tf_join * 2.2) / (b.tf_join + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+                     + ln((s.n - s.df_window + 0.5) / (s.df_window + 0.5) + 1.0)
+                         * (b.tf_window * 2.2) / (b.tf_window + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)),
+                     6) AS lex_score
+            FROM base b CROSS JOIN stats s
+            WHERE tf_spark + tf_join + tf_window > 0
+        ),
+        lex_top AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY lex_score DESC, doc_id ASC)
+                           AS lex_rank
+                FROM lex
+            ) WHERE lex_rank <= 10
+        ),
+        vec AS (
+            SELECT e.vec_id AS doc_id,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS vscore
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT doc_id, vec_rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY vscore DESC, doc_id ASC)
+                           AS vec_rank
+                FROM vec
+            ) WHERE vec_rank <= 10
+        )
+        SELECT doc_id,
+               CAST(l.lex_rank AS INT) AS lex_rank,
+               CAST(v.vec_rank AS INT) AS vec_rank,
+               round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                   + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score
+        FROM lex_top l FULL OUTER JOIN vec_top v USING (doc_id)
+    """,
+    doc="HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009, the fusion rule behind most production lexical+vector "
+    "search): the BM25 arm (q81b's scoring for the fixed query "
+    "{spark, join, window}, pre-ROUNDED to the 6-dp wire value before "
+    "ranking so the rank key is the cross-engine-stable number — the "
+    "q85c pre-round pattern) and the cosine arm (q85's exact dot "
+    "ordering — sequential folds are bit-identical cross-engine) each "
+    "produce a top-10 id list; fusion joins them FULL OUTER on doc_id "
+    "(embeddings key = doc_id, the q89 linkage) and scores "
+    "sum(1/(60+rank)) over the arms where the doc appears.  Spark "
+    "plan is WINDOW-FREE: each arm is TakeOrdered(10) and the rank "
+    "within the 10-row frame is a broadcast count-of-better self-join "
+    "(the q46b threshold family, generalized to rank assignment), so "
+    "at 100 TB each arm costs one map-side scan + a k-row driver "
+    "merge and the fusion is a 20-row join — the oracle's global "
+    "row_number windows exist only DuckDB-side.  RRF needs no score "
+    "calibration between arms (ranks only), which is exactly why it "
+    "scales operationally: arms can be served by different systems.",
+)
+def q81c_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, to_double_array
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("dl"),
+        tf("spark").alias("tf_spark"),
+        tf("join").alias("tf_join"),
+        tf("window").alias("tf_window"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count_if(F.col("tf_spark") > 0).alias("df_spark"),
+        F.count_if(F.col("tf_join") > 0).alias("df_join"),
+        F.count_if(F.col("tf_window") > 0).alias("df_window"),
+    )
+
+    def contrib(tf_col: str, df_col: str):
+        idf = F.log(
+            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
+        )
+        return idf * (F.col(tf_col) * 2.2) / (
+            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+
+    lex = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf_spark") + F.col("tf_join") + F.col("tf_window") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                contrib("tf_spark", "df_spark")
+                + contrib("tf_join", "df_join")
+                + contrib("tf_window", "df_window"),
+                6,
+            ).alias("score"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        e.filter(F.col("vec_id") == 0)
+        .select(to_double_array("embedding").alias("qvec"))
+    )
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(to_double_array("embedding"), F.col("qvec")).alias("score"),
+        )
+    )
+
+    def top10_ranked(scored: DataFrame, rank_col: str) -> DataFrame:
+        """Window-free top-10 with exact ranks: TakeOrdered(10), then
+        rank = 1 + count of better rows within the bounded frame (a
+        10x10 broadcast nested-loop — constant work at any scale)."""
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(10)
+        better = top.select(
+            F.col("doc_id").alias("b_id"), F.col("score").alias("b_score")
+        )
+        beats = (F.col("b_score") > F.col("score")) | (
+            (F.col("b_score") == F.col("score"))
+            & (F.col("b_id") < F.col("doc_id"))
+        )
+        return (
+            top.join(F.broadcast(better), beats, "left")
+            .groupBy("doc_id")
+            .agg((F.count("b_id") + 1).cast("int").alias(rank_col))
+        )
+
+    lex_top = top10_ranked(lex, "lex_rank")
+    vec_top = top10_ranked(vec, "vec_rank")
+    return lex_top.join(vec_top, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )

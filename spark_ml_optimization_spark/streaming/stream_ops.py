@@ -1878,6 +1878,47 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checkpoint + fixed partitioning are the operational contract.",
 )
 def st25_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stateful_restart_recovery(spark, sf_dir, provider=None)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "st26_rocksdb_state_store",
+    oracle="""
+        SELECT
+            epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)))
+                AS window_start_us,
+            event_type,
+            count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="st25's restart-recovery proof re-run on the ROCKSDB state-store "
+    "provider (spark.sql.streaming.stateStore.providerClass = "
+    "RocksDBStateStoreProvider, rocksdbjni bundled with Spark 4) — the "
+    "LARGE-STATE backend: the default HDFS-backed provider keeps every "
+    "partition's state map in executor heap, RocksDB spills it to local "
+    "SSD with changelog files in the checkpoint, which is what makes "
+    "100 GB+ of aggregation/join state per executor survivable.  Same "
+    "pipeline, same two-phase stop/restart, same full-fixture oracle: "
+    "the hash matches IFF RocksDB's checkpointed state recovers "
+    "bit-identically to the in-memory provider's — proving the backend "
+    "swap is a pure operational knob, not a semantics change.  The "
+    "provider is pinned ONLY for this query's session window (conf "
+    "save/restore) because the provider of a checkpoint must never "
+    "change across restarts.",
+)
+def st26_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stateful_restart_recovery(spark, sf_dir, provider=_ROCKSDB_PROVIDER)
+
+
+def _stateful_restart_recovery(
+    spark: SparkSession, sf_dir: str, provider: str | None
+) -> DataFrame:
     configure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = os.path.join(tempfile.gettempdir(), f"st25_{uuid.uuid4().hex[:12]}")
@@ -1896,6 +1937,11 @@ def st25_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"mem_{uuid.uuid4().hex[:12]}"
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prov_prev = spark.conf.get(prov_key)
+    except Exception:
+        prov_prev = None
 
     def run_once(qname: str) -> None:
         stream = normalize_events_ts(
@@ -1928,14 +1974,107 @@ def st25_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFram
 
     try:
         spark.conf.set(key, _STREAM_PARTS)  # MUST stay fixed across restarts
+        if provider is not None:  # same rule: fixed for a checkpoint's life
+            spark.conf.set(prov_key, provider)
         run_once(name)  # phase 1: even half builds state
         os.rename(part2_staging, os.path.join(src_dir, "part2"))
         run_once(name)  # phase 2: restart recovers state, adds odd half
     finally:
         spark.conf.set(key, prev)
+        if provider is not None:
+            if prov_prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prov_prev)
         # Result lives in the memory sink; source/checkpoint dirs are
         # dead weight after phase 2 (the st09 disk-leak lesson).
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "st27_stream_ann_cell_route",
+    oracle="""
+        WITH coded AS (
+            SELECT vec_id,
+                   CAST(embedding[1] >= 0 AS INT) * 8
+                   + CAST(embedding[2] >= 0 AS INT) * 4
+                   + CAST(embedding[3] >= 0 AS INT) * 2
+                   + CAST(embedding[4] >= 0 AS INT) AS cell
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, cell FROM coded WHERE vec_id % 97 = 1
+        ),
+        idx AS (
+            SELECT cell, count(*) AS n_candidates
+            FROM coded WHERE vec_id % 97 <> 1
+            GROUP BY cell
+        )
+        SELECT p.probe_id, p.cell,
+               CAST(coalesce(i.n_candidates, 0) AS BIGINT) AS n_candidates
+        FROM probes p LEFT JOIN idx i USING (cell)
+    """,
+    doc="STREAMING ANN admission routing — q86b's bucketed-join front "
+    "half under readStream: incoming vectors (the deterministic "
+    "vec_id %% 97 == 1 slice, staged as a file stream) are cell-coded "
+    "MAP-SIDE with the q92c sign quantizer and stream-static LEFT "
+    "joined against the broadcast per-cell index profile (corpus "
+    "counts per cell), emitting each probe's routing decision and "
+    "candidate-set size in append mode with no stateful operator at "
+    "all.  This is the ingest half of a live vector index: route on "
+    "arrival, size the shortlist work before running it, flag probes "
+    "landing in empty/cold cells (n_candidates = 0 via the LEFT "
+    "join).  Scale: per-event cost is one expression + one broadcast "
+    "probe — no state store, no watermark, so throughput is scan-"
+    "bound; the cell profile refreshes out-of-band exactly like st23's "
+    "dimension.",
+)
+def st27_stream_ann_cell_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import to_double_array
+    from ..sources import load_table
+
+    configure(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = to_double_array("embedding")
+    cell = (
+        (F.element_at(emb, 1) >= 0).cast("int") * 8
+        + (F.element_at(emb, 2) >= 0).cast("int") * 4
+        + (F.element_at(emb, 3) >= 0).cast("int") * 2
+        + (F.element_at(emb, 4) >= 0).cast("int")
+    )
+    idx = (
+        e.filter(F.col("vec_id") % 97 != 1)
+        .select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_candidates"))
+        .localCheckpoint(eager=True)
+    )
+    # Stage the incoming slice once per (app, sf): a real feed delivers
+    # files; the stream reads them with the staged footer schema.
+    key = f"st27_{sf_dir}"
+    if key not in _INGEST_STAGE_CACHE:
+        stage = os.path.join(
+            tempfile.gettempdir(), f"st27_{uuid.uuid4().hex[:10]}"
+        )
+        e.filter(F.col("vec_id") % 97 == 1).write.mode("overwrite").parquet(
+            stage
+        )
+        _INGEST_STAGE_CACHE[key] = stage
+    stage = _INGEST_STAGE_CACHE[key]
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    routed = (
+        stream.select(F.col("vec_id").alias("probe_id"), cell.alias("cell"))
+        .join(F.broadcast(idx), "cell", "left")
+        .select(
+            "probe_id",
+            "cell",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )
+    return _run_to_memory(routed, "append")

@@ -90,6 +90,20 @@ FK_EDGES = [
 PREFIX = "fz_"  # dedicated view names so the fuzzer never collides
 FUZZ_TABLES = sorted(META)
 
+#: true unique key per table (window-order tiebreaks MUST be total —
+#: lineitem needs the composite; everything else has a single key col)
+UNIQ_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "documents": ["doc_id"],
+    "events": ["event_id"],
+}
+
 
 # ------------------------------------------------------------- generator
 
@@ -305,6 +319,58 @@ class Gen:
             f"WHERE {self.predicate(t)}"
         )
 
+    def q_window(self) -> str:
+        """Partitioned ranking/running-sum window over a total order —
+        the tiebreak on the unique key keeps rank()/row_number()
+        deterministic, so the multiset compare is exact."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        uniq = ", ".join(UNIQ_COLS[t])
+        uniq_sel = ", ".join(
+            f"{c} AS u{i}" for i, c in enumerate(UNIQ_COLS[t])
+        )
+        part = self._group_key(t)
+        fn = self.r.choice(["row_number()", "rank()", "dense_rank()"])
+        order_col = self.r.choice(ints)
+        k = self.r.randint(2, 9)
+        win = (
+            f"{fn} OVER (PARTITION BY {part} "
+            f"ORDER BY ({order_col} % {k}), {uniq})"
+        )
+        run = (
+            f"CAST(sum({order_col} % {k}) OVER (PARTITION BY {part} "
+            f"ORDER BY ({order_col} % {k}), {uniq} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+        return (
+            f"SELECT {uniq_sel}, {win} AS rnk, {run} AS runsum "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)}"
+        )
+
+    def q_rollup(self) -> str:
+        """ROLLUP grouping sets with grouping() disambiguation — the
+        NULL-vs-subtotal-NULL trap both engines must agree on.
+
+        HAVING cnt > 0 neutralizes the FIRST REAL DIVERGENCE this
+        fuzzer found (seed 2): over an EMPTY filtered input, DuckDB
+        (with Postgres and the standard: the () grouping set acts like
+        an ungrouped aggregate) emits one grand-total row with
+        count 0, Spark emits zero rows.  Subtotal rows can never have
+        cnt = 0 (groups only form from rows), so the guard ONLY drops
+        the empty-input grand total — pinned as a known divergence in
+        test_known_divergence_rollup_empty_input below."""
+        t = self.r.choice(FUZZ_TABLES)
+        k1 = self._group_key(t)
+        k2 = self._group_key(t)
+        aggs = ", ".join(self._agg_exprs(t)[:2])
+        return (
+            f"SELECT {k1} AS k1, {k2} AS k2, "
+            f"CAST(grouping({k1}) AS INT) AS g1, "
+            f"CAST(grouping({k2}) AS INT) AS g2, {aggs} "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} "
+            f"GROUP BY ROLLUP({k1}, {k2}) HAVING count(*) > 0"
+        )
+
     def query(self) -> str:
         pick = self.r.choices(
             [
@@ -314,8 +380,10 @@ class Gen:
                 self.q_setop,
                 self.q_in_subquery,
                 self.q_distinct_case,
+                self.q_window,
+                self.q_rollup,
             ],
-            weights=[2, 3, 3, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2],
         )[0]
         return pick()
 
@@ -397,3 +465,19 @@ def test_fuzz_tlp_partition(fuzz_env, batch_start):
             f"cross-engine TLP divergence at seed {seed}: "
             f"spark={tuple(srow)} duckdb={orow}\npred: {p}"
         )
+
+
+def test_known_divergence_rollup_empty_input(fuzz_env):
+    """Graduated fuzzer finding (seed 2, round 7): GROUP BY ROLLUP over
+    an EMPTY input.  The SQL standard treats the () grouping set like
+    an ungrouped aggregate — one grand-total row (count 0) even with no
+    input rows; DuckDB and Postgres do this.  Spark returns ZERO rows.
+    Pinned so a future Spark behavior change surfaces here first (then
+    the q_rollup HAVING guard can come off)."""
+    spark, con = fuzz_env
+    sql = (
+        f"SELECT count(*) AS cnt FROM {PREFIX}region "
+        f"WHERE r_name = 'no_such_region' GROUP BY ROLLUP(r_regionkey)"
+    )
+    assert len(spark.sql(sql).collect()) == 0, "Spark now emits the row!"
+    assert len(con.execute(sql).fetchall()) == 1, "DuckDB dropped the row!"

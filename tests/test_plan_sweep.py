@@ -55,6 +55,7 @@ _EAGER_NAMES = {
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
+    "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions
     "q20e_stat_freq_quantile",  # freqItems/approxQuantile are driver actions
 }
 
