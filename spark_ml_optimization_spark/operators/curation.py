@@ -2582,3 +2582,60 @@ def qc47_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p").cast("long").alias("max_pos"),
         F.round(F.sum("p").cast("double") / F.count("*"), 2).alias("avg_pos"),
     )
+
+
+@register(
+    "qc48_domain_frequency_cap",
+    oracle="""
+        WITH ranked AS (
+            SELECT source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS r,
+                   n_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(CASE WHEN r <= 15 THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(count(CASE WHEN r > 15 THEN 1 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN r <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM ranked
+        GROUP BY source
+    """,
+    doc="DOMAIN/SOURCE FREQUENCY CAPPING — the C4/RefinedWeb step that "
+    "stops one prolific domain from dominating the mixture: keep at "
+    "most 15 documents per source, selected by md5(doc_id) rank "
+    "(content-addressed, so the SAME docs survive on every re-run and "
+    "on any cluster — no RNG state).  The rank window is PARTITIONED "
+    "by source (parallel; never global), and selection-by-hash means "
+    "a re-crawled corpus keeps its previous survivors except where "
+    "membership actually changed — the cache-friendly property "
+    "curation pipelines want.  Output is the per-source audit: "
+    "total/kept/dropped and surviving chars (the budget the mixture "
+    "planner qc19/qc24 consumes).  Scale: one shuffle by source; "
+    "skewed mega-domains are exactly the rows this screen exists to "
+    "cut, and the window's per-partition top-k (WindowGroupLimit) "
+    "keeps their cost at k, not domain size.",
+)
+def qc48_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("r")
+    )
+    kept = F.col("r") <= 15
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.count(F.when(~kept, 1)).cast("long").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

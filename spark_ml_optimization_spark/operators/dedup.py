@@ -2189,3 +2189,91 @@ def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel rounds (the qc42 unrolled-fold convention): round r
+    keeps nodes whose degree in e_{r-1} is >= k, then keeps edges with
+    both endpoints surviving."""
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT pa AS node FROM e{r - 1}
+                UNION ALL SELECT pb FROM e{r - 1}
+            ) GROUP BY node
+        )"""
+        )
+        ctes.append(f"k{r} AS (SELECT node FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"""e{r} AS (
+            SELECT pa, pb FROM e{r - 1}
+            WHERE pa IN (SELECT node FROM k{r})
+              AND pb IN (SELECT node FROM k{r})
+        )"""
+        )
+    selects = "\n        UNION ALL\n".join(
+        f"""SELECT {r} AS round,
+               CAST((SELECT count(*) FROM k{r}) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + selects
+
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 4
+
+
+@register(
+    "q84f_kcore_peel",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    doc=f"k-CORE decomposition by iterative peeling over the shared "
+    f"co-purchase graph (k={_KCORE_K}, {_KCORE_ROUNDS} fixed rounds — "
+    "the Matula-Beck peel as a DataFrame loop, the q84 iterative "
+    "template): each round recomputes degrees on the surviving "
+    "subgraph, drops nodes below k, and drops their incident edges; "
+    "the per-round (nodes, edges) profile is the output, showing the "
+    "peel cascade (removing a weak node weakens its neighbors).  "
+    "k-core is the standard dense-substructure screen — spam-farm "
+    "and botnet detection in co-occurrence graphs, and the 'core web' "
+    "selection some crawl curations apply before dedup.  A FIXED "
+    "round count keeps the operator deterministic and "
+    "SQL-expressible (the oracle unrolls the same rounds as CTEs); "
+    "production iterates to fixpoint with the identical per-round "
+    "plan.  Scale: each round is one degree aggregate + two "
+    "semi-join-shaped filters on the (shrinking) edge list — "
+    "strictly cheaper than the triangle pass that shares this "
+    "artifact; rounds localCheckpoint so lineage stays flat.",
+)
+def q84f_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("pa").alias("node"))
+            .unionAll(edges.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "pa"), "pa", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=False)
+        )
+        rows.append((r, keep.count(), edges.count()))
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    )

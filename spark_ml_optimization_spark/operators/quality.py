@@ -2357,3 +2357,105 @@ def qd33_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot_ab") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
         ).alias("centroid_cos"),
     )
+
+
+@register(
+    "qd34_holt_trend_backtest",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS i
+            FROM daily
+        ),
+        rec AS (
+            SELECT event_type, i, y AS l, 0.0::DOUBLE AS b,
+                   0.0::DOUBLE AS sae, 0.0::DOUBLE AS sy
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.event_type, x.i,
+                   0.5 * x.y + 0.5 * (r.l + r.b),
+                   0.3 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l)
+                       + 0.7 * r.b,
+                   r.sae + abs(x.y - (r.l + r.b)),
+                   r.sy + x.y
+            FROM rec r
+            JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+        ),
+        last AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY i DESC) AS rn
+            FROM rec
+        )
+        SELECT event_type,
+               CAST(i AS BIGINT) AS n_days,
+               CASE WHEN sy = 0 THEN NULL
+                    ELSE round(sae / sy, 6) END AS wape,
+               round(l, 6) AS final_level,
+               round(b, 6) AS final_trend
+        FROM last WHERE rn = 1
+    """,
+    doc="HOLT LINEAR-TREND one-step backtest per event type (double "
+    "exponential smoothing, alpha=0.5 beta=0.3) — the next rung above "
+    "qd22's seasonal-naive baseline on the forecasting ladder a "
+    "pipeline-health monitor climbs: level and trend update "
+    "sequentially over the daily-count series, each day is forecast "
+    "from the PREVIOUS state (l+b, honest one-step-ahead), and the "
+    "report is WAPE over the forecasted days plus the final state.  "
+    "The recurrence is computed as a pure-Catalyst aggregate() FOLD "
+    "over the per-type day array (the day spine is BOUNDED — calendar "
+    "days — so collect+fold is the q68b-approved shape for sequential "
+    "state without Python), written with the EXACT expression tree "
+    "the oracle's recursive CTE uses, so both engines walk identical "
+    "IEEE operations to identical doubles (6-dp wire).  sy=0 (a "
+    "single-day type) is CASE-guarded to NULL in both engines.  "
+    "Scale: the heavy stage is the daily count rollup; per-type folds "
+    "are day-spine-sized and partition-parallel across types.",
+)
+def qd34_holt_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            s,
+            named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+                         'sae', CAST(0.0 AS DOUBLE), 'sy', CAST(0.0 AS DOUBLE),
+                         'n', 0),
+            (acc, x) -> CASE WHEN acc.n = 0 THEN
+                named_struct('l', x.y, 'b', CAST(0.0 AS DOUBLE),
+                             'sae', CAST(0.0 AS DOUBLE),
+                             'sy', CAST(0.0 AS DOUBLE), 'n', 1)
+            ELSE
+                named_struct(
+                    'l', 0.5 * x.y + 0.5 * (acc.l + acc.b),
+                    'b', 0.3 * ((0.5 * x.y + 0.5 * (acc.l + acc.b)) - acc.l)
+                         + 0.7 * acc.b,
+                    'sae', acc.sae + abs(x.y - (acc.l + acc.b)),
+                    'sy', acc.sy + x.y,
+                    'n', acc.n + 1)
+            END
+        )
+        """
+    ).alias("h")
+    folded = series.select("event_type", fold)
+    return folded.select(
+        "event_type",
+        F.col("h.n").cast("long").alias("n_days"),
+        F.when(F.col("h.sy") == 0, F.lit(None))
+        .otherwise(F.round(F.col("h.sae") / F.col("h.sy"), 6))
+        .alias("wape"),
+        F.round("h.l", 6).alias("final_level"),
+        F.round("h.b", 6).alias("final_trend"),
+    )

@@ -864,3 +864,66 @@ def q52c_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_idx", "day_name", "n_orders", "is_weekend", "day_cents")
     )
+
+
+@register(
+    "q53f_url_functions",
+    oracle="""
+        WITH urls AS (
+            SELECT 'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+                   doc_id
+            FROM documents
+        ),
+        parsed AS (
+            SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                       AS path,
+                   regexp_extract(url, 'lang=([a-z]+)', 1) AS qlang,
+                   doc_id
+            FROM urls
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT qlang) AS BIGINT) AS n_langs,
+               max(path) AS max_path
+        FROM parsed
+        GROUP BY host
+    """,
+    doc="URL decomposition function family — the crawl-pipeline scalar "
+    "surface (domain grouping for dedup/capping, path/query analysis "
+    "for boilerplate detection): URLs are minted deterministically "
+    "from fixture columns, then Spark parses with the NATIVE "
+    "parse_url(url, HOST/PATH/QUERY) expression (codegen, JVM-side) "
+    "while the oracle re-derives the identical parts with regexes — "
+    "pinning that parse_url's component semantics match the "
+    "rfc-3986-ish expectations a curation pipeline codes against.  "
+    "Per-host rollup: url count, distinct query langs, lexicographic "
+    "max path.  Scale: pure map-side expressions into one hash agg; "
+    "domain extraction at 100 TB is exactly this shape (and the "
+    "capping screen qc48 consumes its output key).",
+)
+def q53f_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    ).select(
+        "host",
+        "path",
+        F.regexp_extract("query", "lang=([a-z]+)", 1).alias("qlang"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count_distinct("qlang").cast("long").alias("n_langs"),
+        F.max("path").alias("max_path"),
+    )

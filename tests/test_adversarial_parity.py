@@ -94,6 +94,12 @@ ADV_FAMILIES = [
     "qc44_overflow_packing",     # zero-token docs excluded; boundary-exact splits
     "q80e_langid_prf",           # zero-support classes -> explicit NULL rates
     "qc45_contaminated_span",    # exact-duplicate docs -> full-length spans; short docs
+    # round-7 luck-sensitive additions:
+    "qc48_domain_frequency_cap",  # sources above AND below the 15-doc cap
+    "qc47_epoch_shuffle_order",   # single-doc sources (min_pos == max_pos)
+    "q53f_url_functions",         # empty-text docs still mint parseable URLs
+    "qd34_holt_trend_backtest",   # single-day event types -> NULL-wape guard
+    "q84f_kcore_peel",            # k above the synthetic graph's max degree -> empty-core rounds
 ]
 
 

@@ -342,9 +342,26 @@ class Gen:
             f"ORDER BY ({order_col} % {k}), {uniq} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         )
+        lagfn = self.r.choice(["lag", "lead"])
+        lg = (
+            f"coalesce({lagfn}({order_col} % {k}, 1) OVER ("
+            f"PARTITION BY {part} ORDER BY ({order_col} % {k}), {uniq}), -1)"
+        )
         return (
-            f"SELECT {uniq_sel}, {win} AS rnk, {run} AS runsum "
+            f"SELECT {uniq_sel}, {win} AS rnk, {run} AS runsum, "
+            f"{lg} AS lagv "
             f"FROM {PREFIX}{t} WHERE {self.predicate(t)}"
+        )
+
+    def q_exists(self) -> str:
+        """Correlated EXISTS / NOT EXISTS along an FK edge."""
+        lt, lc, rt, rc = self.r.choice(FK_EDGES)
+        neg = self.r.choice(["", "NOT "])
+        return (
+            f"SELECT count(*) AS cnt FROM {PREFIX}{lt} a "
+            f"WHERE ({self.predicate(lt, 'a.')}) AND {neg}EXISTS ("
+            f"SELECT 1 FROM {PREFIX}{rt} b "
+            f"WHERE b.{rc} = a.{lc} AND ({self.predicate(rt, 'b.', depth=2)}))"
         )
 
     def q_rollup(self) -> str:
@@ -382,8 +399,9 @@ class Gen:
                 self.q_distinct_case,
                 self.q_window,
                 self.q_rollup,
+                self.q_exists,
             ],
-            weights=[2, 3, 3, 2, 2, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2],
         )[0]
         return pick()
 

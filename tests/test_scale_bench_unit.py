@@ -1,0 +1,66 @@
+"""Unit guards for scale_bench.py (the measurement harness itself).
+
+The bench runs out-of-band (round-close, SCALE_BENCH.json artifact);
+these tests pin the pieces that silently rot: the exponent fit math and
+the replica key map's coverage of the fixture schema.
+"""
+
+from __future__ import annotations
+
+import math
+
+from scale_bench import FIXTURE_ARM, REPLICA_ARM, SHIFT_COLS, fit_exponent
+
+
+def test_fit_exponent_recovers_known_slopes():
+    scales = [1.0, 2.0, 5.0]
+    for e in (0.5, 1.0, 1.5, 2.0):
+        times = [0.7 * s**e for s in scales]
+        got = fit_exponent(scales, times)
+        assert got is not None and abs(got - e) < 1e-6, (e, got)
+
+
+def test_fit_exponent_flat_is_zero():
+    got = fit_exponent([1.0, 10.0, 100.0], [0.3, 0.3, 0.3])
+    assert got is not None and abs(got) < 1e-9
+
+
+def test_fit_exponent_overhead_biases_down_never_up():
+    """A fixed overhead must shrink the fitted slope (conservative for
+    super-linearity flags), never inflate it."""
+    scales = [1.0, 2.0, 5.0]
+    pure = [0.5 * s for s in scales]
+    with_overhead = [2.0 + t for t in pure]
+    assert fit_exponent(scales, with_overhead) < fit_exponent(scales, pure)
+
+
+def test_shift_cols_cover_fixture_tables():
+    """Every fixture table must have a replica rule, and shifted columns
+    must look like key columns (id/key suffixed) — a schema change that
+    adds an unshifted FK would silently break replica disjointness."""
+    expected = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert set(SHIFT_COLS) == expected
+    for table, cols in SHIFT_COLS.items():
+        for c in cols:
+            assert c.endswith(("key", "_id", "id")), (table, c)
+
+
+def test_arm_membership_disjoint_on_content_ops():
+    """Content-coupled dedup/similarity operators must NOT be in the
+    replica arm (verbatim copies plant quadratic cross-replica
+    near-dups); q84b is the one deliberate overlap (volume-linearity
+    probe, justified in SCALE.md)."""
+    content_prefixes = ("q72", "q74", "qp5", "qc39")
+    for name in REPLICA_ARM:
+        assert not name.startswith(content_prefixes), name
+    assert "q84b_triangle_count" in FIXTURE_ARM
+    assert "q84b_triangle_count" in REPLICA_ARM
+
+
+def test_exponent_fit_handles_zero_time():
+    assert fit_exponent([1.0, 2.0], [0.0, 0.0]) is not None or True
+    # clamped at 1e-3 internally — must not raise
+    math.isfinite(fit_exponent([1.0, 2.0], [0.0, 1.0]))

@@ -89,6 +89,8 @@ SCALE_SENSITIVE = [
     "q66c_binned_proximity_join",
     # cluster-size structure only exists where near-dups are planted.
     "q84e_component_size_profile",
+    # the k=80 peel profile is degree-coupled (sf0.1 degrees ~10x).
+    "q84f_kcore_peel",
     # recall/candidate density shifts with corpus size (2000 vs 500).
     "qp8_ann_recall_eval",
     # pair density at every threshold, and the EMD BIGINT-headroom
