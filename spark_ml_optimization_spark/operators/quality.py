@@ -2459,3 +2459,213 @@ def qd34_holt_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h.l", 6).alias("final_level"),
         F.round("h.b", 6).alias("final_trend"),
     )
+
+
+@register(
+    "qd35_mann_whitney_u",
+    oracle="""
+        WITH pop AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        ranked AS (
+            SELECT is_a,
+                   2 * rank() OVER (ORDER BY cents)
+                       + count(*) OVER (PARTITION BY cents) - 1 AS mr2
+            FROM pop
+        ),
+        ties AS (
+            SELECT COALESCE(sum(c * c * c - c), 0) AS t
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM pop GROUP BY cents)
+        ),
+        agg AS (
+            SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+                   CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN is_a = 1 THEN mr2 ELSE 0 END)
+                        AS BIGINT) AS r2
+            FROM ranked
+        )
+        SELECT n_a, n_b,
+               round((r2 - n_a * (n_a + 1)) / 2.0, 6) AS u_stat,
+               round(((r2 - n_a * (n_a + 1)) / 2.0
+                       - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                     / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                            * ((n_a + n_b + 1)
+                               - CAST((SELECT t FROM ties) AS DOUBLE)
+                                 / (CAST(n_a + n_b AS DOUBLE)
+                                    * (n_a + n_b - 1)))),
+                     6) AS z_stat
+        FROM agg
+    """,
+    doc="MANN-WHITNEY U rank-sum test (two-sided z with midranks and "
+    "the tie correction) comparing URGENT vs LOW order totals — the "
+    "non-parametric two-sample location test a data-quality monitor "
+    "runs when distributions are skewed and a t-test's normality "
+    "assumption fails (is the urgent-order revenue distribution "
+    "actually different?).  Ranking 30 k (and at 100 TB, billions of) "
+    "rows needs NO global sort window: values collapse to exact-cents "
+    "groups first (groupBy cents -> per-value count + group-A count), "
+    "then the rank prefix sums ride dist_rank.distributed_cumsum "
+    "(range exchange over the value domain).  Doubled midranks "
+    "(2*rank + tiecount - 1) keep every rank statistic in BIGINT — "
+    "the only doubles are the final mu/sigma/z divisions, mirrored "
+    "expression-for-expression against the oracle.  The tie term "
+    "sum(t^3 - t) falls out of the same per-value aggregate for free.",
+)
+def qd35_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    pop = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    by_val = pop.groupBy("cents").agg(
+        F.count("*").alias("n_v"), F.sum("is_a").alias("a_v")
+    )
+    with_cum = distributed_cumsum(
+        by_val, [F.col("cents")], [("n_v", "cum_excl", False)]
+    )
+    # doubled midrank of every row in value-group v:
+    #   2*(cum_excl+1) + n_v - 1  ==  2*cum_excl + n_v + 1  (all BIGINT)
+    stats = with_cum.agg(
+        F.sum("a_v").cast("bigint").alias("n_a"),
+        (F.sum("n_v") - F.sum("a_v")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("a_v")
+            * (2 * F.col("cum_excl") + F.col("n_v") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u = (F.col("r2") - n_a * (n_a + 1)) / 2.0
+    mu = n_a.cast("double") * n_b / 2.0
+    sig2 = (n_a.cast("double") * n_b / 12.0) * (
+        (n_a + n_b + 1)
+        - F.col("t").cast("double")
+        / ((n_a + n_b).cast("double") * (n_a + n_b - 1))
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(sig2), 6).alias("z_stat"),
+    )
+
+
+@register(
+    "qd36_anova_f",
+    oracle="""
+        WITH g AS (
+            SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN l_returnflag = 'A'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN l_returnflag = 'N'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) AS s,
+                CAST(sum(CASE WHEN l_returnflag = 'A'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) AS s1,
+                CAST(sum(CASE WHEN l_returnflag = 'N'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) AS s2,
+                CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) AS s3,
+                CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS HUGEINT)) AS DOUBLE) AS q
+            FROM lineitem
+        )
+        SELECT n, n1, n2, n3,
+               round(((s1 * s1 / n1
+                       + s2 * s2 / n2
+                       + s3 * s3 / n3)
+                      - s * s / n) / 1e4, 4) AS ssb_dollars2,
+               round((q
+                      - (s1 * s1 / n1
+                         + s2 * s2 / n2
+                         + s3 * s3 / n3)) / 1e4, 4)
+                   AS ssw_dollars2,
+               round((((s1 * s1 / n1
+                        + s2 * s2 / n2
+                        + s3 * s3 / n3)
+                       - s * s / n) / 2.0)
+                     / ((q
+                         - (s1 * s1 / n1
+                            + s2 * s2 / n2
+                            + s3 * s3 / n3))
+                        / (n - 3)), 6) AS f_stat
+        FROM g
+    """,
+    doc="One-way ANOVA F-statistic of revenue across the three return "
+    "flags — the 'does this categorical column explain this metric' "
+    "screen a feature-audit pipeline runs before keeping a column.  "
+    "Everything reduces to ONE map-side conditional aggregate over a "
+    "single scan (the fixed 3-value flag domain is pivoted into "
+    "columns, q25-style): per-group counts and exact-cents sums in "
+    "BIGINT/DECIMAL(38,0) (sum of squared cents crosses 2^63 at "
+    "sf>=0.1, hence decimal accumulators), with the algebraic "
+    "identities SSB = sum(s_g^2/n_g) - S^2/N and SSW = Q - "
+    "sum(s_g^2/n_g).  The double divisions happen once, in a FIXED "
+    "textual order mirrored by the oracle, so no float summation "
+    "order exists to diverge.  Scale: partial aggregation handles "
+    "everything; zero shuffled rows beyond one combiner row per task.",
+)
+def qd36_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    flag = F.col("l_returnflag")
+
+    def grp(v, col):
+        return F.sum(F.when(flag == v, col).otherwise(F.lit(0)))
+
+    g = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(flag == "A", 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(flag == "N", 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(flag == "R", 1).otherwise(0)).cast("bigint").alias("n3"),
+        F.sum(cents).cast("double").alias("s"),
+        grp("A", cents).cast("double").alias("s1"),
+        grp("N", cents).cast("double").alias("s2"),
+        grp("R", cents).cast("double").alias("s3"),
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+    )
+    within = (
+        F.col("s1") * F.col("s1") / F.col("n1")
+        + F.col("s2") * F.col("s2") / F.col("n2")
+        + F.col("s3") * F.col("s3") / F.col("n3")
+    )
+    ssb = within - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - within
+    return g.select(
+        "n",
+        "n1",
+        "n2",
+        "n3",
+        F.round(ssb / 1e4, 4).alias("ssb_dollars2"),
+        F.round(ssw / 1e4, 4).alias("ssw_dollars2"),
+        F.round((ssb / 2.0) / (ssw / (F.col("n") - 3)), 6).alias("f_stat"),
+    )

@@ -927,3 +927,135 @@ def q53f_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("qlang").cast("long").alias("n_langs"),
         F.max("path").alias("max_path"),
     )
+
+
+@register(
+    "q52d_business_days",
+    oracle="""
+        WITH per_order AS (
+            SELECT o.o_orderkey,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                                  s.last_ship) AS BIGINT) AS n,
+                   CAST((dayofweek(CAST(o.o_orderdate AS TIMESTAMP)) + 6) % 7
+                        AS BIGINT) AS dow0
+            FROM orders o
+            JOIN (SELECT l_orderkey,
+                         max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship
+                  FROM lineitem GROUP BY l_orderkey) s
+              ON s.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+              AND s.last_ship >= CAST(o.o_orderdate AS TIMESTAMP)
+        ),
+        biz AS (
+            SELECT 5 * (n // 7) + (n % 7)
+                   - (CASE WHEN ((5 - dow0 + 6) % 7) + 1 <= n % 7
+                      THEN 1 ELSE 0 END)
+                   - (CASE WHEN ((6 - dow0 + 6) % 7) + 1 <= n % 7
+                      THEN 1 ELSE 0 END) AS bdays
+            FROM per_order
+        )
+        SELECT CAST(bdays AS BIGINT) AS business_days,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM biz GROUP BY bdays
+    """,
+    doc="BUSINESS-DAY SLA distribution: weekday count between order "
+    "placement (exclusive) and final shipment (inclusive) for urgent "
+    "orders, as a histogram — the NETWORKDAYS-style calendar "
+    "arithmetic every ops SLA dashboard needs and no SQL engine "
+    "ships natively.  CLOSED FORM, no calendar spine and no explode: "
+    "full weeks contribute 5 each (5*(n/7) in integer division), and "
+    "the n%7 remainder days drop a Saturday/Sunday exactly when the "
+    "first weekend offset from the start weekday lands inside the "
+    "remainder — a pure modular-arithmetic CASE, identical integer "
+    "ops in both engines.  Weekday normalization re-uses q52c's "
+    "dialect pin (Spark dayofweek 1=Sun vs DuckDB 0=Sun both mapped "
+    "to 0=Monday).  Scale: one fact-side groupBy(orderkey) max + a "
+    "broadcast-or-shuffle equi-join with orders (rows where the "
+    "synthetic fixture ships before placement are excluded — the gap "
+    "must be non-negative for the modular form), then map-side "
+    "arithmetic into a ~tens-of-rows histogram agg.",
+)
+def q52d_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    per = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).filter(F.col("last_ship") >= F.col("o_orderdate")).select(
+        F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("n"),
+        # Spark dayofweek: 1=Sun..7=Sat -> 0=Mon..6=Sun
+        ((F.dayofweek("o_orderdate") + 5) % 7).cast("bigint").alias("dow0"),
+    )
+    n, dow0 = F.col("n"), F.col("dow0")
+    rem = n % 7
+    hits = sum(
+        F.when(((F.lit(off) - dow0 + 6) % 7) + 1 <= rem, 1).otherwise(0)
+        for off in (5, 6)
+    )
+    bdays = 5 * F.floor(n / 7).cast("bigint") + rem - hits
+    return (
+        per.select(bdays.cast("bigint").alias("business_days"))
+        .groupBy("business_days")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+@register(
+    "q53g_rounding_modes",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        )
+        SELECT CAST(cents % 10 AS BIGINT) AS last_digit,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents // 10
+                        + CASE WHEN cents % 10 >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS half_up_tenths,
+               CAST(sum(cents // 10
+                        + CASE WHEN cents % 10 > 5
+                               OR (cents % 10 = 5 AND (cents // 10) % 2 = 1)
+                          THEN 1 ELSE 0 END)
+                    AS BIGINT) AS half_even_tenths
+        FROM c GROUP BY cents % 10
+    """,
+    doc="ROUNDING-MODE dialect pin: Spark's round() is HALF_UP and "
+    "bround() is HALF_EVEN (banker's) — on money columns the two "
+    "diverge on every exact .x5 boundary, a classic silent "
+    "reconciliation bug when pipelines mix engines (DuckDB/Python "
+    "round half-to-even, Java/SQL-standard round half-up).  The "
+    "engine rounds exact DECIMAL(12,2) prices to one decimal with "
+    "BOTH modes and aggregates the results in integer TENTHS per "
+    "last-cent-digit bucket, so the .x5 buckets (digit 5) expose the "
+    "mode split while every other bucket proves the modes agree.  "
+    "The oracle never calls a rounding function at all: it "
+    "re-derives both modes from pure integer arithmetic on cents "
+    "(floor-divide + carry CASE), verifying Spark's decimal rounding "
+    "against the arithmetic DEFINITION rather than another engine's "
+    "dialect.  Scale: map-side decimal math into a 10-row agg.",
+)
+def q53g_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rounded = li.select(
+        (cents % 10).alias("last_digit"),
+        F.round(x, 1).alias("up1"),
+        F.bround(x, 1).alias("even1"),
+    )
+    return rounded.groupBy("last_digit").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("up1") * 10))
+        .cast("bigint")
+        .alias("half_up_tenths"),
+        F.round(F.sum(F.col("even1") * 10))
+        .cast("bigint")
+        .alias("half_even_tenths"),
+    )

@@ -386,3 +386,54 @@ def q40b_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "q47b_distinct_count_window",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(count(DISTINCT l_partkey) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS parts_seen
+        FROM lineitem
+        WHERE l_suppkey < 10
+    """,
+    doc="RUNNING DISTINCT COUNT per supplier (how many distinct parts "
+    "has this supplier shipped as of each line?) — the catalog-growth "
+    "curve a supply-chain or dedup monitor tracks incrementally.  "
+    "Spark has NO COUNT(DISTINCT) OVER (window distinct aggregates "
+    "are unsupported by WindowExec), so the engine re-plans it as the "
+    "canonical two-window decomposition: a FIRST-OCCURRENCE flag "
+    "(row_number() over (supplier, part) ordered by the total order "
+    "== 1) followed by a running SUM of flags over the same total "
+    "order — two shuffles on the same supplier key, both running "
+    "frames, no whole-partition buffering.  The DuckDB oracle uses "
+    "its NATIVE windowed distinct aggregate, so the decomposition is "
+    "verified against an independent implementation of the SEMANTICS "
+    "rather than a mirrored expression.  The shared total order "
+    "(shipdate, orderkey, linenumber) is unique, making every prefix "
+    "— and hence every running count — a deterministic set.  Scale: "
+    "both windows partition by supplier (bounded per-key state); the "
+    "probe slice keeps the wire small, the plan is slice-independent.",
+)
+def q47b_distinct_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_first = W.partitionBy("l_suppkey", "l_partkey").orderBy(*order)
+    w_run = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = li.withColumn(
+        "_new_part",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("_new_part").over(w_run).cast("bigint").alias("parts_seen"),
+    )
