@@ -666,3 +666,64 @@ def q28b_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("long").alias("est_count"),
     )
+
+
+@register(
+    "q28c_hll_sketch_mergeable",
+    oracle="""
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+               TRUE AS merge_agrees_1pct,
+               TRUE AS within_2pct
+    """
+    + "FROM lineitem",
+    doc="Apache DataSketches HLL surface (Spark 3.5+ hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate) with its MERGEABILITY "
+    "contract hash-verified: a corpus-wide one-shot sketch and the "
+    "union of 8 per-shard sketches must estimate within 1% of each "
+    "other, and both within 2% of the exact distinct count — the "
+    "property that lets 100 TB distinct counts roll up from "
+    "per-partition sketches without ever shuffling raw values.  "
+    "(The two estimates are NOT bit-identical by design: DataSketches "
+    "HLL_4 keeps a curMin offset + exception list, and the union "
+    "path's HLL_8 accumulator back-converts, so one-shot vs merged "
+    "registers can differ at the encoding margin — asserting exact "
+    "equality would pin an implementation artifact, measured 2003 vs "
+    "2000 on the 2000-part fixture.  The 1%-agreement envelope IS "
+    "the portable law.)  The oracle pins the exact count and the two "
+    "law booleans; sketch drift, a broken union, or accuracy decay "
+    "breaks the hash.  Scale: both arms are single-pass partial "
+    "aggregates; the shard arm\'s shuffle carries 8 sketch blobs, "
+    "not rows.",
+)
+def q28c_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias(
+            "direct_est"
+        ),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_exact"),
+    )
+    shards = (
+        li.withColumn("shard", F.col("l_suppkey") % 8)
+        .groupBy("shard")
+        .agg(F.expr("hll_sketch_agg(l_partkey, 14)").alias("sk"))
+    )
+    merged = shards.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    exact_d = F.col("n_exact").cast("double")
+    return direct.crossJoin(F.broadcast(merged)).select(
+        "n_exact",
+        (
+            F.abs(
+                F.col("direct_est").cast("double")
+                - F.col("merged_est").cast("double")
+            )
+            / exact_d
+            <= 0.01
+        ).alias("merge_agrees_1pct"),
+        (
+            (F.abs(F.col("direct_est").cast("double") / exact_d - 1.0) <= 0.02)
+            & (F.abs(F.col("merged_est").cast("double") / exact_d - 1.0) <= 0.02)
+        ).alias("within_2pct"),
+    )

@@ -1667,3 +1667,113 @@ def qa35_rfm_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
+
+
+_APRIORI_MINSUP = 2
+
+
+@register(
+    "qa36_apriori_triples",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.item AS pa, b.item AS pb,
+                   CAST(count(*) AS BIGINT) AS sup2
+            FROM items a
+            JOIN items b ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2 HAVING count(*) >= {_APRIORI_MINSUP}
+        ),
+        cand AS (
+            SELECT p1.pa, p1.pb, p2.pb AS pc,
+                   p1.sup2 AS s_ab, p2.sup2 AS s_ac
+            FROM pairs p1
+            JOIN pairs p2
+              ON p2.pa = p1.pa AND p2.pb > p1.pb
+        ),
+        triples AS (
+            SELECT c.pa, c.pb, c.pc, c.s_ab, c.s_ac, bc.sup2 AS s_bc,
+                   (SELECT CAST(count(*) AS BIGINT) FROM items x
+                    JOIN items y ON y.basket = x.basket AND y.item = c.pb
+                    JOIN items z ON z.basket = x.basket AND z.item = c.pc
+                    WHERE x.item = c.pa) AS sup3
+            FROM cand c
+            JOIN pairs bc ON bc.pa = c.pb AND bc.pb = c.pc
+        )
+        SELECT pa, pb, pc, sup3,
+               least(s_ab, least(s_ac, s_bc)) AS min_pair_sup,
+               sup3 <= least(s_ab, least(s_ac, s_bc)) AS monotone
+        FROM triples
+        WHERE sup3 >= {_APRIORI_MINSUP}
+    """,
+    doc="APRIORI frequent 3-itemset mining, fully relational (the "
+    "level-wise Agrawal-Srikant algorithm qa29's pair-affinity stage "
+    "feeds): frequent pairs (support >= 2) self-join on a shared "
+    "first item to generate candidate triples, candidates survive "
+    "only if ALL THREE constituent pairs are frequent (the Apriori "
+    "pruning join — bc must exist in the pair table), and the "
+    "surviving candidates' exact 3-way support comes from one "
+    "item-table triple join.  The output carries min pair support "
+    "and the downward-closure law (sup3 <= min pair sup) as a "
+    "hash-verified column.  Scale: the candidate space is bounded "
+    "by FREQUENT pairs (not raw pairs) squared over shared "
+    "prefixes — the pruning that makes level-wise mining feasible; "
+    "all joins are equi-joins on item ids, shuffle-partitioned, "
+    "no cartesian anywhere.",
+)
+def qa36_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.select(F.col("basket"), F.col("item").alias("pa"))
+    b = items.select(F.col("basket"), F.col("item").alias("pb"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("sup2"))
+        .filter(F.col("sup2") >= _APRIORI_MINSUP)
+    )
+    p1 = pairs.select("pa", "pb", F.col("sup2").alias("s_ab"))
+    p2 = pairs.select(
+        F.col("pa").alias("pa2"), F.col("pb").alias("pc"),
+        F.col("sup2").alias("s_ac"),
+    )
+    cand = p1.join(p2, (p1["pa"] == p2["pa2"]) & (p2["pc"] > p1["pb"])).select(
+        "pa", "pb", "pc", "s_ab", "s_ac"
+    )
+    bc = pairs.select(
+        F.col("pa").alias("pb"), F.col("pb").alias("pc"),
+        F.col("sup2").alias("s_bc"),
+    )
+    pruned = cand.join(bc, ["pb", "pc"])
+    ia = items.select(F.col("basket"), F.col("item").alias("pa"))
+    ib = items.select(F.col("basket"), F.col("item").alias("pb"))
+    ic = items.select(F.col("basket"), F.col("item").alias("pc"))
+    sup3 = (
+        ia.join(ib, "basket")
+        .join(ic, "basket")
+        .filter((F.col("pa") < F.col("pb")) & (F.col("pb") < F.col("pc")))
+        .join(
+            pruned.select("pa", "pb", "pc"),
+            ["pa", "pb", "pc"],
+            "left_semi",
+        )
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("bigint").alias("sup3"))
+    )
+    out = pruned.join(sup3, ["pa", "pb", "pc"]).filter(
+        F.col("sup3") >= _APRIORI_MINSUP
+    )
+    min_pair = F.least("s_ab", F.least("s_ac", "s_bc"))
+    return out.select(
+        "pa",
+        "pb",
+        "pc",
+        "sup3",
+        min_pair.alias("min_pair_sup"),
+        (F.col("sup3") <= min_pair).alias("monotone"),
+    )

@@ -2639,3 +2639,208 @@ def qc48_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+_KN_PROBE = "'table','query','value','the','spark'"
+_KN_D = 0.75
+
+
+@register(
+    "qc49_kn_bigram_lm",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, i, w[i] AS tok, len(w) AS n
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+        ),
+        big AS (
+            SELECT a.tok AS w1, b.tok AS w2,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM pos a
+            JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT w1, CAST(sum(c) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n1p
+            FROM big GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS nprec
+            FROM big GROUP BY w2
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS types FROM big),
+        probe AS (
+            SELECT a.w AS w1, b.w AS w2
+            FROM UNNEST([{_KN_PROBE}]) AS a(w)
+            CROSS JOIN UNNEST([{_KN_PROBE}]) AS b(w)
+        )
+        SELECT p.w1, p.w2,
+               CAST(COALESCE(big.c, 0) AS BIGINT) AS c,
+               CASE WHEN c1.tot IS NULL THEN NULL
+                    ELSE round(
+                        greatest(COALESCE(big.c, 0) - {_KN_D}, 0) / c1.tot
+                        + ({_KN_D} * c1.n1p / c1.tot)
+                          * (CAST(COALESCE(cont.nprec, 0) AS DOUBLE)
+                             / (SELECT types FROM t)), 6)
+               END AS p_kn
+        FROM probe p
+        LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        LEFT JOIN c1 ON c1.w1 = p.w1
+        LEFT JOIN cont ON cont.w2 = p.w2
+    """,
+    doc="KNESER-NEY-style bigram language model scoring, fully "
+    "relational: absolute discounting (d=0.75) with the continuation-"
+    "probability backoff — P(w2|w1) = max(c(w1w2)-d,0)/c(w1·) + "
+    "(d·N1+(w1·)/c(w1·)) · (N1+(·w2)/|bigram types|) — evaluated on a "
+    "fixed 5x5 probe grid that includes seen, rare, and UNSEEN "
+    "bigrams (the backoff path).  This is the scoring core of "
+    "n-gram-LM quality filtering (perplexity-style corpus screens a "
+    "la CCNet) built from four aggregates over one bigram table: "
+    "counts, first-token totals, distinct-successor counts N1+(w1·), "
+    "distinct-predecessor counts N1+(·w2), and the type total.  All "
+    "counts are exact BIGINTs; the probability is a single mirrored "
+    "double expression (6-dp wire).  Unseen first tokens yield NULL "
+    "in both engines (CASE-guarded, no 0/0).  Scale: bigrams come "
+    "from a per-doc position self-join (equi on doc_id, i+1 — "
+    "shuffle-free relative to the explode partitioning), and every "
+    "model table is vocabulary-squared-BOUNDED (sublinear in corpus "
+    "size by Heaps' law); the probe join is a broadcast.",
+)
+def qc49_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    probe_words = [s.strip("'") for s in _KN_PROBE.split(",")]
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    a = pos.select(
+        F.col("doc_id").alias("da"), F.col("i").alias("ia"),
+        F.col("tok").alias("w1"),
+    )
+    b = pos.select(
+        F.col("doc_id").alias("da"), (F.col("i") - 1).alias("ia"),
+        F.col("tok").alias("w2"),
+    )
+    big = (
+        a.join(b, ["da", "ia"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c1 = big.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n1p"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("nprec")
+    )
+    types = big.agg(F.count("*").cast("bigint").alias("types"))
+    probe = spark.createDataFrame(
+        [(x, y) for x in probe_words for y in probe_words], "w1 string, w2 string"
+    )
+    j = (
+        probe.join(big, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+    )
+    c = F.coalesce(F.col("c"), F.lit(0))
+    p_kn = F.when(F.col("tot").isNull(), F.lit(None)).otherwise(
+        F.round(
+            F.greatest(c - _KN_D, F.lit(0)) / F.col("tot")
+            + (_KN_D * F.col("n1p") / F.col("tot"))
+            * (
+                F.coalesce(F.col("nprec"), F.lit(0)).cast("double")
+                / F.col("types")
+            ),
+            6,
+        )
+    )
+    return j.select(
+        "w1", "w2", c.cast("bigint").alias("c"), p_kn.alias("p_kn")
+    )
+
+
+_MIX_LANGS = ("de", "en", "es", "fr", "zh")
+_MIX_ALPHA_DOC = "alpha=0.5 (sqrt temperature)"
+
+
+@register(
+    "qc50_mixture_temperature",
+    oracle="""
+        WITH g AS (
+            SELECT
+                """ + ",\n                ".join(
+        f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{l}" for l in _MIX_LANGS
+    ) + """,
+                CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        ),
+        z AS (
+            SELECT *, sqrt(n_de) + sqrt(n_en) + sqrt(n_es)
+                      + sqrt(n_fr) + sqrt(n_zh) AS denom
+            FROM g
+        )
+        """ + "\n        UNION ALL\n        ".join(
+        f"""SELECT '{l}' AS lang, n_{l} AS n_docs,
+               round(CAST(n_{l} AS DOUBLE) / n, 6) AS raw_share,
+               round(sqrt(n_{l}) / denom, 6) AS temp_share,
+               round((sqrt(n_{l}) / denom)
+                     / (CAST(n_{l} AS DOUBLE) / n), 6) AS boost,
+               CAST(round(1e6 * sqrt(n_{l}) / denom) AS BIGINT)
+                   AS docs_per_million
+        FROM z""" for l in _MIX_LANGS
+    ),
+    doc="TEMPERATURE-SCALED source mixing (alpha=0.5): the sampling "
+    "weights w_i = n_i^alpha / sum_j n_j^alpha that every multilingual "
+    "training-data pipeline uses to up-sample low-resource slices "
+    "(the mT5/XLM-R recipe) — reported per language as raw share, "
+    "temperature share, the resulting boost factor, and exact "
+    "expected docs per million sampled.  The whole computation is ONE "
+    "map-side conditional aggregate (the 5-language domain pivots to "
+    "columns), and the denominator sum_j sqrt(n_j) is written in a "
+    "FIXED textual order in both engines — no float aggregation "
+    "order exists, so the 6-dp wire is deterministic.  Scale: one "
+    "scan, one combiner row per task, 5 output rows; adding a "
+    "language adds a column, not a pass.",
+)
+def qc50_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*_MIX_LANGS)
+    )
+    g = d.agg(
+        *[
+            F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{l}")
+            for l in _MIX_LANGS
+        ],
+        F.count("*").cast("bigint").alias("n"),
+    )
+    denom = None
+    for l in _MIX_LANGS:
+        t = F.sqrt(F.col(f"n_{l}"))
+        denom = t if denom is None else denom + t
+    z = g.withColumn("denom", denom)
+    outs = []
+    for l in _MIX_LANGS:
+        nl = F.col(f"n_{l}")
+        w = F.sqrt(nl) / F.col("denom")
+        outs.append(
+            z.select(
+                F.lit(l).alias("lang"),
+                nl.alias("n_docs"),
+                F.round(nl.cast("double") / F.col("n"), 6).alias("raw_share"),
+                F.round(w, 6).alias("temp_share"),
+                F.round(w / (nl.cast("double") / F.col("n")), 6).alias("boost"),
+                F.round(F.lit(1e6) * F.sqrt(nl) / F.col("denom"))
+                .cast("bigint")
+                .alias("docs_per_million"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

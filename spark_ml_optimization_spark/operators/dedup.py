@@ -2277,3 +2277,217 @@ def q84f_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
     )
+
+
+def strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-support co-purchase edges: parts adjacent iff they share
+    >= 2 orders (pa < pb).  The SPARSE sibling of copurchase_edges —
+    repeat co-occurrence kills the hub noise single orders create, so
+    degrees stay small (max ~15 at sf0.01) and the graph is the right
+    substrate for neighborhood algorithms (LPA, Adamic-Adar) that are
+    quadratic in degree.  Built + checkpointed once per (app, sf_dir)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        return (
+            a.join(b, "k")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+
+    return _graph_memo(spark, sf_dir, "strong_copurchase", build)
+
+
+_STRONG_EDGES_SQL = """
+        e AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e
+        )"""
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous LPA rounds (q84f's unrolled-CTE convention):
+    round r relabels every node with its neighbors' majority label from
+    round r-1, ties broken toward the smallest label."""
+    ctes = [
+        _STRONG_EDGES_SQL,
+        "lab0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""lab{r} AS (
+            SELECT node, label FROM (
+                SELECT s.src AS node, l.label,
+                       row_number() OVER (
+                           PARTITION BY s.src
+                           ORDER BY count(*) DESC, l.label
+                       ) AS rn
+                FROM sym s JOIN lab{r - 1} l ON l.node = s.dst
+                GROUP BY s.src, l.label
+            ) WHERE rn = 1
+        )"""
+        )
+    selects = "\n        UNION ALL\n".join(
+        f"""SELECT {r} AS round,
+               CAST((SELECT count(DISTINCT label) FROM lab{r}) AS BIGINT)
+                   AS n_labels,
+               CAST((SELECT max(c) FROM (
+                   SELECT count(*) AS c FROM lab{r} GROUP BY label))
+                   AS BIGINT) AS largest_community"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + selects
+
+
+@register(
+    "q84g_label_propagation",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    doc=f"LABEL PROPAGATION community detection ({_LPA_ROUNDS} fixed "
+    "synchronous rounds, Raghavan et al. 2007) over the strong "
+    "(multi-support) co-purchase graph: every node starts as its own "
+    "community, and each round adopts the MAJORITY label among its "
+    "neighbors with ties broken toward the smallest label — the "
+    "deterministic variant of the classic randomized sweep, which is "
+    "what a reproducible pipeline has to run.  Per-round profile "
+    "(distinct labels, largest community) shows the consolidation "
+    "curve.  Relational form: one edge-to-label equi-join + a "
+    "(node,label) count + a per-node argmax window per round — the "
+    "window partitions by node (state bounded by degree), and the "
+    "oracle unrolls the identical rounds as CTEs.  Scale: each round "
+    "shuffles the edge list once on dst then once on (src,label); "
+    "labels localCheckpoint per round so lineage stays flat; the "
+    "strong-edge substrate keeps degrees (and thus the argmax state) "
+    "small by construction.",
+)
+def q84g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = strong_copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    rows = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("c"))
+        prof = sizes.agg(
+            F.count("*").cast("bigint").alias("n_labels"),
+            F.max("c").cast("bigint").alias("largest"),
+        ).collect()[0]
+        rows.append((r, prof["n_labels"], prof["largest"]))
+    return spark.createDataFrame(
+        rows, "round INT, n_labels BIGINT, largest_community BIGINT"
+    )
+
+
+_AA_TOPK = 20
+
+
+@register(
+    "q84h_adamic_adar",
+    oracle=f"""
+        WITH {_STRONG_EDGES_SQL.lstrip()},
+        deg AS (
+            SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+        ),
+        wedge AS (
+            SELECT s1.dst AS a, s2.dst AS b,
+                   CAST(round(1e6 / ln(d.d)) AS BIGINT) AS micro
+            FROM sym s1
+            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+            JOIN deg d ON d.node = s1.src
+        ),
+        cand AS (
+            SELECT a, b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(micro) AS BIGINT) AS aa_micro
+            FROM wedge w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.b)
+            GROUP BY a, b
+        )
+        SELECT a AS pa, b AS pb, n_common, aa_micro
+        FROM cand
+        ORDER BY aa_micro DESC, pa, pb
+        LIMIT {_AA_TOPK}
+    """,
+    doc="ADAMIC-ADAR link prediction over the strong co-purchase graph: "
+    "for every NON-adjacent pair sharing a neighbor, score = sum over "
+    "common neighbors w of 1/ln(deg(w)) — rare shared neighbors count "
+    "more — and report the top-20 predicted links (the classic "
+    "'parts that will be bought together next' / record-linkage "
+    "candidate ranker).  The per-neighbor contribution is quantized "
+    "to integer MICRO-UNITS (round(1e6/ln d), one deterministic "
+    "double op from an exact integer) before summation, so pair "
+    "scores are BIGINT sums — no float summation order exists, and "
+    "the top-k threshold is exact.  Wedges enumerate via the "
+    "center-node self-join (dst1 < dst2), existing edges drop with an "
+    "anti-join, and the global top-20 is orderBy+limit "
+    "(TakeOrdered).  Scale: wedge count is sum(deg^2) — bounded here "
+    "by the multi-support substrate (max degree ~15); at 100 TB the "
+    "standard hub cap (skip centers above a degree bound, their "
+    "1/ln(d) contribution is negligible) bolts onto the deg join as "
+    "one filter.",
+)
+def q84h_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = strong_copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    micro = F.round(F.lit(1e6) / F.log(F.col("d"))).cast("bigint")
+    s1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    wedge = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.withColumnRenamed("src", "w"), "w")
+        .select("a", "b", micro.alias("micro"))
+    )
+    cand = (
+        wedge.join(
+            e,
+            (wedge["a"] == e["pa"]) & (wedge["b"] == e["pb"]),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("a").alias("pa"), F.col("b").alias("pb"), "n_common", "aa_micro"
+        )
+        .orderBy(F.col("aa_micro").desc(), "pa", "pb")
+        .limit(_AA_TOPK)
+    )

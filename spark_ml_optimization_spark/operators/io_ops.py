@@ -955,3 +955,47 @@ def src24_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "src25_fixed_width_ingest",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority
+        FROM orders WHERE o_custkey < 500
+    """,
+    doc="FIXED-WIDTH record ingest — the mainframe/COBOL copybook "
+    "feed format every enterprise lake still receives and Spark has "
+    "no native reader for: records are written as 43-char lines "
+    "(orderkey right-aligned 12, status 1, exact cents right-aligned "
+    "12, priority left-padded 18) via format_string, then read back "
+    "with spark.read.text and sliced by SUBSTRING positions + trim + "
+    "cast — the parse is pure codegen expressions, no UDF.  "
+    "Hash-match against the source relation proves the layout spec "
+    "and the parser agree column-for-column (a one-off-by-one in any "
+    "width breaks the hash).  Scale: text lines split by newline are "
+    "splittable input; the substring parse is map-side; explicit "
+    "positions mean schema drift fails loudly rather than shifting "
+    "columns silently.",
+)
+def src25_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    lines = o.select(
+        F.format_string(
+            "%12d%1s%12d%-18s",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    )
+    path = _scratch(f"fixed_width_{sf_dir.replace('/', '_')}")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.trim(F.substring("value", 14, 12)).cast("bigint").alias("cents"),
+        F.rtrim(F.substring("value", 26, 18)).alias("o_orderpriority"),
+    )

@@ -1059,3 +1059,82 @@ def q53g_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("half_even_tenths"),
     )
+
+
+@register(
+    "q55g_map_hofs",
+    oracle="""
+        WITH per AS (
+            SELECT l_orderkey, l_returnflag,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_orderkey < 400
+            GROUP BY l_orderkey, l_returnflag
+        )
+        SELECT l_orderkey, l_returnflag AS flag,
+               cents + cents // 10 AS uplifted_cents,
+               (cents + cents // 10) * n AS weighted
+        FROM per
+        WHERE cents >= 1000
+    """,
+    doc="MAP higher-order functions — the Spark map-column vocabulary "
+    "(map_from_entries, transform_values, map_filter, map_zip_with, "
+    "explode of a map) exercised end-to-end: per order, line revenue "
+    "aggregates into a returnflag->cents MAP, transform_values "
+    "applies a 10% integer uplift, map_filter drops sub-10-dollar "
+    "flags, map_zip_with multiplies against a parallel "
+    "flag->linecount map, and the result explodes back to rows.  "
+    "The ORACLE never touches a map type: the same numbers fall out "
+    "of plain grouped arithmetic, proving the map pipeline is a "
+    "faithful (if differently-shaped) encoding of relational "
+    "semantics — maps earn their keep at scale as a way to carry "
+    "SPARSE per-key state in one row (no pivot, no N columns).  "
+    "Integer cents keep every value exact.  Scale: one groupBy plus "
+    "map-side array ops; map entries per order are bounded by the "
+    "3-value flag domain.",
+)
+def q55g_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    per = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+        F.count("*").alias("n"),
+    )
+    maps = per.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_returnflag", "cents")))
+        ).alias("cents_map"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_returnflag", "n")))
+        ).alias("count_map"),
+    )
+    transformed = maps.select(
+        "l_orderkey",
+        F.map_filter(
+            F.transform_values(
+                "cents_map", lambda k, v: v + (v / 10).cast("bigint")
+            ),
+            lambda k, v: v >= 1100,
+        ).alias("uplifted"),
+        "count_map",
+    ).select(
+        "l_orderkey",
+        "uplifted",
+        F.map_zip_with(
+            "uplifted", "count_map", lambda k, v1, v2: v1 * v2
+        ).alias("weighted_map"),
+    )
+    exploded = transformed.select(
+        "l_orderkey",
+        F.explode("uplifted").alias("flag", "uplifted_cents"),
+        F.col("weighted_map"),
+    )
+    return exploded.select(
+        "l_orderkey",
+        "flag",
+        "uplifted_cents",
+        F.col("weighted_map")[F.col("flag")].alias("weighted"),
+    ).filter(F.col("weighted").isNotNull())

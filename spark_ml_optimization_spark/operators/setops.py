@@ -708,3 +708,60 @@ def q46b_global_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") >= F.col("p10"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q30d_null_ordering_pin",
+    oracle="""
+        WITH src AS (
+            SELECT NULLIF(l_discount, 0.04) AS nk, l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        f AS (
+            SELECT 'nulls_first' AS arm, nk, l_orderkey, l_linenumber
+            FROM src
+            ORDER BY nk ASC NULLS FIRST, l_orderkey, l_linenumber
+            LIMIT 15
+        ),
+        l AS (
+            SELECT 'nulls_last' AS arm, nk, l_orderkey, l_linenumber
+            FROM src
+            ORDER BY nk ASC NULLS LAST, l_orderkey, l_linenumber
+            LIMIT 15
+        )
+        SELECT * FROM f UNION ALL SELECT * FROM l
+    """,
+    doc="NULL-ORDERING dialect pin: Spark's default ASC sort places "
+    "NULLs FIRST while DuckDB/Postgres default to NULLs LAST — the "
+    "silent row-set flip that breaks every LIMIT-below-sort query "
+    "migrated between engines.  Both arms here spell the ordering "
+    "EXPLICITLY (asc_nulls_first / asc_nulls_last on a planted "
+    "nullable key) over a unique total order, so the two 15-row "
+    "pages are deterministic sets and the hash proves explicit "
+    "null placement is the portable form (never rely on a dialect "
+    "default).  Scale: both arms plan as TakeOrderedAndProject — "
+    "per-partition heaps, no global sort.",
+)
+def q30d_null_ordering_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") == 0.04, None)
+        .otherwise(F.col("l_discount"))
+        .alias("nk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    first = (
+        li.orderBy(
+            F.col("nk").asc_nulls_first(), "l_orderkey", "l_linenumber"
+        )
+        .limit(15)
+        .select(F.lit("nulls_first").alias("arm"), "nk", "l_orderkey", "l_linenumber")
+    )
+    last = (
+        li.orderBy(
+            F.col("nk").asc_nulls_last(), "l_orderkey", "l_linenumber"
+        )
+        .limit(15)
+        .select(F.lit("nulls_last").alias("arm"), "nk", "l_orderkey", "l_linenumber")
+    )
+    return first.unionAll(last)

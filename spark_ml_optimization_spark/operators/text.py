@@ -1505,3 +1505,147 @@ def q81c_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
+
+
+_RAKE_STOPS = "'the','a','of','and','to','in','is','for','on','with'"
+_RAKE_TOPK = 15
+
+
+@register(
+    "q83e_rake_keywords",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, i, w[i] AS tok,
+                   CASE WHEN list_contains([{_RAKE_STOPS}], w[i])
+                        THEN 1 ELSE 0 END AS is_stop
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+        ),
+        grouped AS (
+            SELECT doc_id, i, tok, grp FROM (
+                SELECT doc_id, i, tok, is_stop,
+                       sum(is_stop) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS grp
+                FROM pos
+            ) WHERE is_stop = 0
+        ),
+        inst AS (
+            SELECT doc_id, grp,
+                   string_agg(tok, ' ' ORDER BY i) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM grouped GROUP BY doc_id, grp
+        ),
+        wstat AS (
+            SELECT g.tok,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(p.plen) AS BIGINT) AS deg
+            FROM grouped g
+            JOIN inst p ON p.doc_id = g.doc_id AND p.grp = g.grp
+            GROUP BY g.tok
+        ),
+        wscore AS (
+            SELECT tok,
+                   CAST(round(1e6 * deg / freq) AS BIGINT) AS micro
+            FROM wstat
+        ),
+        phrases AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM inst
+            GROUP BY phrase
+        ),
+        scored AS (
+            SELECT p.phrase, p.n_occ,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(s.micro) AS BIGINT) AS rake_micro
+            FROM phrases p
+            CROSS JOIN UNNEST(string_split(p.phrase, ' ')) AS t(tok)
+            JOIN wscore s ON s.tok = t.tok
+            GROUP BY p.phrase, p.n_occ
+        )
+        SELECT phrase, n_occ, n_words, rake_micro
+        FROM scored
+        ORDER BY rake_micro DESC, phrase
+        LIMIT {_RAKE_TOPK}
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010) over the corpus: "
+    "candidate phrases are maximal stopword-free token runs (the "
+    "stopword list is q82's), each word scores degree/frequency "
+    "(degree = summed length of every phrase it appears in — words "
+    "that live in long phrases score higher), and a phrase scores "
+    "the sum of its words' scores; top-15 corpus keywords by score.  "
+    "Phrase segmentation is the gap-and-island pattern: a running "
+    "count of stopwords over the PER-DOCUMENT position window (state "
+    "bounded by doc length) labels each token run, identical in both "
+    "engines.  Word scores are quantized to integer micro-units "
+    "(round(1e6*deg/freq), one deterministic double division from "
+    "two exact integers) before the phrase sum, so phrase scores are "
+    "BIGINT and the global top-k threshold is exact (no float "
+    "summation order).  Scale: two explodes + keyed aggs; word-score "
+    "and phrase tables are vocabulary-sized (sublinear, Heaps), the "
+    "top-k is TakeOrdered.",
+)
+def q83e_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("tok").isin(stops), 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grouped = (
+        pos.withColumn("grp", F.sum("is_stop").over(w_run))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "i", "tok", "grp")
+    )
+    inst = grouped.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    wstat = (
+        grouped.join(inst.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "tok",
+        F.round(F.lit(1e6) * F.col("deg") / F.col("freq"))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    phrases = inst.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occ")
+    )
+    scored = (
+        phrases.select(
+            "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("tok")
+        )
+        .join(wscore, "tok")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("micro").cast("bigint").alias("rake_micro"),
+        )
+    )
+    return scored.select("phrase", "n_occ", "n_words", "rake_micro").orderBy(
+        F.col("rake_micro").desc(), "phrase"
+    ).limit(_RAKE_TOPK)
