@@ -2288,9 +2288,17 @@ def strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in degree.  Built + checkpointed once per (app, sf_dir)."""
 
     def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        # distinct-first: multiple lines of the same part in one order
+        # are ONE co-purchase fact, and dropping them before the
+        # self-join shrinks both join inputs and the pair aggregate.
+        items = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        a = items.select("k", F.col("p").alias("pa"))
+        b = items.select("k", F.col("p").alias("pb"))
         return (
             a.join(b, "k")
             .filter(F.col("pa") < F.col("pb"))
@@ -2305,11 +2313,13 @@ def strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRONG_EDGES_SQL = """
+        items AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        ),
         e AS (
-            SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM lineitem a
-            JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            SELECT a.p AS pa, b.p AS pb
+            FROM items a
+            JOIN items b ON a.k = b.k AND a.p < b.p
             GROUP BY 1, 2 HAVING count(*) >= 2
         ),
         sym AS (
@@ -2377,6 +2387,23 @@ def _lpa_oracle(rounds: int) -> str:
 def q84g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # The strong graph is tiny (~4-6 k edges at any tested sf): 32-way
+    # shuffles would be pure scheduling overhead for the per-round
+    # join/agg/window chain, so the rounds run at 8 partitions
+    # (set/restore guard, the qa22/q48c convention).  At 100 TB the
+    # substrate grows and this knob simply isn't lowered.
+    strong_copurchase_edges(spark, sf_dir)  # build at full parallelism
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _lpa_rounds(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _lpa_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     e = strong_copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -2385,7 +2412,7 @@ def q84g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("label")
     )
     w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
-    rows = []
+    profiles = []
     for r in range(1, _LPA_ROUNDS + 1):
         neigh = sym.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -2398,14 +2425,21 @@ def q84g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         sizes = labels.groupBy("label").agg(F.count("*").alias("c"))
-        prof = sizes.agg(
-            F.count("*").cast("bigint").alias("n_labels"),
-            F.max("c").cast("bigint").alias("largest"),
-        ).collect()[0]
-        rows.append((r, prof["n_labels"], prof["largest"]))
-    return spark.createDataFrame(
-        rows, "round INT, n_labels BIGINT, largest_community BIGINT"
-    )
+        profiles.append(
+            sizes.agg(
+                F.lit(r).alias("round"),
+                F.count("*").cast("bigint").alias("n_labels"),
+                F.max("c").cast("bigint").alias("largest_community"),
+            )
+        )
+    # The whole 3-round cascade stays LAZY: one final action drives it,
+    # each round's lazy localCheckpoint materializes once and is shared
+    # by its own profile arm and the next round's join — no per-round
+    # driver collect round-trips.
+    out = profiles[0]
+    for p_ in profiles[1:]:
+        out = out.unionAll(p_)
+    return out
 
 
 _AA_TOPK = 20

@@ -2530,9 +2530,13 @@ def qd35_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_a"),
     )
+    # distributed_cumsum's range exchange re-traverses its input
+    # lineage (sample pass + local pass + totals pass): flatten the
+    # scan+agg behind a lazy localCheckpoint (qa24 policy) so the
+    # orders scan happens once, not three times.
     by_val = pop.groupBy("cents").agg(
         F.count("*").alias("n_v"), F.sum("is_a").alias("a_v")
-    )
+    ).localCheckpoint(eager=False)
     with_cum = distributed_cumsum(
         by_val, [F.col("cents")], [("n_v", "cum_excl", False)]
     )
