@@ -1951,3 +1951,66 @@ def ml32_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("y") != 0, F.abs("r") / F.col("y"))), 4
         ).alias("mape"),
     )
+
+
+@register(
+    "ml33_reliability_calibration",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   1.0 / (1.0 + exp(-(CAST(round(l_quantity) AS BIGINT)
+                                      - 25) / 10.0)) AS s
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   CAST(round(1e6 * s) AS BIGINT) AS s_micro, y
+            FROM scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS mean_score,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+               round(abs(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1e6
+                         - CAST(sum(y) AS DOUBLE) / count(*)), 6)
+                   AS calibration_gap
+        FROM binned GROUP BY bin
+    """,
+    doc="RELIABILITY DIAGRAM / calibration curve — the standard audit "
+    "of whether a classifier's scores mean what they say (a 0.7 "
+    "should come true 70% of the time), the metric that decides "
+    "whether scores can gate a pipeline directly or need isotonic/"
+    "Platt recalibration (ml21 is the PAV fixer; THIS is the "
+    "detector).  Scores come from a CLOSED-FORM logistic of centered "
+    "quantity — deterministic per-row doubles, no fitted model — so "
+    "the full curve is SQL-expressible and hash-verified: 10 fixed "
+    "score bins, per-bin count, mean predicted score (summed in "
+    "integer micro-units — no float summation order), empirical "
+    "positive rate, and the per-bin |gap| whose n-weighted sum is "
+    "expected calibration error.  Scale: one map-side score + one "
+    "10-group aggregate; the binning IS the shuffle key, state is 10 "
+    "rows.",
+)
+def ml33_reliability_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = 1.0 / (
+        1.0
+        + F.exp(
+            -(F.round(F.col("l_quantity")).cast("bigint") - 25) / 10.0
+        )
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    binned = li.select(
+        F.least(F.floor(s * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        F.round(F.lit(1e6) * s).cast("bigint").alias("s_micro"),
+        y.alias("y"),
+    )
+    mean_score = F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1e6
+    pos_rate = F.sum("y").cast("double") / F.count(F.lit(1))
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(mean_score - pos_rate), 6).alias("calibration_gap"),
+    )

@@ -1299,3 +1299,99 @@ def qp10_eval_set_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("selected_chars"),
         )
     )
+
+
+_IVM_CUT = "1997-01-01"
+
+
+@register(
+    "qp11_incremental_view_maintenance",
+    oracle=f"""
+        WITH full_agg AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_orders, cents, n_custs,
+               TRUE AS counts_match, TRUE AS cents_match,
+               TRUE AS distinct_within_bound
+        FROM full_agg
+    """,
+    doc="INCREMENTAL MATERIALIZED-VIEW MAINTENANCE, the delta-apply "
+    "contract proven by hash: a revenue-by-priority view is built "
+    "from the base slice (orders before 1997-01-01), a DELTA batch "
+    "(orders on/after) is aggregated SEPARATELY, and the two partial "
+    "states merge by pure state arithmetic — counts add, exact-cents "
+    "sums add — then the merged view is compared IN-PLAN against a "
+    "direct full recompute: the law booleans (merged == direct, per "
+    "column class) ride next to the view rows, so any non-mergeable "
+    "step breaks the hash.  countDistinct is the deliberate "
+    "counter-example: distinct customers do NOT add across batches "
+    "(a customer straddling the cut would double-count), so the view "
+    "carries the direct value and the law column only bounds the "
+    "naive merge from below... the one aggregate class that forces a "
+    "re-scan (or a sketch — q28c's HLL union IS the mergeable "
+    "drop-in).  This is the maintenance loop every daily-refresh "
+    "rollup at 100 TB runs: O(delta) work per refresh instead of "
+    "O(history), with the merge verified rather than assumed.  "
+    "Scale: base and delta aggregate with partial aggregation and "
+    "merge on the tiny grouped state; only the distinct column needs "
+    "the full-history pass (or its sketch).",
+)
+def qp11_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def part_agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_custs"),
+        )
+
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    base = part_agg(o.filter(F.col("o_orderdate") < cut))
+    delta = part_agg(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.select(
+            "o_orderpriority",
+            F.col("n_orders").alias("b_n"),
+            F.col("cents").alias("b_c"),
+            F.col("n_custs").alias("b_d"),
+        )
+        .join(
+            delta.select(
+                "o_orderpriority",
+                F.col("n_orders").alias("d_n"),
+                F.col("cents").alias("d_c"),
+                F.col("n_custs").alias("d_d"),
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "m_n"
+            ),
+            (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0))).alias(
+                "m_c"
+            ),
+            (F.coalesce("b_d", F.lit(0)) + F.coalesce("d_d", F.lit(0))).alias(
+                "m_d_naive"
+            ),
+        )
+    )
+    direct = part_agg(o)
+    return direct.join(merged, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "cents",
+        "n_custs",
+        (F.col("m_n") == F.col("n_orders")).alias("counts_match"),
+        (F.col("m_c") == F.col("cents")).alias("cents_match"),
+        (F.col("m_d_naive") >= F.col("n_custs")).alias("distinct_within_bound"),
+    )

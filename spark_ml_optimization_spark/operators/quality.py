@@ -2673,3 +2673,101 @@ def qd36_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw / 1e4, 4).alias("ssw_dollars2"),
         F.round((ssb / 2.0) / (ssw / (F.col("n") - 3)), 6).alias("f_stat"),
     )
+
+
+@register(
+    "qd37_mahalanobis_outliers",
+    oracle="""
+        WITH pts AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity) AS BIGINT) AS xi,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xi) AS DOUBLE) / count(*) AS mx,
+                   CAST(sum(yi) AS DOUBLE) / count(*) AS my,
+                   CAST(sum(xi * xi) AS DOUBLE) / count(*) AS sxx,
+                   CAST(sum(CAST(yi * yi AS HUGEINT)) AS DOUBLE) / count(*)
+                       AS syy,
+                   CAST(sum(xi * yi) AS DOUBLE) / count(*) AS sxy
+            FROM pts
+        ),
+        cov AS (
+            SELECT n, mx, my,
+                   sxx - mx * mx AS vx,
+                   syy - my * my AS vy,
+                   sxy - mx * my AS cxy
+            FROM m
+        ),
+        scored AS (
+            SELECT p.l_orderkey, p.l_linenumber,
+                   ((p.xi - mx) * (p.xi - mx) * vy
+                    - 2 * (p.xi - mx) * (p.yi - my) * cxy
+                    + (p.yi - my) * (p.yi - my) * vx)
+                   / (vx * vy - cxy * cxy) AS d2
+            FROM pts p CROSS JOIN cov
+        )
+        SELECT l_orderkey, l_linenumber, round(d2, 6) AS mahalanobis_sq
+        FROM scored
+        ORDER BY round(d2, 6) DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+    doc="MAHALANOBIS-DISTANCE bivariate outlier screen over "
+    "(quantity, price): the covariance-aware distance that catches "
+    "points plausible on each axis but impossible JOINTLY (high "
+    "price at low quantity), which per-column z-scores (qd04's "
+    "family) cannot see.  The 2x2 covariance matrix inverts in "
+    "CLOSED FORM (d^2 = (dx^2*vy - 2*dx*dy*cxy + dy^2*vx)/det), so "
+    "the whole screen is one stats aggregate + one broadcast of a "
+    "1-row matrix + a map-side per-row expression — no linear-"
+    "algebra library, no iteration, and the exact same arithmetic "
+    "in both engines.  Moments come from exact integer sums (cents, "
+    "integer quantities) divided once, making the doubles "
+    "deterministic; the top-20 cut rounds BEFORE ranking so the "
+    "boundary is stable.  Scale: one pass for moments, one "
+    "broadcast-join pass for scoring; TakeOrdered for the top-k — "
+    "nothing shuffles the fact table.",
+)
+def qd37_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity")).cast("bigint").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yi"),
+    )
+    n = F.count(F.lit(1))
+    xi, yi = F.col("xi"), F.col("yi")
+    m = pts.agg(
+        n.cast("bigint").alias("n"),
+        (F.sum(xi).cast("double") / n).alias("mx"),
+        (F.sum(yi).cast("double") / n).alias("my"),
+        (F.sum(xi * xi).cast("double") / n).alias("sxx"),
+        (F.sum((yi * yi).cast("decimal(38,0)")).cast("double") / n).alias(
+            "syy"
+        ),
+        (F.sum(xi * yi).cast("double") / n).alias("sxy"),
+    ).select(
+        "mx",
+        "my",
+        (F.col("sxx") - F.col("mx") * F.col("mx")).alias("vx"),
+        (F.col("syy") - F.col("my") * F.col("my")).alias("vy"),
+        (F.col("sxy") - F.col("mx") * F.col("my")).alias("cxy"),
+    )
+    dx = F.col("xi") - F.col("mx")
+    dy = F.col("yi") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(d2, 6).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )

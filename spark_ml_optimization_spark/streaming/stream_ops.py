@@ -2078,3 +2078,81 @@ def st27_stream_ann_cell_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(routed, "append")
+
+
+@register(
+    "st28_dual_sink_fanout",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_serving,
+               CAST(count(*) AS BIGINT) AS n_audit,
+               TRUE AS digests_match
+        FROM events
+    """,
+    doc="DUAL-SINK FANOUT from one stream: each micro-batch is written "
+    "inside a SINGLE foreachBatch to TWO independent parquet sinks "
+    "(serving + audit) — the standard way to fan a stream out "
+    "without running two streaming queries (two queries = two "
+    "checkpoints that can drift apart; one foreachBatch commits both "
+    "writes per epoch or neither on retry, and a batch_df.persist() "
+    "keeps the two writes from recomputing the source).  The proof "
+    "reads BOTH materialized sinks back and compares order-free "
+    "content digests (sum of per-row md5-prefix ints, the qd30 "
+    "table-checksum pattern) in-plan: the law boolean breaks the "
+    "hash if the sinks ever diverge, and the row counts pin "
+    "completeness against the batch oracle.  Scale: fanout cost is "
+    "one extra write of the already-computed batch; digesting is a "
+    "map-side hash + one partial-agg sum per sink.",
+)
+def st28_dual_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"st28_{uuid.uuid4().hex[:12]}")
+    serving_dir = os.path.join(base, "serving")
+    audit_dir = os.path.join(base, "audit")
+    proj = events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(serving_dir)
+            batch_df.write.mode("append").parquet(audit_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = proj.writeStream.foreachBatch(fanout).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def digest(path: str, n_alias: str, d_alias: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.agg(
+            F.count("*").cast("bigint").alias(n_alias),
+            F.sum(row_hash).cast("decimal(38,0)").alias(d_alias),
+        )
+    s = digest(serving_dir, "n_serving", "d_serving")
+    a = digest(audit_dir, "n_audit", "d_audit")
+    return s.crossJoin(F.broadcast(a)).select(
+        "n_serving",
+        "n_audit",
+        (F.col("d_serving") == F.col("d_audit")).alias("digests_match"),
+    )
