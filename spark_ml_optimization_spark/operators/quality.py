@@ -2491,14 +2491,17 @@ def qd34_holt_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_a, n_b,
                round((r2 - n_a * (n_a + 1)) / 2.0, 6) AS u_stat,
-               round(((r2 - n_a * (n_a + 1)) / 2.0
-                       - CAST(n_a AS DOUBLE) * n_b / 2.0)
-                     / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
-                            * ((n_a + n_b + 1)
-                               - CAST((SELECT t FROM ties) AS DOUBLE)
-                                 / (CAST(n_a + n_b AS DOUBLE)
-                                    * (n_a + n_b - 1)))),
-                     6) AS z_stat
+               CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                    ELSE round(((r2 - n_a * (n_a + 1)) / 2.0
+                                 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                               / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                                      * ((n_a + n_b + 1)
+                                         - CAST((SELECT t FROM ties)
+                                                AS DOUBLE)
+                                           / (CAST(n_a + n_b AS DOUBLE)
+                                              * (n_a + n_b - 1)))),
+                               6)
+               END AS z_stat
         FROM agg
     """,
     doc="MANN-WHITNEY U rank-sum test (two-sided z with midranks and "
@@ -2569,7 +2572,9 @@ def qd35_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round(u, 6).alias("u_stat"),
-        F.round((u - mu) / F.sqrt(sig2), 6).alias("z_stat"),
+        F.when((n_a == 0) | (n_b == 0), F.lit(None))
+        .otherwise(F.round((u - mu) / F.sqrt(sig2), 6))
+        .alias("z_stat"),
     )
 
 

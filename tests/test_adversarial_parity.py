@@ -100,6 +100,16 @@ ADV_FAMILIES = [
     "q53f_url_functions",         # empty-text docs still mint parseable URLs
     "qd34_holt_trend_backtest",   # single-day event types -> NULL-wape guard
     "q84f_kcore_peel",            # k above the synthetic graph's max degree -> empty-core rounds
+    # round-7 second-wave luck-sensitive additions:
+    "qd35_mann_whitney_u",        # '5-LOW' absent -> empty B group, z NULL-guarded
+    "qd37_mahalanobis_outliers",  # near-collinear (price = 1000+3*qty) covariance
+    "q52d_business_days",         # every adv gap negative -> exclusion filter = empty result
+    "q47b_distinct_count_window", # single part per supplier + tied shipdates (tiebreak total order)
+    "q83e_rake_keywords",         # empty/whitespace docs -> empty-string phrase islands
+    "qc49_kn_bigram_lm",          # probe words absent -> NULL first-token guard everywhere
+    "qc50_mixture_temperature",   # no probe langs at all -> NULL-propagating empty aggregate
+    "q84g_label_propagation",     # single-part baskets -> EMPTY strong graph rounds
+    "q84h_adamic_adar",           # empty strong graph -> zero candidate pairs
 ]
 
 
