@@ -2525,3 +2525,79 @@ def q84h_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "pa", "pb")
         .limit(_AA_TOPK)
     )
+
+
+@register(
+    "q84i_degree_assortativity",
+    oracle=f"""
+        WITH {_STRONG_EDGES_SQL.lstrip()},
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        pairs AS (
+            SELECT da.d AS x, db.d AS y
+            FROM sym s
+            JOIN deg da ON da.node = s.src
+            JOIN deg db ON db.node = s.dst
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM pairs
+        )
+        SELECT n AS n_endpoints,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6)
+                   AS assortativity
+        FROM m
+    """,
+    doc="DEGREE ASSORTATIVITY of the strong co-purchase graph (Newman "
+    "2002): the Pearson correlation of endpoint degrees over all "
+    "directed edge instances — positive means hubs attach to hubs "
+    "(social-network shape), negative means hubs attach to leaves "
+    "(hub-and-spoke / star shape), the one-number topology summary "
+    "that decides whether degree-based sampling or hub capping will "
+    "bias a pipeline.  Symmetrized edges make sum(x)=sum(y) and "
+    "sum(xx)=sum(yy), so r = (n*sxy - sx^2)/(n*sxx - sx^2) from FOUR "
+    "exact BIGINT sums and one mirrored double division — no "
+    "variance pass, no float accumulation.  Scale: two broadcastable "
+    "degree joins (the degree table is node-sized) + one partial "
+    "agg; cost is |edges|, trivial on the multi-support substrate.",
+)
+def q84i_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = strong_copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    pairs = (
+        sym.join(
+            deg.select(F.col("src"), F.col("d").alias("x")), "src"
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("d").alias("y")
+            ),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(
+            (n * F.col("sxy") - sx * F.col("sx"))
+            / (n * F.col("sxx") - sx * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1275,7 +1275,7 @@ def q68g_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         day.alias("day"),
         "cents",
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts").cast("timestamp"))).alias("dt_us"),
     )
     return (
         seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
@@ -1373,7 +1373,7 @@ def q66d_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click_struct = F.when(
         F.col("is_p") == 0,
         F.struct(
-            F.unix_micros("ts").alias("c_us"), F.col("event_id").alias("click_id")
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"), F.col("event_id").alias("click_id")
         ),
     )
     w = W.partitionBy("user_id").orderBy("ts", "is_p", "event_id")
@@ -1389,7 +1389,7 @@ def q66d_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.currentRow, W.unboundedFollowing))
         .alias("nexts"),
     ).filter(F.col("is_p") == 1)
-    p_us = F.unix_micros("ts")
+    p_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_b = p_us - F.col("prevs.c_us")
     gap_f = F.col("nexts.c_us") - p_us
     backward = F.col("nexts").isNull() | (
@@ -1411,4 +1411,64 @@ def q66d_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(backward, F.lit("backward"))
         .otherwise(F.lit("forward"))
         .alias("direction"),
+    )
+
+
+_DECAY_TAU_US = 7 * 86400 * 1_000_000  # 7-day e-folding time
+
+
+@register(
+    "q68i_recency_decay_score",
+    oracle=f"""
+        WITH mx AS (
+            SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS t_max
+            FROM events
+        ),
+        terms AS (
+            SELECT user_id,
+                   CAST(round(
+                       CAST(round(value * 100) AS BIGINT)
+                       * exp(-CAST((SELECT t_max FROM mx)
+                                   - epoch_us(CAST(ts AS TIMESTAMP))
+                              AS DOUBLE) / {_DECAY_TAU_US})
+                   ) AS BIGINT) AS term
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               CAST(sum(term) AS BIGINT) AS decay_score_cents
+        FROM terms GROUP BY user_id
+        ORDER BY decay_score_cents DESC, user_id
+        LIMIT 20
+    """,
+    doc="EXPONENTIALLY DECAYED recency engagement score per user "
+    "(e-folding tau = 7 days, anchored at the corpus max timestamp): "
+    "sum of purchase values weighted by exp(-age/tau) — the standard "
+    "feature-store recency feature and the scoring half of a "
+    "recency-weighted sampler; unlike q68b's sequential EWMA this is "
+    "ORDER-FREE (each event decays against a fixed anchor), so it "
+    "needs no window at all.  Each term is one deterministic double "
+    "exp from exact integers (microsecond age, integer cents) "
+    "QUANTIZED back to integer cents before summation — per-user "
+    "sums are BIGINT, no float summation order.  The anchor max(ts) "
+    "is a broadcast scalar.  Top-20 via TakeOrdered.  Scale: one "
+    "map-side expression + one keyed agg; tau changes are constant "
+    "folding, not new passes.",
+)
+def q68i_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_max"))
+    p = e.filter(F.col("event_type") == "purchase").crossJoin(F.broadcast(mx))
+    term = F.round(
+        F.round(F.col("value") * 100).cast("bigint")
+        * F.exp(
+            -(F.col("t_max") - F.unix_micros(F.col("ts").cast("timestamp"))).cast("double")
+            / _DECAY_TAU_US
+        )
+    ).cast("bigint")
+    return (
+        p.select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(F.sum("term").cast("bigint").alias("decay_score_cents"))
+        .orderBy(F.col("decay_score_cents").desc(), "user_id")
+        .limit(20)
     )

@@ -2776,3 +2776,89 @@ def qd37_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mahalanobis_sq").desc(), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+@register(
+    "qd38_ab_proportion_ztest",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   max(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT
+                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN variant = 0 THEN converted
+                         ELSE 0 END) AS BIGINT) AS x_a,
+                CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN variant = 1 THEN converted
+                         ELSE 0 END) AS BIGINT) AS x_b
+            FROM assigned
+        )
+        SELECT n_a, x_a, n_b, x_b,
+               round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+               round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+               round((CAST(x_a AS DOUBLE) / n_a
+                      - CAST(x_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                                     / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+        FROM arms
+    """,
+    doc="TWO-PROPORTION z-TEST (pooled) — the A/B-test readout every "
+    "experimentation pipeline computes: users hash into two variants "
+    "(user_id parity as the deterministic assignment), conversion = "
+    "did the user ever purchase, and the pooled z compares the two "
+    "conversion rates.  Two aggregates total: per-user conversion "
+    "flags (max of a predicate — one shuffle on user_id), then the "
+    "2x2 cell counts as ONE conditional aggregate (no second "
+    "shuffle), with the z expression mirrored from exact BIGINT "
+    "cells.  The same shape serves guardrail metrics at 100 TB: the "
+    "per-user stage is the only data-sized pass, partial-agg "
+    "combinable, and adding metrics adds conditional-sum columns, "
+    "not passes.  (qd35 is this test's nonparametric sibling on "
+    "continuous outcomes.)",
+)
+def qd38_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    arms = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    n_a, x_a = F.col("n_a"), F.col("x_a")
+    n_b, x_b = F.col("n_b"), F.col("x_b")
+    p_a = x_a.cast("double") / n_a
+    p_b = x_b.cast("double") / n_b
+    pool = (x_a + x_b).cast("double") / (n_a + n_b)
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+    )
+    return arms.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -437,3 +437,57 @@ def q47b_distinct_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum("_new_part").over(w_run).cast("bigint").alias("parts_seen"),
     )
+
+
+@register(
+    "q41c_named_window_clause",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER wf AS BIGINT) AS running_cents,
+               lag(o_orderkey) OVER w AS prev_order
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="NAMED WINDOW CLAUSE (SQL:2003 WINDOW w AS ...): three window "
+    "functions — sequence number, running exact-cents total, "
+    "previous order — share TWO named definitions (same partition/"
+    "order; the running sum adds a frame, which lag/row_number may "
+    "not carry in Spark), the "
+    "spelling that keeps multi-function analytics queries DRY and, "
+    "more importantly, guarantees Catalyst sees the definitions as "
+    "IDENTICAL and plans a single Window operator over a single "
+    "sort+shuffle (hand-copied definitions that drift by one frame "
+    "bound silently double the exchanges).  Executed through "
+    "spark.sql on a registered view; DuckDB runs the same SQL text "
+    "modulo the exact-cents cast.  Scale: one shuffle on the "
+    "partition key, running frames only.",
+)
+def q41c_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q41c_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER w AS BIGINT) AS seq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER wf AS BIGINT) AS running_cents,
+               lag(o_orderkey) OVER w AS prev_order
+        FROM q41c_orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

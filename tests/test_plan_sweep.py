@@ -55,6 +55,7 @@ _EAGER_NAMES = {
     "q84f_kcore_peel",  # iterative peel rounds with counts at construction
     "q84g_label_propagation",  # iterative LPA rounds with per-round collects
     "q84h_adamic_adar",  # builds the strong co-purchase edge checkpoint
+    "q84i_degree_assortativity",  # builds the strong co-purchase edge checkpoint
     "qp3_cached_stage_reuse",  # .cache() plan is load-bearing, pinned in test_plans
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
