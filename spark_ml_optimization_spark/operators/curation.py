@@ -2938,3 +2938,156 @@ def qc51_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_top_share"),
         )
     )
+
+
+@register(
+    "qc52_contamination_removal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, source, i, w[i] AS tok, len(w) AS n
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+        ),
+        grams AS (
+            SELECT doc_id, source, i,
+                   array_to_string(w[i:i+2], ' ') AS g
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        hits AS (
+            SELECT gr.doc_id, gr.i
+            FROM grams gr JOIN bench b USING (g)
+            WHERE gr.source <> 'src0'
+        ),
+        islands AS (
+            SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+            FROM hits
+        ),
+        hard AS (
+            SELECT doc_id, grp
+            FROM islands GROUP BY doc_id, grp
+            HAVING count(*) + 2 >= 8
+        ),
+        covered AS (
+            SELECT DISTINCT il.doc_id, il.i + o.off AS p
+            FROM islands il
+            JOIN hard h ON h.doc_id = il.doc_id AND h.grp = il.grp
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o
+        ),
+        kept AS (
+            SELECT p.doc_id, p.i, p.tok, p.n
+            FROM pos p
+            WHERE p.source <> 'src0'
+              AND p.doc_id IN (SELECT doc_id FROM covered)
+              AND NOT EXISTS (
+                  SELECT 1 FROM covered c
+                  WHERE c.doc_id = p.doc_id AND c.p = p.i)
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS tokens_before,
+               CAST(max(n) - count(*) AS BIGINT) AS tokens_removed,
+               CAST(count(*) AS BIGINT) AS tokens_after,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    """,
+    doc="CONTAMINATION REMOVAL surgery — the rewrite qc45's profiler "
+    "feeds: documents whose benchmark 3-gram hits form a hard span "
+    "(>= 8 consecutive tokens, the Lee et al. threshold qc45 pins) "
+    "get those spans EXCISED — every token position covered by a "
+    "gram of a hard run (gram start + offsets 0..2) is dropped, the "
+    "survivors re-join in order, and the audit reports "
+    "before/removed/after token counts plus the md5 of the cleaned "
+    "text, so the surgery is verified BYTE-EXACT, not just counted "
+    "(removing one token too many or re-joining out of order breaks "
+    "the hash).  Scattered (soft) hits stay — span removal only, the "
+    "quote-vs-topic distinction.  Scale: benchmark grams broadcast; "
+    "islands window per-doc; the covered-position explode is 3x the "
+    "hard-hit count; the rebuild groups per doc (collect bounded by "
+    "doc length).  Only affected docs are rewritten — the untouched "
+    "corpus never shuffles.",
+)
+def qc52_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    pos = toks.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("n"),
+        F.posexplode("w").alias("i0", "tok"),
+    ).select(
+        "doc_id", "source", "n", (F.col("i0") + 1).alias("i"), "tok"
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 2, 0)),"
+                " j -> array_join(slice(w, j, 3), ' '))"
+            )
+        ).alias("i0", "g"),
+    ).select("doc_id", "source", (F.col("i0") + 1).alias("i"), "g")
+    bench = (
+        grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "i")
+    )
+    w_isl = W.partitionBy("doc_id").orderBy("i")
+    islands = hits.withColumn(
+        "grp", F.col("i") - F.row_number().over(w_isl)
+    )
+    hard = (
+        islands.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("rg"))
+        .filter(F.col("rg") + 2 >= 8)
+        .select("doc_id", "grp")
+    )
+    covered = (
+        islands.join(hard, ["doc_id", "grp"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("i"), F.col("i") + 1, F.col("i") + 2)
+            ).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    affected = covered.select("doc_id").distinct()
+    kept = (
+        pos.filter(F.col("source") != "src0")
+        .join(affected, "doc_id", "left_semi")
+        .join(
+            covered.withColumnRenamed("p", "i"),
+            ["doc_id", "i"],
+            "left_anti",
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("tokens_before"),
+        (F.max("n") - F.count("*")).cast("bigint").alias("tokens_removed"),
+        F.count("*").cast("bigint").alias("tokens_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -2862,3 +2862,93 @@ def qd38_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("p_b"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "qd39_ks_exact_twosample",
+    oracle="""
+        WITH pop AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        by_val AS (
+            SELECT cents,
+                   CAST(sum(is_a) AS BIGINT) AS a_v,
+                   CAST(count(*) - sum(is_a) AS BIGINT) AS b_v
+            FROM pop GROUP BY cents
+        ),
+        tot AS (
+            SELECT CAST(sum(a_v) AS BIGINT) AS n_a,
+                   CAST(sum(b_v) AS BIGINT) AS n_b
+            FROM by_val
+        ),
+        cum AS (
+            SELECT sum(a_v) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ca,
+                   sum(b_v) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cb
+            FROM by_val
+        )
+        SELECT (SELECT n_a FROM tot) AS n_a,
+               (SELECT n_b FROM tot) AS n_b,
+               round(max(abs(CAST(ca AS DOUBLE) / (SELECT n_a FROM tot)
+                             - CAST(cb AS DOUBLE) / (SELECT n_b FROM tot))),
+                     6) AS d_stat
+        FROM cum
+    """,
+    doc="EXACT two-sample KOLMOGOROV-SMIRNOV D statistic (urgent vs "
+    "low order totals): max ECDF gap over the FULL value domain — the "
+    "exactness upgrade of qd13/qd24's fixed-grid drift panels, and "
+    "qd35's distribution-shape sibling (Mann-Whitney sees location; "
+    "KS sees any shape difference).  Ranks collapse to exact-cents "
+    "value groups first (the qd35 recipe), cumulative group counts "
+    "ride dist_rank.distributed_cumsum (range exchange — NO "
+    "single-task global window), and D is a max over per-value "
+    "rationals computed from exact BIGINT prefix sums, one mirrored "
+    "double division per value.  The oracle's global window IS "
+    "single-task — fine for DuckDB's in-process executor, the Spark "
+    "side is the distributed re-plan.  Scale: the spine is the "
+    "distinct-value domain (sublinear); everything else is map-side.",
+)
+def qd39_ks_exact_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dist_rank import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    pop = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    by_val = pop.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("a_v"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("b_v"),
+    ).localCheckpoint(eager=False)
+    tot = by_val.agg(
+        F.sum("a_v").cast("bigint").alias("n_a"),
+        F.sum("b_v").cast("bigint").alias("n_b"),
+    )
+    cum = distributed_cumsum(
+        by_val,
+        [F.col("cents")],
+        [("a_v", "ca", True), ("b_v", "cb", True)],
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("n_a")
+        - F.col("cb").cast("double") / F.col("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max(gap), 6).alias("d_stat"),
+        )
+    )

@@ -1138,3 +1138,57 @@ def q55g_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uplifted_cents",
         F.col("weighted_map")[F.col("flag")].alias("weighted"),
     ).filter(F.col("weighted").isNotNull())
+
+
+@register(
+    "q57c_inline_stack_generators",
+    oracle="""
+        WITH per AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey < 100
+        )
+        SELECT o_orderkey, metric, val FROM (
+            SELECT o_orderkey, 'gross' AS metric, cents AS val FROM per
+            UNION ALL
+            SELECT o_orderkey, 'net', cents - cents // 10 FROM per
+            UNION ALL
+            SELECT o_orderkey, 'tax', cents // 10 FROM per
+        )
+    """,
+    doc="Generator-function vocabulary completion: STACK(n, ...) (the "
+    "n-way row constructor Spark uses for wide-to-long unpivots — "
+    "q29's unpivot twin at expression level) and INLINE(array<struct>) "
+    "(struct-array explosion without the intermediate posexplode+"
+    "getField dance) produce the same long-format metric rows; the "
+    "query builds gross/net/tax rows per order with stack, "
+    "re-derives them with inline over an array<struct> literal, and "
+    "INTERSECTs the two — emitting rows at all (and hash-matching "
+    "the plain UNION ALL oracle) proves both generators agree with "
+    "relational semantics.  Scale: generators are map-side (one "
+    "Generate node each, no shuffle); the 3x row expansion is the "
+    "unpivot cost everywhere.",
+)
+def q57c_inline_stack_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    per = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per.createOrReplaceTempView("q57c_per")
+    stacked = per.selectExpr(
+        "o_orderkey",
+        "stack(3, 'gross', cents,"
+        " 'net', cents - CAST(cents / 10 AS BIGINT),"
+        " 'tax', CAST(cents / 10 AS BIGINT)) AS (metric, val)",
+    )
+    inlined = per.selectExpr(
+        "o_orderkey",
+        "inline(array("
+        " named_struct('metric', 'gross', 'val', cents),"
+        " named_struct('metric', 'net',"
+        "   'val', cents - CAST(cents / 10 AS BIGINT)),"
+        " named_struct('metric', 'tax', 'val',"
+        "   CAST(cents / 10 AS BIGINT))))",
+    )
+    return stacked.intersect(inlined)

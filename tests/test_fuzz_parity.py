@@ -11,8 +11,10 @@ wall-clock, no Math.random — every CI run fuzzes the identical corpus):
    parquet fixtures, and compare row multisets with the driver-shaped
    `harness.compare`.  Templates cover filter/project, group-by
    aggregates (+HAVING), FK joins (inner/left), set operations,
-   IN / NOT IN subqueries (three-valued logic with planted NULLs), and
-   DISTINCT over CASE projections.
+   IN / NOT IN subqueries (three-valued logic with planted NULLs),
+   DISTINCT over CASE projections, windows, ROLLUP, correlated
+   EXISTS, explicit-NULLS-placement ordered LIMIT pages, and
+   FILTER-clause aggregates.
 2. **Ternary Logic Partitioning** (TLP, Rigger & Su 2020): for a random
    predicate p, `count(*)` must equal `count p` + `count NOT p` +
    `count p IS NULL` — evaluated per-engine (self-consistency catches
@@ -388,6 +390,48 @@ class Gen:
             f"GROUP BY ROLLUP({k1}, {k2}) HAVING count(*) > 0"
         )
 
+    def q_order_limit(self) -> str:
+        """Explicit NULLS FIRST/LAST ordered LIMIT page over a planted
+        nullable sort key + unique tiebreak — generalizes q30d's
+        dialect pin (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+        LAST; only EXPLICIT placement is portable)."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        uniq = ", ".join(UNIQ_COLS[t])
+        uniq_sel = ", ".join(
+            f"{c} AS u{i}" for i, c in enumerate(UNIQ_COLS[t])
+        )
+        col = self.r.choice(ints)
+        k = self.r.randint(3, 9)
+        nk = f"nullif({col} % {k}, {self.r.randint(0, k - 1)})"
+        direction = self.r.choice(["ASC", "DESC"])
+        nulls = self.r.choice(["NULLS FIRST", "NULLS LAST"])
+        lim = self.r.randint(5, 40)
+        return (
+            f"SELECT {uniq_sel}, {nk} AS nk FROM {PREFIX}{t} "
+            f"WHERE {self.predicate(t)} "
+            f"ORDER BY nk {direction} {nulls}, {uniq} LIMIT {lim}"
+        )
+
+    def q_agg_filter(self) -> str:
+        """FILTER (WHERE ...) aggregate clause — per-aggregate
+        predicates both engines support; count FILTER over an empty
+        match must be 0 while sum FILTER must be NULL (the asymmetry
+        worth fuzzing)."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        key = self._group_key(t)
+        col = self.r.choice(ints)
+        k = self.r.randint(2, 13)
+        p1 = self.predicate(t, depth=2)
+        p2 = self.predicate(t, depth=2)
+        return (
+            f"SELECT {key} AS k, count(*) AS cnt, "
+            f"count(*) FILTER (WHERE {p1}) AS fc, "
+            f"CAST(sum({col} % {k}) FILTER (WHERE {p2}) AS BIGINT) AS fs "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} GROUP BY {key}"
+        )
+
     def query(self) -> str:
         pick = self.r.choices(
             [
@@ -400,8 +444,10 @@ class Gen:
                 self.q_window,
                 self.q_rollup,
                 self.q_exists,
+                self.q_order_limit,
+                self.q_agg_filter,
             ],
-            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2],
         )[0]
         return pick()
 
@@ -433,7 +479,7 @@ def fuzz_env(spark):
 
 #: 200 differential seeds, run in batches so one pytest node failure
 #: names its seed range; bump N_DIFF freely — runtime is ~0.2 s/query.
-N_DIFF = 200
+N_DIFF = 250
 BATCH = 25
 
 
