@@ -2014,3 +2014,193 @@ def ml33_reliability_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(F.abs(mean_score - pos_rate), 6).alias("calibration_gap"),
     )
+
+
+_BOOT_R = 32  # bootstrap replicas
+#: floor(65536 * CDF_Poisson1(k)) for k = 0..4 — the exact integer
+#: thresholds of the inverse-CDF ladder (e^-1, 2e^-1, ...).
+_POIS_T = (24109, 48219, 60274, 64292, 65296)
+
+
+def _u16_sql(h: str) -> str:
+    """Uniform integer in [0, 65536) from the first 4 hex chars of an
+    md5 text — per-digit strpos parse (identical in Spark and DuckDB;
+    ascii() of hex chars would NOT be uniform)."""
+    digit = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    parts = [
+        f"{digit.format(h=h, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _pois_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS_T[0]} THEN 0 "
+        f"WHEN {u} < {_POIS_T[1]} THEN 1 "
+        f"WHEN {u} < {_POIS_T[2]} THEN 2 "
+        f"WHEN {u} < {_POIS_T[3]} THEN 3 "
+        f"WHEN {u} < {_POIS_T[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "ml34_bootstrap_auc_ci",
+    oracle=f"""
+        WITH scored AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   least(CAST(floor(
+                       1024.0 / (1.0 + exp(-(CAST(round(l_quantity)
+                                              AS BIGINT) - 25) / 10.0))
+                   ) AS BIGINT), 1023) AS bin
+            FROM lineitem
+        ),
+        weighted AS (
+            SELECT t.r, t.bin, t.y,
+                   CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1 WHEN u < 60274 THEN 2 WHEN u < 64292 THEN 3 WHEN u < 65296 THEN 4 ELSE 5 END AS w
+            FROM (
+                SELECT r.r, s.bin, s.y,
+                       (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 4, 1)) - 1) * 1 AS u
+                FROM scored s
+                CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r
+            ) AS t(r, bin, y, u)
+        ),
+        bins AS (
+            SELECT r, bin,
+                   CAST(sum(w * y) AS BIGINT) AS pw,
+                   CAST(sum(w * (1 - y)) AS BIGINT) AS nw
+            FROM weighted GROUP BY r, bin
+        ),
+        cum AS (
+            SELECT r, pw, nw,
+                   CAST(coalesce(sum(nw) OVER (
+                       PARTITION BY r ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS ncum
+            FROM bins
+        ),
+        per_rep AS (
+            SELECT r,
+                   CAST(sum(pw) AS BIGINT) AS p,
+                   CAST(sum(nw) AS BIGINT) AS n,
+                   CAST(sum(2 * ncum * pw + nw * pw) AS BIGINT) AS num
+            FROM cum GROUP BY r
+        ),
+        aucs AS (
+            SELECT CAST(round(1e6 * num / (2.0 * p * n)) AS BIGINT)
+                       AS auc_micro
+            FROM per_rep WHERE p > 0 AND n > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+               round(CAST(sum(auc_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                   AS auc_mean,
+               round(quantile_cont(CAST(auc_micro AS DOUBLE), 0.05) / 1e6,
+                     6) AS ci_low,
+               round(quantile_cont(CAST(auc_micro AS DOUBLE), 0.95) / 1e6,
+                     6) AS ci_high
+        FROM aucs
+    """,
+    doc=f"BOOTSTRAP CONFIDENCE INTERVAL for AUC via the DETERMINISTIC "
+    f"Poisson bootstrap ({_BOOT_R} replicas): per (replica, row), a "
+    "weight drawn from Poisson(1) through an inverse-CDF ladder on a "
+    "hash-derived uniform (md5 hex parsed digit-wise via instr — "
+    "ascii() of hex chars is NOT uniform, positional parsing is), the standard "
+    "derandomization that makes resampling reproducible AND "
+    "shuffle-free (the classic map-side bootstrap for distributed "
+    "data: no row ever moves, every replica is a weighted pass).  "
+    "Each replica's AUC is the weighted Mann-Whitney ratio over 1024 "
+    "score bins (ml27b's binned spine) computed entirely in BIGINT "
+    "(doubled tie term keeps .5 out), one division per replica, "
+    "quantized to micro-units; the CI is exact percentile "
+    "interpolation over the 32 integer replicas (q22's pinned "
+    "parity).  Zero-class replicas are excluded by the p>0 AND n>0 "
+    "guard in both engines.  Scale: the 32x expansion is map-side "
+    "and feeds a (replica x 1024)-row aggregate; the per-replica "
+    "window is 1024 rows.  This is the uncertainty readout ml27's "
+    "point AUC lacks — the difference between 'AUC 0.61' and "
+    "'AUC 0.61 +/- 0.02' is whether you ship the model.",
+)
+def ml34_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = 1024.0 / (
+        1.0 + F.exp(-(F.round(F.col("l_quantity")).cast("bigint") - 25) / 10.0)
+    )
+    scored = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.least(F.floor(s).cast("bigint"), F.lit(1023)).alias("bin"),
+    )
+    # 4 md5 calls per ROW (not 32): each 32-hex digest yields eight
+    # 4-hex uniform spans; replica r reads span r%8 of digest r//8.
+    # Spark parses the span with conv() (fast JVM hex parse); the
+    # oracle uses the instr() digit ladder — different expressions,
+    # identical integers.
+    hashed = scored.selectExpr(
+        "bin",
+        "y",
+        "array(" + ", ".join(
+            f"md5('{salt}:' || CAST(l_orderkey AS STRING) || ':'"
+            f" || CAST(l_linenumber AS STRING))"
+            for salt in range(4)
+        ) + ") AS hs",
+    )
+    weighted = hashed.selectExpr(
+        "bin",
+        "y",
+        f"explode(sequence(0, {_BOOT_R - 1})) AS r",
+        "hs",
+    ).selectExpr(
+        "r",
+        "bin",
+        "y",
+        _pois_sql(
+            "CAST(conv(substr(element_at(hs, CAST(r / 8 AS INT) + 1),"
+            " (r % 8) * 4 + 1, 4), 16, 10) AS BIGINT)"
+        )
+        + " AS w",
+    )
+    bins = weighted.groupBy("r", "bin").agg(
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("pw"),
+        F.sum(F.col("w") * (1 - F.col("y"))).cast("bigint").alias("nw"),
+    )
+    w_cum = (
+        W.partitionBy("r").orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "r",
+        "pw",
+        "nw",
+        F.coalesce(F.sum("nw").over(w_cum), F.lit(0))
+        .cast("bigint")
+        .alias("ncum"),
+    )
+    per_rep = cum.groupBy("r").agg(
+        F.sum("pw").cast("bigint").alias("p"),
+        F.sum("nw").cast("bigint").alias("n"),
+        F.sum(
+            2 * F.col("ncum") * F.col("pw") + F.col("nw") * F.col("pw")
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    aucs = per_rep.filter((F.col("p") > 0) & (F.col("n") > 0)).select(
+        F.round(
+            F.lit(1e6) * F.col("num") / (2.0 * F.col("p") * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("auc_micro")
+    )
+    return aucs.agg(
+        F.count("*").cast("bigint").alias("n_replicas"),
+        F.round(F.sum("auc_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6)
+        .alias("auc_mean"),
+        F.round(
+            F.expr("percentile(CAST(auc_micro AS DOUBLE), 0.05)") / 1e6, 6
+        ).alias("ci_low"),
+        F.round(
+            F.expr("percentile(CAST(auc_micro AS DOUBLE), 0.95)") / 1e6, 6
+        ).alias("ci_high"),
+    )

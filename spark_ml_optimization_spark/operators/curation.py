@@ -3037,7 +3037,9 @@ def qc52_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " j -> array_join(slice(w, j, 3), ' '))"
             )
         ).alias("i0", "g"),
-    ).select("doc_id", "source", (F.col("i0") + 1).alias("i"), "g")
+    ).select(
+        "doc_id", "source", (F.col("i0") + 1).alias("i"), "g"
+    ).localCheckpoint(eager=False)
     bench = (
         grams.filter(F.col("source") == "src0").select("g").distinct()
     )

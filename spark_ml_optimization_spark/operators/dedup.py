@@ -452,21 +452,44 @@ def _graph_memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     return df
 
 
+def _copurchase_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb, c): distinct co-purchasing ORDER count per part pair
+    (pa < pb) — ONE heavy self-join serves the whole graph family:
+    copurchase_edges projects it (c >= 1) and strong_copurchase_edges
+    filters it (c >= 2), so the first graph consumer in a session pays
+    the join once, not once per substrate."""
+
+    def build() -> DataFrame:
+        items = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        a = items.select("k", F.col("p").alias("pa"))
+        b = items.select("k", F.col("p").alias("pb"))
+        return (
+            a.join(b, "k")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _graph_memo(spark, sf_dir, "copurchase_counted", build)
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct part co-purchase edges oriented low-id → high-id
     (pa < pb): parts are adjacent iff they share an order.  The shared
     adjacency table of the graph family — q84b consumes it oriented,
-    q84c symmetrizes it; built + checkpointed once per (app, sf_dir)."""
+    q84c symmetrizes it; projected from the shared counted-pair
+    artifact and checkpointed once per (app, sf_dir)."""
 
     def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
         return (
-            a.join(b, "k")
-            .filter(F.col("pa") < F.col("pb"))
+            _copurchase_counted(spark, sf_dir)
             .select("pa", "pb")
-            .distinct()
             .localCheckpoint(eager=True)
         )
 
@@ -2288,22 +2311,8 @@ def strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in degree.  Built + checkpointed once per (app, sf_dir)."""
 
     def build() -> DataFrame:
-        # distinct-first: multiple lines of the same part in one order
-        # are ONE co-purchase fact, and dropping them before the
-        # self-join shrinks both join inputs and the pair aggregate.
-        items = (
-            load_table(spark, sf_dir, "lineitem")
-            .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        a = items.select("k", F.col("p").alias("pa"))
-        b = items.select("k", F.col("p").alias("pb"))
         return (
-            a.join(b, "k")
-            .filter(F.col("pa") < F.col("pb"))
-            .groupBy("pa", "pb")
-            .agg(F.count("*").alias("c"))
+            _copurchase_counted(spark, sf_dir)
             .filter(F.col("c") >= 2)
             .select("pa", "pb")
             .localCheckpoint(eager=True)
