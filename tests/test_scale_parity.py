@@ -108,6 +108,21 @@ SCALE_SENSITIVE = [
     # training argmax chain and the learned-vocab scan at bench scale.
     "qc42_bpe_merge_training",
     "qc43_bpe_learned_count",
+    # round-7 second-wave scale-coupled rows: the HLL 1%-agreement and
+    # 2%-accuracy laws must hold where the sketch is DENSE (sf0.1 has
+    # ~20k distinct parts vs 2k — different sketch mode); the strong
+    # graph's edge support, LPA consolidation, AA candidates, and
+    # assortativity all shift with co-purchase density; Apriori triples
+    # are EMPTY at sf0.1 (distinct-order support never reaches 2 on the
+    # wider part catalog) — the empty result is itself the pin; the
+    # contamination-removal span set only bites where sf0.1 plants
+    # verbatim copies.
+    "q28c_hll_sketch_mergeable",
+    "q84g_label_propagation",
+    "q84h_adamic_adar",
+    "q84i_degree_assortativity",
+    "qa36_apriori_triples",
+    "qc52_contamination_removal",
     # cell occupancy / scene-delta density shift with corpus size.
     "q92d_incremental_ivf_admission",
     "mm09_scene_change",
