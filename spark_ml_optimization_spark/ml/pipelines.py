@@ -2204,3 +2204,125 @@ def ml34_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(CAST(auc_micro AS DOUBLE), 0.95)") / 1e6, 6
         ).alias("ci_high"),
     )
+
+
+_RC_TOPN = 100
+
+
+@register(
+    "ml36_rank_correlation",
+    oracle=f"""
+        WITH agg AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem GROUP BY l_partkey
+        ),
+        top AS (
+            SELECT * FROM agg
+            ORDER BY cents DESC, l_partkey LIMIT {_RC_TOPN}
+        ),
+        ranked AS (
+            SELECT l_partkey,
+                   row_number() OVER (ORDER BY cents DESC, l_partkey)
+                       AS rr,
+                   row_number() OVER (ORDER BY qty DESC, l_partkey)
+                       AS rq
+            FROM top
+        ),
+        sp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((rr - rq) * (rr - rq)) AS BIGINT) AS d2
+            FROM ranked
+        ),
+        kt AS (
+            SELECT CAST(sum(CASE WHEN (a.rr - b.rr) * (a.rq - b.rq) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                   CAST(sum(CASE WHEN (a.rr - b.rr) * (a.rq - b.rq) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc
+            FROM ranked a JOIN ranked b ON a.l_partkey < b.l_partkey
+        )
+        SELECT sp.n,
+               round(1.0 - 6.0 * sp.d2 / (CAST(sp.n AS DOUBLE)
+                     * (sp.n * sp.n - 1)), 6) AS spearman_rho,
+               round(CAST(kt.conc - kt.disc AS DOUBLE)
+                     / (CAST(sp.n AS DOUBLE) * (sp.n - 1) / 2), 6)
+                   AS kendall_tau
+        FROM sp CROSS JOIN kt
+    """,
+    doc="RANK CORRELATION between two rankings of the same items "
+    "(Spearman rho + Kendall tau-a): the top-100 revenue parts ranked "
+    "by revenue vs ranked by unit volume — the metric-agreement audit "
+    "behind every 'do our two scoring functions order the catalog the "
+    "same way' question (and the IR-evaluation kin of q81c's RRF "
+    "fusion: tau between retrieval arms decides whether fusing them "
+    "can help at all).  Unique tiebreaks (partkey) make both rankings "
+    "permutations, so rho = 1 - 6*sum(d^2)/(n(n^2-1)) and tau = "
+    "(C-D)/(n(n-1)/2) are EXACT integer computations with one final "
+    "division each; the pair enumeration for tau is the bounded "
+    "100x99/2 self-join on the already-truncated top set, never on "
+    "the catalog.  The global windows run on the 100-row post-LIMIT "
+    "relation (bounded by construction — the TakeOrdered cut is the "
+    "scale knob).  Scale: one fact aggregate, one top-k, then "
+    "constant-size work.",
+)
+def ml36_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    top = agg.orderBy(F.col("cents").desc(), "l_partkey").limit(_RC_TOPN)
+    ranked = top.select(
+        "l_partkey",
+        F.row_number()
+        .over(W.orderBy(F.col("cents").desc(), "l_partkey"))
+        .alias("rr"),
+        F.row_number()
+        .over(W.orderBy(F.col("qty").desc(), "l_partkey"))
+        .alias("rq"),
+    ).localCheckpoint(eager=False)
+    sp = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("rr") - F.col("rq")) * (F.col("rr") - F.col("rq")))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    a = ranked.select(
+        F.col("l_partkey").alias("pa"), F.col("rr").alias("ra"),
+        F.col("rq").alias("qa"),
+    )
+    b = ranked.select(
+        F.col("l_partkey").alias("pb"), F.col("rr").alias("rb"),
+        F.col("rq").alias("qb"),
+    )
+    prod = (F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb"))
+    kt = (
+        a.join(F.broadcast(b), F.col("pa") < F.col("pb"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("conc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("disc"),
+        )
+    )
+    n = F.col("n")
+    return sp.crossJoin(F.broadcast(kt)).select(
+        "n",
+        F.round(
+            1.0
+            - 6.0 * F.col("d2") / (n.cast("double") * (n * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / (n.cast("double") * (n - 1) / 2),
+            6,
+        ).alias("kendall_tau"),
+    )

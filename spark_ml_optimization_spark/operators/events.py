@@ -1472,3 +1472,80 @@ def q68i_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decay_score_cents").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "q62c_session_window_dynamic_gap",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CASE WHEN event_type = 'view' THEN 3600000000
+                        ELSE 1800000000 END AS gap_us
+            FROM events
+        ), flagged AS (
+            SELECT *,
+                   CASE WHEN max(us + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY us ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                             OR us > max(us + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY us ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+        ), sess AS (
+            SELECT *,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(us) AS BIGINT) AS session_start_us,
+               CAST(max(us + gap_us) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+    doc="DYNAMIC-GAP session windows: session_window(ts, gap_expr) "
+    "with a PER-EVENT gap — passive 'view' events hold a session open "
+    "for an hour, every other type for 30 minutes — the "
+    "engagement-aware sessionization fixed-gap sessions (q62/q62b) "
+    "can't express and Spark supports natively via a gap COLUMN.  "
+    "Dynamic-gap merge semantics differ subtly from fixed-gap: a "
+    "session extends while the next event starts at or before the "
+    "RUNNING MAX of event ends (each event's own ts + its own gap — "
+    "a long-gap event two steps back can still hold the session "
+    "open), so the oracle's island flag compares against the "
+    "preceding running max of (us + gap_us), not the previous row, "
+    "and the session end is max(us + gap_us) — the oracle re-derives "
+    "exactly Spark's documented rule.  Scale: same one-shuffle "
+    "per-key pattern as q62b; the gap expression is map-side.",
+)
+def q62c_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # session_window's gap column must be CalendarIntervalType —
+    # make_interval() is the constructor that yields it (typed ANSI
+    # INTERVAL literals are DayTimeIntervalType and are rejected).
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0,"
+        " CASE WHEN event_type = 'view' THEN 60 ELSE 30 END, 0)"
+    )
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), "user_id"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

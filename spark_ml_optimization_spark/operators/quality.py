@@ -2952,3 +2952,72 @@ def qd39_ks_exact_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(gap), 6).alias("d_stat"),
         )
     )
+
+
+@register(
+    "qd41_market_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey AS nation, l.l_suppkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT nation, CAST(sum(cents) AS BIGINT) AS n_cents
+            FROM rev GROUP BY nation
+        )
+        SELECT r.nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(round(
+                   1e8 * (CAST(r.cents AS DOUBLE) / t.n_cents)
+                       * (CAST(r.cents AS DOUBLE) / t.n_cents)
+               ) AS BIGINT)) AS BIGINT) AS hhi_e8
+        FROM rev r JOIN tot t ON t.nation = r.nation
+        GROUP BY r.nation
+    """,
+    doc="HERFINDAHL-HIRSCHMAN market concentration per nation: the sum "
+    "of squared supplier revenue shares — the antitrust-grade 'is this "
+    "market a monopoly' number, and in data-pipeline terms the "
+    "skew-early-warning for any partition key (HHI of key frequencies "
+    "says whether a salted join is needed before the job runs; qd32's "
+    "entropy is the log-scale sibling).  Shares come from exact-cents "
+    "sums; each squared share is ONE deterministic double expression "
+    "quantized to integer 1e-8 units before the per-market sum, so "
+    "no float summation order exists (1e8 = the HHI's natural 0-10000 "
+    "scale at 4 extra digits).  Scale: one fact aggregate (suppkey "
+    "is the shuffle key), a broadcastable per-nation total join, and "
+    "a 25-row output.",
+)
+def qd41_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nation")
+    )
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("nation", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("n_cents")
+    )
+    share = F.col("cents").cast("double") / F.col("n_cents")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.round(F.lit(1e8) * share * share).cast("bigint"))
+            .cast("bigint")
+            .alias("hhi_e8"),
+        )
+    )
