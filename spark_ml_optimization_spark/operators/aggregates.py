@@ -727,3 +727,133 @@ def q28c_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("merged_est").cast("double") / exact_d - 1.0) <= 0.02)
         ).alias("within_2pct"),
     )
+
+
+_CM_D = 4    # hash rows
+_CM_W = 256  # buckets per row
+
+
+def _cm_u16(expr: str, row: str) -> str:
+    """Engine-portable uniform 16-bit from md5(row:val) — instr digit
+    parse of the first 4 hex chars (ml34's derandomization helper)."""
+    h = f"md5({row} || ':' || CAST({expr} AS STRING))"
+    parts = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "q28d_countmin_sketch",
+    oracle=f"""
+        WITH truth AS (
+            SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS freq
+            FROM lineitem GROUP BY l_partkey
+        ),
+        hashed AS (
+            SELECT l_partkey AS item, j.j,
+                   {_cm_u16('l_partkey', 'CAST(j.j AS VARCHAR)')}
+                       % {_CM_W} AS bucket
+            FROM lineitem
+            CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1}))
+                            AS j) j
+        ),
+        cells AS (
+            SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+            FROM hashed GROUP BY j, bucket
+        ),
+        probes AS (
+            SELECT t.item, j.j,
+                   {_cm_u16('t.item', 'CAST(j.j AS VARCHAR)')} % {_CM_W}
+                       AS bucket
+            FROM truth t
+            CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1}))
+                            AS j) j
+        ),
+        est AS (
+            SELECT p.item, CAST(min(c.c) AS BIGINT) AS est
+            FROM probes p
+            JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+            GROUP BY p.item
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN e.est < t.freq THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_underestimates,
+               CAST(max(e.est - t.freq) AS BIGINT) AS max_overestimate,
+               CAST(sum(e.est - t.freq) AS BIGINT) AS total_overestimate
+        FROM est e JOIN truth t ON t.item = e.item
+    """,
+    doc=f"COUNT-MIN SKETCH (Cormode-Muthukrishnan) built relationally "
+    f"and audited against exact truth: {_CM_D} hash rows x {_CM_W} "
+    "buckets (each bucket assignment an ml34-style md5-uniform mod "
+    "w), cell counts from ONE grouped aggregate whose state is the "
+    "d*w = 1024-cell grid regardless of data size — the frequency "
+    "sketch that answers point queries over 100 TB with kilobytes of "
+    "mergeable state (cells add across shards like q28c's HLL "
+    "registers).  The audit hash-verifies CM's HARD guarantee — "
+    "est >= true for EVERY item, n_underestimates must be 0 (min of "
+    "counters that each over-count can never under-count) — plus the "
+    "measured max/total overestimate, which the oracle reproduces "
+    "exactly because the hash family is deterministic.  Scale: the "
+    "{_CM_D}x row expansion is map-side; the sketch aggregate and "
+    "the probe join both touch only the 1024-cell table.",
+)
+def q28d_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item")
+    )
+    truth = (
+        li.groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    # Spark parses the hash span with conv() (single JVM hex parse);
+    # the oracle uses the instr() digit ladder — identical integers
+    # (the ml34 convention).
+    spark_u16 = (
+        "CAST(conv(substr(md5(CAST(j AS STRING) || ':'"
+        " || CAST(item AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+    )
+    hashed = li.selectExpr(
+        "item", f"explode(sequence(0, {_CM_D - 1})) AS j"
+    ).selectExpr(
+        "item",
+        "j",
+        spark_u16 + f" % {_CM_W} AS bucket",
+    )
+    cells = hashed.groupBy("j", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # probe set = item-domain x d, derived from the (small) truth
+    # table rather than a corpus-sized distinct — buckets recompute
+    # map-side (same deterministic hash, domain-sized input).
+    probes = (
+        truth.selectExpr(
+            "item", f"explode(sequence(0, {_CM_D - 1})) AS j"
+        )
+        .selectExpr(
+            "item",
+            "j",
+            spark_u16 + f" % {_CM_W} AS bucket",
+        )
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").cast("bigint").alias("est"))
+    )
+    j = est.join(truth, "item")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("est") < F.col("freq"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_underestimates"),
+        F.max(F.col("est") - F.col("freq"))
+        .cast("bigint")
+        .alias("max_overestimate"),
+        F.sum(F.col("est") - F.col("freq"))
+        .cast("bigint")
+        .alias("total_overestimate"),
+    )

@@ -1395,3 +1395,168 @@ def qp11_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("m_c") == F.col("cents")).alias("cents_match"),
         (F.col("m_d_naive") >= F.col("n_custs")).alias("distinct_within_bound"),
     )
+
+
+_TRI_WIN = 8   # chunk width (tokens)
+_TRI_STRIDE = 4  # chunk stride -> adjacent chunks overlap by 4 tokens
+
+
+@register(
+    "qp12_contrastive_triplets",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, lang, i AS cidx,
+                   array_to_string(w[i:i+{_TRI_WIN - 1}], ' ') AS chunk,
+                   w[i] AS t1, w[i+1] AS t2, w[i+2] AS t3
+            FROM toks
+            CROSS JOIN UNNEST(generate_series(1, len(w) - {_TRI_WIN - 1},
+                                              {_TRI_STRIDE})) AS t(i)
+            WHERE len(w) >= {_TRI_WIN}
+        ),
+        pairs AS (
+            SELECT a.doc_id, a.lang, a.cidx,
+                   a.chunk AS anchor, p.chunk AS positive,
+                   a.t1, a.t2, a.t3
+            FROM chunks a
+            JOIN chunks p ON p.doc_id = a.doc_id
+                         AND p.cidx = a.cidx + {_TRI_STRIDE}
+        ),
+        negs AS (
+            SELECT pr.doc_id, pr.cidx,
+                   min(md5(pr.doc_id || ':' || pr.cidx || ':'
+                           || n.doc_id || ':' || n.cidx)
+                       || '|' || n.chunk) AS neg_pick
+            FROM pairs pr
+            JOIN chunks n ON n.t1 = pr.t1 AND n.t2 = pr.t2
+                         AND n.t3 = pr.t3
+                         AND n.doc_id <> pr.doc_id
+            GROUP BY pr.doc_id, pr.cidx
+        )
+        SELECT pr.lang,
+               CAST(count(*) AS BIGINT) AS n_triplets,
+               CAST(count(DISTINCT pr.doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(ascii(substr(md5(pr.anchor || '|' || pr.positive
+                        || '|' || substr(ng.neg_pick, 34)), 1, 1)) * 256
+                        + ascii(substr(md5(pr.anchor || '|' || pr.positive
+                        || '|' || substr(ng.neg_pick, 34)), 2, 1)))
+                    AS BIGINT) AS triplet_checksum
+        FROM pairs pr
+        JOIN negs ng ON ng.doc_id = pr.doc_id AND ng.cidx = pr.cidx
+        GROUP BY pr.lang
+    """,
+    doc="CONTRASTIVE TRIPLET construction — the training-pair factory "
+    "for embedding models, built from the corpus itself with zero "
+    "labels: ANCHOR and POSITIVE are adjacent overlapping sliding "
+    "chunks of the same document (stride 4 on width 8 guarantees "
+    "4-token lexical overlap — the standard self-supervised positive), "
+    "and the HARD NEGATIVE is a chunk from a DIFFERENT document that "
+    "shares the anchor's first THREE tokens (lexically confusable, so "
+    "the model must read past the prefix; three-token blocking keeps "
+    "candidates per anchor bounded), chosen deterministically "
+    "as the md5-min candidate (content-addressed, qc02's "
+    "sampling convention — reproducible across runs and engines, no "
+    "RNG).  Anchors with no candidate drop (inner join).  The audit "
+    "output is per-language triplet/doc counts plus an "
+    "order-insensitive checksum over the full (anchor|positive|"
+    "negative) text — one byte wrong anywhere in the pipeline breaks "
+    "the hash (qd30's ascii-pair convention).  Scale: chunking is "
+    "map-side; the negative join blocks on (t1, t2) — a ~900-key "
+    "equi-join, the blocking that keeps candidates per anchor "
+    "bounded — and the argmin is a grouped min, no window.  The "
+    "two-vs-three-token blocking knob trades negative availability "
+    "for join fan-out.",
+)
+def qp12_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    chunks = (
+        toks.filter(F.size("w") >= _TRI_WIN)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"sequence(1, size(w) - {_TRI_WIN - 1}, {_TRI_STRIDE})"
+                )
+            ).alias("cidx"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cidx",
+            F.expr(f"array_join(slice(w, cidx, {_TRI_WIN}), ' ')").alias(
+                "chunk"
+            ),
+            F.expr("element_at(w, cidx)").alias("t1"),
+            F.expr("element_at(w, cidx + 1)").alias("t2"),
+            F.expr("element_at(w, cidx + 2)").alias("t3"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = chunks.select(
+        "doc_id", "lang", "cidx",
+        F.col("chunk").alias("anchor"), "t1", "t2", "t3",
+    )
+    p = chunks.select(
+        F.col("doc_id").alias("pd"),
+        (F.col("cidx") - _TRI_STRIDE).alias("pi"),
+        F.col("chunk").alias("positive"),
+    )
+    pairs = a.join(
+        p, (a["doc_id"] == p["pd"]) & (a["cidx"] == p["pi"])
+    ).select(
+        "doc_id", "lang", "cidx", "anchor", "positive", "t1", "t2", "t3"
+    )
+    n = chunks.select(
+        F.col("doc_id").alias("nd"), F.col("cidx").alias("ni"),
+        F.col("chunk").alias("nchunk"), F.col("t1").alias("nt1"),
+        F.col("t2").alias("nt2"), F.col("t3").alias("nt3"),
+    )
+    cand = pairs.join(
+        n,
+        (F.col("nt1") == F.col("t1"))
+        & (F.col("nt2") == F.col("t2"))
+        & (F.col("nt3") == F.col("t3"))
+        & (F.col("nd") != F.col("doc_id")),
+    )
+    pick = F.concat(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("cidx").cast("string"),
+                F.col("nd").cast("string"),
+                F.col("ni").cast("string"),
+            )
+        ),
+        F.lit("|"),
+        F.col("nchunk"),
+    )
+    negs = cand.groupBy("doc_id", "cidx").agg(
+        F.min(pick).alias("neg_pick")
+    )
+    tri = pairs.join(negs, ["doc_id", "cidx"]).select(
+        "lang",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("anchor"),
+                F.col("positive"),
+                F.expr("substr(neg_pick, 34)"),
+            )
+        ).alias("h"),
+    )
+    pair_int = F.ascii(F.substring("h", 1, 1)) * 256 + F.ascii(
+        F.substring("h", 2, 1)
+    )
+    return tri.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_triplets"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(pair_int).cast("bigint").alias("triplet_checksum"),
+    )

@@ -1678,3 +1678,75 @@ def q86b_bucketed_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@register(
+    "q85k_hard_negative_mining",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, label AS probe_label,
+                   CAST(embedding AS DOUBLE[]) AS pvec
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT p.probe_id,
+                   e.vec_id AS negative_id,
+                   e.label AS negative_label,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          p.pvec), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round(list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]), p.pvec), 6) DESC,
+                           e.vec_id ASC
+                   ) AS rnk
+            FROM embeddings e
+            JOIN probes p ON e.label <> p.probe_label
+        )
+        SELECT probe_id, negative_id, negative_label, score,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM scored WHERE rnk <= 5
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training: for each of 10 "
+    "anchor vectors, the 5 most-similar vectors with a DIFFERENT "
+    "label — the examples a contrastive or retrieval model learns the "
+    "most from (easy random negatives teach nothing; these sit right "
+    "at the decision boundary).  This is q86's exact k-NN join with "
+    "the label-mismatch predicate fused INTO the join condition, so "
+    "same-label candidates are dropped before scoring, not after — "
+    "at 100 TB the label filter is the difference between scoring "
+    "the whole corpus and scoring the complement class.  Ranking "
+    "happens on the 6-dp ROUNDED score in both engines (scores this "
+    "close to the boundary can collide at double precision; the "
+    "deterministic tiebreak is vec_id on the rounded value).  Scale: "
+    "probes broadcast; per-probe candidate state is window-partitioned "
+    "by probe; the bucketed re-plan (q86b/q87b) bolts on when probes "
+    "outgrow a broadcast.",
+)
+def q85k_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        to_double_array("embedding").alias("pvec"),
+    )
+    score = F.round(dot(to_double_array("embedding"), F.col("pvec")), 6)
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        e.join(
+            F.broadcast(probes),
+            e["label"] != probes["probe_label"],
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            score.alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
