@@ -2326,3 +2326,107 @@ def ml36_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+_COST_FP = 1   # cost units per false positive
+_COST_FN = 5   # cost units per false negative
+
+
+@register(
+    "ml37_cost_optimal_threshold",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   least(CAST(floor(
+                       1024.0 / (1.0 + exp(-(CAST(round(l_quantity)
+                                              AS BIGINT) - 25) / 10.0))
+                   ) AS BIGINT), 1023) AS bin
+            FROM lineitem
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   CAST(count(*) - sum(y) AS BIGINT) AS neg
+            FROM scored GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin,
+                   CAST(coalesce(sum(pos) OVER (
+                       ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS fn_at,
+                   CAST(coalesce(sum(neg) OVER (
+                       ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) AS BIGINT) AS fp_at
+            FROM bins
+        ),
+        costed AS (
+            SELECT bin,
+                   {_COST_FP} * fp_at + {_COST_FN} * fn_at AS cost,
+                   fp_at, fn_at
+            FROM cum
+        )
+        SELECT CAST(bin AS BIGINT) AS threshold_bin,
+               CAST(cost AS BIGINT) AS total_cost,
+               fp_at AS n_false_pos, fn_at AS n_false_neg
+        FROM costed
+        ORDER BY cost ASC, bin ASC
+        LIMIT 1
+    """,
+    doc=f"COST-SENSITIVE operating point: the decision threshold that "
+    f"minimizes {_COST_FP}*FP + {_COST_FN}*FN (asymmetric "
+    "misclassification costs — a missed fraud costs 5x a false "
+    "alarm), selected over the 1024-bin score spine from ml33/ml34's "
+    "closed-form scores — the business-objective sibling of ml29's "
+    "max-F1 point (F1 weighs errors symmetrically; real gates "
+    "rarely do).  Predicting positive at-or-above bin b makes "
+    "FP(b) = negatives at >= b (a DESCENDING running sum) and "
+    "FN(b) = positives below b (an ascending EXCLUSIVE sum) — two "
+    "running frames over the bounded bin spine, exact BIGINT "
+    "throughout, argmin via TakeOrdered with the deterministic "
+    "low-bin tiebreak.  Changing the cost matrix re-ranks the same "
+    "1024 rows — no new scan.  Scale: one fact aggregate into 1024 "
+    "bins; everything after is constant-size.",
+)
+def ml37_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = 1024.0 / (
+        1.0 + F.exp(-(F.round(F.col("l_quantity")).cast("bigint") - 25) / 10.0)
+    )
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.least(F.floor(s).cast("bigint"), F.lit(1023)).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    w_fn = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    w_fp = W.orderBy(F.col("bin").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        F.coalesce(F.sum("pos").over(w_fn), F.lit(0))
+        .cast("bigint")
+        .alias("fn_at"),
+        F.coalesce(F.sum("neg").over(w_fp), F.lit(0))
+        .cast("bigint")
+        .alias("fp_at"),
+    )
+    cost = (_COST_FP * F.col("fp_at") + _COST_FN * F.col("fn_at")).cast(
+        "bigint"
+    )
+    return (
+        cum.select(
+            F.col("bin").alias("threshold_bin"),
+            cost.alias("total_cost"),
+            F.col("fp_at").alias("n_false_pos"),
+            F.col("fn_at").alias("n_false_neg"),
+        )
+        .orderBy("total_cost", "threshold_bin")
+        .limit(1)
+    )

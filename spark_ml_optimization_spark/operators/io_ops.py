@@ -999,3 +999,52 @@ def src25_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("value", 14, 12)).cast("bigint").alias("cents"),
         F.rtrim(F.substring("value", 26, 18)).alias("o_orderpriority"),
     )
+
+
+@register(
+    "src26_linesep_text_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name
+        FROM nation
+    """,
+    doc="Custom record-separator TEXT ingest: nation rows serialize as "
+    "'key|name' records joined by ';' into a SINGLE physical line, "
+    "then spark.read.text with lineSep=';' splits them back into "
+    "rows — the legacy-feed shape (sensor dumps, EDI messages, "
+    "mainframe extracts) where records are NOT newline-delimited and "
+    "the default reader would see one giant row.  The parse back to "
+    "typed columns is split()-based codegen; hash-match against the "
+    "source dim proves separator handling is lossless (an off-by-one "
+    "or a trailing-separator phantom row breaks the count).  Scale: "
+    "lineSep-delimited text splits on the separator at block "
+    "boundaries like newline text does — still a splittable source; "
+    "the single-line fixture here is the worst case (one task), "
+    "which is exactly the caveat the operator documents.",
+)
+def src26_linesep_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    one_line = n.select(
+        F.concat_ws(
+            ";",
+            F.collect_list(
+                F.concat_ws(
+                    "|",
+                    F.col("n_nationkey").cast("string"),
+                    F.col("n_name"),
+                )
+            ),
+        ).alias("value")
+    )
+    path = _scratch(f"linesep_{sf_dir.replace('/', '_')}")
+    one_line.coalesce(1).write.mode("overwrite").text(path)
+    raw = spark.read.option("lineSep", ";").text(path)
+    parsed = raw.filter(F.length(F.trim("value")) > 0).select(
+        F.split("value", "\\|").alias("f")
+    )
+    return parsed.select(
+        F.element_at("f", 1).cast("int").alias("n_nationkey"),
+        # the text writer terminates the file with a newline, which
+        # rides into the LAST ;-record — strip line terminators, not
+        # just spaces (trim() alone leaves the trailing \n).
+        F.expr("trim(BOTH '\n\r ' FROM element_at(f, 2))").alias("n_name"),
+    )

@@ -3021,3 +3021,124 @@ def qd41_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("hhi_e8"),
         )
     )
+
+
+@register(
+    "qd42_theil_inequality",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_nationkey AS nation,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_nationkey
+        ),
+        grp AS (
+            SELECT nation,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(x) AS BIGINT) AS x_g
+            FROM spend GROUP BY nation
+        ),
+        tot AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(x_g) AS BIGINT) AS x
+            FROM grp
+        ),
+        within AS (
+            SELECT s.nation,
+                   CAST(sum(CAST(round(
+                       1e9 * (CAST(s.x AS DOUBLE) / g.x_g)
+                           * ln(CAST(s.x AS DOUBLE) * g.n_g / g.x_g)
+                   ) AS BIGINT)) AS BIGINT) AS theil_nano
+            FROM spend s JOIN grp g ON g.nation = s.nation
+            GROUP BY s.nation
+        )
+        SELECT 'within:' || CAST(w.nation AS VARCHAR) AS component,
+               g.n_g AS n_units,
+               w.theil_nano
+        FROM within w JOIN grp g ON g.nation = w.nation
+        UNION ALL
+        SELECT 'between' AS component,
+               (SELECT n FROM tot) AS n_units,
+               (SELECT CAST(sum(CAST(round(
+                    1e9 * (CAST(g.x_g AS DOUBLE) / t.x)
+                        * ln((CAST(g.x_g AS DOUBLE) / g.n_g)
+                             / (CAST(t.x AS DOUBLE) / t.n))
+                ) AS BIGINT)) AS BIGINT)
+                FROM grp g CROSS JOIN tot t) AS theil_nano
+    """,
+    doc="THEIL INEQUALITY DECOMPOSITION of customer spend: the "
+    "entropy-based inequality index split into WITHIN-nation terms "
+    "(each nation's own spend concentration) and one BETWEEN-nations "
+    "term (how unequal the nation averages are) — the decomposition "
+    "property Gini lacks and the reason Theil is the inequality "
+    "audit of choice for hierarchical populations (for a pipeline: "
+    "is skew coming from inside partitions or between them — the "
+    "drill-down qd41's flat HHI can't answer).  Each per-customer "
+    "term (x_i/X_g)*ln(x_i*N_g/X_g) is one deterministic double "
+    "expression from exact BIGINT cents, quantized to integer 1e-9 "
+    "units before summation — no float summation order on any of "
+    "the 26 output rows.  Scale: one orders aggregate (custkey "
+    "shuffle), then nation-sized joins; the between term touches 25 "
+    "rows.",
+)
+def qd42_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    spend = (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_custkey", "nation")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    ).localCheckpoint(eager=False)
+    grp = spend.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("x_g"),
+    ).localCheckpoint(eager=False)
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("x_g").cast("bigint").alias("x_t"),
+    )
+    term = F.round(
+        F.lit(1e9)
+        * (F.col("x").cast("double") / F.col("x_g"))
+        * F.log(F.col("x").cast("double") * F.col("n_g") / F.col("x_g"))
+    ).cast("bigint")
+    within = (
+        spend.join(F.broadcast(grp), "nation")
+        .groupBy("nation")
+        .agg(F.sum(term).cast("bigint").alias("theil_nano"))
+        .join(F.broadcast(grp), "nation")
+        .select(
+            F.concat(F.lit("within:"), F.col("nation").cast("string")).alias(
+                "component"
+            ),
+            F.col("n_g").alias("n_units"),
+            "theil_nano",
+        )
+    )
+    bterm = F.round(
+        F.lit(1e9)
+        * (F.col("x_g").cast("double") / F.col("x_t"))
+        * F.log(
+            (F.col("x_g").cast("double") / F.col("n_g"))
+            / (F.col("x_t").cast("double") / F.col("n"))
+        )
+    ).cast("bigint")
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_units"),
+            F.sum(bterm).cast("bigint").alias("theil_nano"),
+        )
+        .select(
+            F.lit("between").alias("component"), "n_units", "theil_nano"
+        )
+    )
+    return within.unionByName(between)
