@@ -857,3 +857,55 @@ def q28d_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_overestimate"),
     )
+
+
+@register(
+    "q22b_percentile_within_group",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT), 0.50), 6) AS p50_cont,
+               round(quantile_cont(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT), 0.90), 6) AS p90_cont,
+               CAST(quantile_disc(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT), 0.50) AS BIGINT)
+                   AS p50_disc,
+               CAST(quantile_disc(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT), 0.90) AS BIGINT)
+                   AS p90_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="ANSI inverse-distribution functions — percentile_cont / "
+    "percentile_disc WITHIN GROUP (ORDER BY ...) (SQL:2008 syntax, "
+    "Spark 3.4+) — with the CONT-vs-DISC boundary pinned on exact "
+    "cents: cont INTERPOLATES between the two straddling values "
+    "(fractional cents appear), disc returns the first actual value "
+    "at-or-above the position (always a real data point) — the "
+    "distinction that silently shifts SLA percentiles when a "
+    "dashboard migrates between engines or from approx to exact.  "
+    "q22 pins the percentile() numerics; THIS pins the standard "
+    "syntax surface and the disc selection rule against DuckDB's "
+    "quantile_cont/quantile_disc.  Scale: exact percentiles sort "
+    "within group partitions; the approx_percentile swap (q28) is "
+    "the 100 TB path.",
+)
+def q22b_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.selectExpr(
+        "l_returnflag",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+    ).createOrReplaceTempView("q22b_cents")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.50) WITHIN GROUP (ORDER BY cents),
+                     6) AS p50_cont,
+               round(percentile_cont(0.90) WITHIN GROUP (ORDER BY cents),
+                     6) AS p90_cont,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p50_disc,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p90_disc
+        FROM q22b_cents GROUP BY l_returnflag
+        """
+    )

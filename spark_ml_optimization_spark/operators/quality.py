@@ -3142,3 +3142,70 @@ def qd42_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return within.unionByName(between)
+
+
+@register(
+    "qd43_robust_zscore_outliers",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        med AS (
+            SELECT quantile_cont(cents, 0.5) AS m FROM pts
+        ),
+        mad AS (
+            SELECT quantile_cont(abs(cents - (SELECT m FROM med)), 0.5)
+                       AS mad_v
+            FROM pts
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               round((SELECT m FROM med) / 1e2, 6) AS median_dollars,
+               round((SELECT mad_v FROM mad) / 1e2, 6) AS mad_dollars,
+               CAST(sum(CASE WHEN
+                   abs(0.6745 * (cents - (SELECT m FROM med))
+                       / (SELECT mad_v FROM mad)) > 3.5
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM pts
+    """,
+    doc="ROBUST Z-SCORE outlier screen (median/MAD, the Iglewicz-"
+    "Hoaglin modified z with the 0.6745 consistency constant and the "
+    "canonical 3.5 cut): unlike mean/stddev screens (qd05's IQR "
+    "sibling), the median and MAD are UNPOLLUTED by the outliers "
+    "they're hunting — the difference between a screen that works "
+    "once and one that still works after the first data incident "
+    "doubles the tail.  Two exact-percentile passes (median, then "
+    "median absolute deviation about it — quantile parity pinned by "
+    "q22/q22b) feed one broadcast scalar pair and a map-side "
+    "modified-z predicate; output is the corpus profile + outlier "
+    "count.  All inputs exact cents; the z expression is one "
+    "mirrored double chain.  Scale: percentiles are the only sorts "
+    "(approx_percentile is the documented 100 TB swap, identical "
+    "plan otherwise); counting never materializes outlier rows.",
+)
+def qd43_robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).localCheckpoint(eager=False)
+    med = pts.agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    mad = (
+        pts.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(abs(cents - m), 0.5)").alias("mad_v"),
+            F.max("m").alias("m"),
+        )
+    )
+    z = 0.6745 * (F.col("cents") - F.col("m")) / F.col("mad_v")
+    return (
+        pts.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.max("m") / 1e2, 6).alias("median_dollars"),
+            F.round(F.max("mad_v") / 1e2, 6).alias("mad_dollars"),
+            F.sum(F.when(F.abs(z) > 3.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
