@@ -2430,3 +2430,67 @@ def ml37_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("total_cost", "threshold_bin")
         .limit(1)
     )
+
+
+@register(
+    "ml38_loo_target_encoding",
+    oracle="""
+        WITH joined AS (
+            SELECT o.o_orderkey, c.c_mktsegment AS seg,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        stats AS (
+            SELECT seg, count(*) AS n_seg, sum(y_cents) AS tot_cents
+            FROM joined GROUP BY seg
+        )
+        SELECT j.o_orderkey, j.seg, j.y_cents,
+               CASE WHEN s.n_seg <= 1 THEN NULL
+                    ELSE round((s.tot_cents - j.y_cents) * 1.0
+                               / (s.n_seg - 1), 6)
+               END AS loo_encoded
+        FROM joined j JOIN stats s ON j.seg = s.seg
+    """,
+    doc="Leave-one-out TARGET ENCODING — the high-cardinality "
+    "categorical feature trick (replace category with the mean target "
+    "of OTHER members): encoded_i = (sum_cat - y_i) / (n_cat - 1), "
+    "which is what naive mean-encoding must become to avoid leaking "
+    "each row's own label into its feature (the difference decides "
+    "whether a downstream model memorizes or generalizes).  One "
+    "grouped aggregate builds (n, sum) per category, a broadcast "
+    "join re-attaches them, and the per-row encode is exact-integer "
+    "arithmetic with ONE final division, NULL-guarded for singleton "
+    "categories (whose LOO value is undefined — emitting the global "
+    "mean is a policy choice left to callers).  Scale: the stats "
+    "table has one row per category — broadcast at any corpus size; "
+    "the encode is map-side, zero shuffle beyond the stats rollup.",
+)
+def ml38_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y_cents"),
+    )
+    stats = joined.groupBy("seg").agg(
+        F.count("*").alias("n_seg"), F.sum("y_cents").alias("tot_cents")
+    )
+    return joined.join(F.broadcast(stats), "seg").select(
+        "o_orderkey",
+        "seg",
+        "y_cents",
+        F.when(F.col("n_seg") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("tot_cents") - F.col("y_cents"))
+                * 1.0
+                / (F.col("n_seg") - 1),
+                6,
+            )
+        )
+        .alias("loo_encoded"),
+    )

@@ -1777,3 +1777,199 @@ def qa36_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pair.alias("min_pair_sup"),
         (F.col("sup3") <= min_pair).alias("monotone"),
     )
+
+
+@register(
+    "qa37_window_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > s1.t1
+              AND epoch_us(e.ts) <= s1.t1 + 86400000000
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > s2.t2
+              AND epoch_us(e.ts) <= s1.t1 + 86400000000
+            GROUP BY e.user_id
+        ),
+        levels AS (
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_level,
+                   s3.t3 - s1.t1 AS convert_us
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        )
+        SELECT funnel_level,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(convert_us) AS BIGINT) AS total_convert_us
+        FROM levels
+        GROUP BY funnel_level
+    """,
+    doc="Time-BOUNDED window funnel (the ClickHouse windowFunnel "
+    "shape): view -> click -> purchase must all land within 24 h of "
+    "the user's FIRST view, each stage strictly after the previous "
+    "pick — q67's funnel checks order only; this one expires the "
+    "window, which is what growth teams actually measure.  The "
+    "greedy-earliest chain (t1 = first view; t2 = first qualifying "
+    "click after t1; t3 = first qualifying purchase after t2) is the "
+    "deterministic variant: each stage is ONE conditional min "
+    "aggregate keyed by user plus one equi-join back — no per-user "
+    "sequence scan, no UDAF state machine.  Strict > at every hop "
+    "keeps same-microsecond ties engine-portable; all arithmetic is "
+    "integer micros and the level-3 conversion mass sums exactly.  "
+    "Scale: three user-keyed aggregates + three user-keyed "
+    "broadcast-able joins — the stage tables shrink monotonically, "
+    "so at 100 TB every join after stage 1 broadcasts.",
+)
+def qa37_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    day_us = F.lit(86400000000).cast("long")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter((F.col("t_us") > F.col("t1")) & (F.col("t_us") <= F.col("t1") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .join(F.broadcast(s1), "user_id")
+        .filter((F.col("t_us") > F.col("t2")) & (F.col("t_us") <= F.col("t1") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    levels = (
+        users.join(s1, "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("has2")), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("has2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+            (F.col("t3") - F.col("t1")).alias("convert_us"),
+        )
+    )
+    return levels.groupBy("funnel_level").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("convert_us").cast("bigint").alias("total_convert_us"),
+    )
+
+
+@register(
+    "qa39_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand, p.p_partkey,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100, 0) AS BIGINT)) AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, p.p_partkey
+        ),
+        ranked AS (
+            SELECT p_brand, cents,
+                   sum(cents) OVER (
+                       PARTITION BY p_brand
+                       ORDER BY cents DESC, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   sum(cents) OVER (PARTITION BY p_brand) AS tot
+            FROM rev
+        ),
+        classed AS (
+            SELECT p_brand, cents, tot,
+                   CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                        WHEN cum * 100 <= tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        )
+        SELECT p_brand, abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS class_cents,
+               round(sum(cents) * 1.0 / max(tot), 6) AS revenue_share
+        FROM classed
+        GROUP BY p_brand, abc_class
+    """,
+    doc="ABC (Pareto-class) inventory classification per brand: parts "
+    "ranked by exact-cents revenue within their brand, running "
+    "cumulative share assigns A (first 80%% of brand revenue), B "
+    "(to 95%%), C (tail) — the qa25 concentration index says HOW "
+    "skewed a brand is, this says WHICH parts carry it, which is the "
+    "actionable output (A-parts get safety stock, C-parts get "
+    "rationalized).  Class boundaries are integer cross-"
+    "multiplications (cum*100 <= tot*80), never a float share "
+    "compare, so boundary parts classify identically cross-engine; "
+    "the one division per output row happens after grouping.  "
+    "Scale: revenue rollup shuffles by (brand, part) with map-side "
+    "combine; the ranking window partitions by brand (25 here, "
+    "bounded dimension at any sf) — no global sort anywhere.",
+)
+def qa39_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")),
+               l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_cum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("cents").desc(), "p_partkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("tot"),
+    )
+    classed = ranked.select(
+        "p_brand",
+        "cents",
+        "tot",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("p_brand", "abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        F.round(F.sum("cents") * 1.0 / F.max("tot"), 6).alias("revenue_share"),
+    )

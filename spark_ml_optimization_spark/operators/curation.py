@@ -3093,3 +3093,218 @@ def qc52_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+@register(
+    "qc53_length_bucket_packing",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        arrival AS (
+            SELECT lang, n_tok,
+                   CAST((row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1) // 16 AS BIGINT) AS batch_id
+            FROM toks
+        ),
+        sorted_s AS (
+            SELECT lang, n_tok,
+                   CAST((row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_tok DESC, doc_id
+                   ) - 1) // 16 AS BIGINT) AS batch_id
+            FROM toks
+        ),
+        batches AS (
+            SELECT 'arrival' AS strategy, lang, batch_id,
+                   count(*) AS cnt, max(n_tok) AS mx, sum(n_tok) AS tot
+            FROM arrival GROUP BY lang, batch_id
+            UNION ALL
+            SELECT 'length_sorted' AS strategy, lang, batch_id,
+                   count(*) AS cnt, max(n_tok) AS mx, sum(n_tok) AS tot
+            FROM sorted_s GROUP BY lang, batch_id
+        )
+        SELECT strategy, lang,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(tot) AS BIGINT) AS total_tokens,
+               CAST(sum(mx * cnt - tot) AS BIGINT) AS padded_tokens,
+               round(sum(mx * cnt - tot) * 1.0
+                     / (sum(mx * cnt - tot) + sum(tot)), 6) AS waste_ratio
+        FROM batches
+        GROUP BY strategy, lang
+    """,
+    doc="Length-grouped batching audit — the padding-waste question "
+    "every LLM training pipeline answers before fixing its dataloader "
+    "order: batches of 16 sequences pad every member to the batch max, "
+    "so arrival-order batches (md5-hash order, the qc03 deterministic "
+    "shuffle stand-in) mix long and short documents and burn compute "
+    "on pad tokens, while length-sorted batches (n_tok DESC, the "
+    "bucketing trick) make batch-mates near-equal length.  Output is "
+    "per (strategy, lang): batch count, real tokens, padded slots, "
+    "and waste ratio — the measured gap between the two orders IS the "
+    "dataloader-bucketing win.  All counts are exact integers; the "
+    "single ratio divides two integer sums.  Scale: both strategies "
+    "are one row_number window PARTITIONED BY lang (the stratum key) "
+    "and two grouped aggs — no global sort; at 100 TB the per-lang "
+    "partitions shuffle independently and a finer stratum key (lang, "
+    "source) bounds any one partition.",
+)
+def qc53_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    arrival_w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sorted_w = W.partitionBy("lang").orderBy(F.col("n_tok").desc(), "doc_id")
+
+    def _batches(src: DataFrame, w, strategy: str) -> DataFrame:
+        return (
+            src.select(
+                "lang",
+                "n_tok",
+                F.floor((F.row_number().over(w) - 1) / 16)
+                .cast("long")
+                .alias("batch_id"),
+            )
+            .groupBy("lang", "batch_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.max("n_tok").alias("mx"),
+                F.sum("n_tok").alias("tot"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "lang", "batch_id", "cnt", "mx", "tot")
+        )
+
+    batches = _batches(toks, arrival_w, "arrival").unionAll(
+        _batches(toks, sorted_w, "length_sorted")
+    )
+    padded = F.sum(F.col("mx") * F.col("cnt") - F.col("tot"))
+    return batches.groupBy("strategy", "lang").agg(
+        F.count("*").cast("bigint").alias("n_batches"),
+        F.sum("tot").cast("bigint").alias("total_tokens"),
+        padded.cast("bigint").alias("padded_tokens"),
+        F.round(padded * 1.0 / (padded + F.sum("tot")), 6).alias("waste_ratio"),
+    )
+
+
+@register(
+    "qc54_dup_ngram_fraction",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, r.i AS pos,
+                   array_to_string(t[r.i:r.i + 4], ' ') AS gram
+            FROM toks, UNNEST(range(1, n_tok - 3)) AS r(i)
+            WHERE n_tok >= 5
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY doc_id, gram) AS c
+                FROM grams
+            ) WHERE c >= 2
+        ),
+        cov AS (
+            SELECT doc_id, count(DISTINCT u.q) AS covered
+            FROM dup, UNNEST(range(pos, pos + 5)) AS u(q)
+            GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT tk.doc_id, tk.source, tk.n_tok,
+                   coalesce(c.covered, 0) AS covered
+            FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN covered * 10 >= 3 * n_tok
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+               CAST(sum(covered) AS BIGINT) AS total_covered,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(sum(covered) * 1.0 / sum(n_tok), 6) AS dup_fraction
+        FROM per_doc
+        GROUP BY source
+    """,
+    doc="Duplicate-5-gram coverage fraction — the Gopher/MassiveText "
+    "repetition rule qc15 leaves out: the fraction of token POSITIONS "
+    "covered by any 5-gram that repeats within the same document "
+    "(qc05's type-token ratio sees scattered word reuse; THIS sees "
+    "copy-pasted spans, boilerplate blocks, and degenerate loops).  "
+    "Position coverage is computed exactly: each within-doc duplicate "
+    "gram occurrence claims positions [p, p+4], claims are unioned by "
+    "count(DISTINCT position) so overlapping repeats never "
+    "double-count, and the per-source rollup divides integer sums "
+    "once (never averages per-doc doubles — summation order).  The "
+    "flag gate covered*10 >= 3*n is integer-exact at the 30%% "
+    "boundary.  Scale: grams explode to ~n rows per doc (bounded "
+    "fan-out 1x), the dup window partitions by (doc_id, gram), and "
+    "the coverage explode is 5x on DUPLICATED grams only — cost "
+    "scales with repetition density, not corpus size.",
+)
+def qc54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    grams = toks.filter(F.col("n_tok") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, int(n_tok) - 4), "
+                "i -> named_struct('pos', bigint(i), "
+                "'gram', concat_ws(' ', slice(t, i, 5))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.withColumn(
+            "c", F.count("*").over(W.partitionBy("doc_id", "gram"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dup.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + 4)).alias("q")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    per_doc = toks.join(cov, "doc_id", "left").select(
+        "source",
+        "n_tok",
+        F.coalesce("covered", F.lit(0)).alias("covered"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("covered") * 10 >= 3 * F.col("n_tok"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("flagged_docs"),
+        F.sum("covered").cast("bigint").alias("total_covered"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("covered") * 1.0 / F.sum("n_tok"), 6).alias(
+            "dup_fraction"
+        ),
+    )

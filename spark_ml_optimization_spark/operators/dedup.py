@@ -2610,3 +2610,180 @@ def q84i_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q84j_jaccard_link_prediction",
+    oracle=f"""
+        WITH {_STRONG_EDGES_SQL.lstrip()},
+        deg AS (
+            SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+        ),
+        wedge AS (
+            SELECT s1.dst AS a, s2.dst AS b
+            FROM sym s1
+            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+        ),
+        cand AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+            FROM wedge w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.b)
+            GROUP BY a, b
+        )
+        SELECT a AS pa, b AS pb, n_common,
+               CAST(da.d AS BIGINT) AS deg_a,
+               CAST(db.d AS BIGINT) AS deg_b,
+               round(n_common * 1.0 / (da.d + db.d - n_common), 6)
+                   AS jaccard
+        FROM cand
+        JOIN deg da ON da.node = a
+        JOIN deg db ON db.node = b
+        ORDER BY n_common * 1.0 / (da.d + db.d - n_common) DESC, pa, pb
+        LIMIT {_AA_TOPK}
+    """,
+    doc="Neighbor-set JACCARD link prediction — completing the classic "
+    "trio with common-neighbors (the n_common column) and q84h's "
+    "Adamic-Adar over the SAME strong-edge substrate and candidate "
+    "generation, so the three scores are directly comparable: "
+    "|N(a) n N(b)| / |N(a) u N(b)| with the union expanded to "
+    "deg(a)+deg(b)-common (all exact integers from the wedge count "
+    "and degree table — no neighbor-set materialization).  The "
+    "ranking divides identical integers in both engines, so the "
+    "IEEE result and therefore the top-20 order match bit-for-bit, "
+    "with (pa, pb) breaking exact ties.  Scale: identical to q84h — "
+    "wedge work bounded by the multi-support substrate, anti-join "
+    "drops existing edges, TakeOrdered(20) global head.",
+)
+def q84j_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = strong_copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    s2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    wedge = s1.join(s2, "w").filter(F.col("a") < F.col("b")).select("a", "b")
+    cand = (
+        wedge.join(
+            e,
+            (wedge["a"] == e["pa"]) & (wedge["b"] == e["pb"]),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
+    jac = F.col("n_common") * 1.0 / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    )
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("pa"),
+            F.col("b").alias("pb"),
+            "n_common",
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(jac.desc(), "pa", "pb")
+        .limit(_AA_TOPK)
+    )
+
+
+@register(
+    "qc56_containment_dedup",
+    oracle="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM tok a
+            JOIN tok b
+              ON a.token = b.token AND a.lang = b.lang
+             AND a.source = b.source AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a AS contained_doc, doc_b AS container_doc,
+               CAST(sa.n_tok AS BIGINT) AS n_a,
+               CAST(sb.n_tok AS BIGINT) AS n_b,
+               n_common,
+               round(n_common * 1.0 / sa.n_tok, 6) AS containment,
+               round(n_common * 1.0
+                     / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 10 >= 8 * sa.n_tok
+          AND n_common * 2 < sa.n_tok + sb.n_tok - n_common
+    """,
+    doc="ASYMMETRIC containment dedup — the excerpt detector symmetric "
+    "Jaccard (q74) structurally misses: C(A,B) = |A n B| / |A| flags "
+    "documents whose token set lives almost entirely inside a LARGER "
+    "document (quotes, excerpts, page-within-crawl), where Jaccard "
+    "is dragged below any dedup threshold by the big |A u B| "
+    "denominator.  The output keeps exactly the pairs Jaccard-dedup "
+    "would pass (J < 0.5) but containment catches (C >= 0.8) — both "
+    "gates integer cross-multiplications, so boundary pairs classify "
+    "identically cross-engine; pairs are DIRECTIONAL (contained -> "
+    "container), which downstream keep-the-container policies need.  "
+    "Scale: same blocked token equi-join as q74 (lang+source "
+    "blocking bounds fan-out; at 100 TB the block key is the LSH "
+    "band from qc39's incremental admission instead).",
+)
+def qc56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "token"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "token"
+    )
+    inter = (
+        a.join(b, ["token", "lang", "source"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            (F.col("n_common") * 10 >= 8 * F.col("n_a"))
+            & (F.col("n_common") * 2
+               < F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("n_a"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

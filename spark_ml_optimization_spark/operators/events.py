@@ -1549,3 +1549,180 @@ def q62c_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFra
             "n_events",
         )
     )
+
+
+@register(
+    "q68l_ohlc_bars",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', ts)) AS bar_hour_us,
+                   value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+            FROM events
+        )
+        SELECT event_type,
+               bar_hour_us,
+               arg_min(value, ord_key) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               arg_max(value, ord_key) AS close_v,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                     / 1000000.0 / count(*), 6) AS mean_v
+        FROM keyed
+        GROUP BY event_type, bar_hour_us
+    """,
+    doc="OHLC bar resampling — the time-series downsample every "
+    "metrics/market engine ships: per (event_type, hour) emit open "
+    "(value at the earliest event), high, low, close (value at the "
+    "latest event) plus volume and mean.  Open/close are argmin/argmax "
+    "picks over a zero-padded (epoch_us || event_id) string key — the "
+    "q68f composite-tiebreak trick, because DuckDB's arg_min only "
+    "takes a scalar ordering key and double timestamps can collide; "
+    "the picked values ride through both engines bit-identical since "
+    "no arithmetic touches them.  The mean goes through the repo's "
+    "integer-micro quantization (sum of round(value*1e6) as BIGINT, "
+    "one division at the end) so partial-aggregation order can't "
+    "wiggle the last double bit.  Scale: one map-side-combinable "
+    "hash aggregate keyed by (type, hour) — min_by/max_by/min/max/"
+    "sum/count all carry O(1) partial state, so a year of 100 TB "
+    "ticks rolls up in a single shuffle with no window, no sort.",
+)
+def q68l_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp")).alias("bar_hour_us"),
+        "value",
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"),
+    )
+    return keyed.groupBy("event_type", "bar_hour_us").agg(
+        F.expr("min_by(value, ord_key)").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.expr("max_by(value, ord_key)").alias("close_v"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("long"))
+            / 1000000.0
+            / F.count("*"),
+            6,
+        ).alias("mean_v"),
+    )
+
+
+@register(
+    "q66e_interval_coverage",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts) + 300000000 AS e_us
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, s_us, e_us,
+                   CASE WHEN max(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s_us > max(e_us) OVER (
+                            PARTITION BY user_id ORDER BY s_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        )
+                   THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s_us, e_us,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island_id,
+                   count(*) AS n_ev,
+                   max(e_us) - min(s_us) AS span_us
+            FROM islands
+            GROUP BY user_id, island_id
+        )
+        SELECT user_id,
+               CAST(sum(n_ev) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_merged_intervals,
+               CAST(sum(span_us) AS BIGINT) AS covered_us,
+               round(sum(span_us) * 1.0 / (sum(n_ev) * 300000000), 6)
+                   AS compression
+        FROM merged
+        GROUP BY user_id
+    """,
+    doc="Overlapping-interval union (interval merge): every event "
+    "claims a half-open 5-minute activity window [ts, ts+5m); per "
+    "user, merge all overlapping-or-adjacent windows and report the "
+    "total covered time — the classic 'actual engaged minutes' metric "
+    "that naive sum-of-window-lengths overstates wherever activity "
+    "bursts.  Pure gap-and-island: a running max(end) over preceding "
+    "rows marks island starts (strict > so touching intervals merge, "
+    "the half-open convention), a running sum of the flags numbers "
+    "the islands, and each island's coverage is max(end)-min(start) — "
+    "exact integer microseconds end to end, one partitioned window "
+    "pass plus two grouped aggs.  compression = covered / (n*300s) "
+    "is the burstiness signal (1.0 = fully disjoint activity).  "
+    "Scale: everything is PARTITIONED BY user_id — no global sort, "
+    "no self-join (the O(n^2) interval-overlap trap); AQE splits "
+    "skewed users because the window key is the shuffle key.",
+)
+def q66e_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(300000000).cast("long")).alias("e_us"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("e_us").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("e_us") - F.min("s_us")).alias("span_us"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_merged_intervals"),
+        F.sum("span_us").cast("bigint").alias("covered_us"),
+        F.round(
+            F.sum("span_us") * 1.0 / (F.sum("n_ev") * F.lit(300000000)), 6
+        ).alias("compression"),
+    )

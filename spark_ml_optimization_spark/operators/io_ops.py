@@ -1048,3 +1048,60 @@ def src26_linesep_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # just spaces (trim() alone leaves the trailing \n).
         F.expr("trim(BOTH '\n\r ' FROM element_at(f, 2))").alias("n_name"),
     )
+
+
+@register(
+    "src27_multiline_csv",
+    oracle="""
+        SELECT c_custkey,
+               c_name || chr(10) || c_mktsegment || chr(10)
+                      || 'acct-' || CAST(c_nationkey AS VARCHAR) AS folded,
+               c_acctbal
+        FROM customer
+    """,
+    doc="MULTILINE CSV roundtrip: a value containing EMBEDDED NEWLINES "
+    "(name\\nsegment\\ncomment folded into one field) is written "
+    "quoted and read back with multiLine=true — the wholeFile parse "
+    "mode where a record spans physical lines and the quote, not the "
+    "newline, delimits records.  Without multiLine the reader splits "
+    "mid-record and the hash breaks, so this pins the one CSV option "
+    "that changes the SPLITTING contract rather than the escaping "
+    "(src22 pins dialect/escape; src15 pins corrupt-record "
+    "quarantine).  Scale: multiLine forces one parse task per FILE "
+    "(records can straddle any byte offset, so Spark cannot split "
+    "inside a file) — the write side must control file count, and "
+    "the operator documents exactly why multiline feeds should be "
+    "converted to parquet at the ingest edge.",
+)
+def src27_multiline_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    folded = c.select(
+        "c_custkey",
+        F.concat_ws(
+            "\n",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.concat(F.lit("acct-"), F.col("c_nationkey").cast("string")),
+        ).alias("folded"),
+        "c_acctbal",
+    )
+    path = _scratch(f"csv_multiline_{sf_dir.replace('/', '_')}")
+    (
+        folded.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("folded", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )

@@ -3209,3 +3209,311 @@ def qd43_robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "qd44_mcnemar_paired_test",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   (lang = 'en') AS truth,
+                   (contains(text, ' the ')) AS pred_a,
+                   (contains(text, ' and ')) AS pred_b
+            FROM documents
+        ),
+        cells AS (
+            SELECT
+                count(*) AS n,
+                sum(CASE WHEN (pred_a = truth) THEN 1 ELSE 0 END) AS a_correct,
+                sum(CASE WHEN (pred_b = truth) THEN 1 ELSE 0 END) AS b_correct,
+                sum(CASE WHEN (pred_a = truth) AND (pred_b <> truth)
+                         THEN 1 ELSE 0 END) AS a_only,
+                sum(CASE WHEN (pred_a <> truth) AND (pred_b = truth)
+                         THEN 1 ELSE 0 END) AS b_only
+            FROM scored
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(a_correct AS BIGINT) AS a_correct,
+               CAST(b_correct AS BIGINT) AS b_correct,
+               CAST(a_only AS BIGINT) AS a_only_correct,
+               CAST(b_only AS BIGINT) AS b_only_correct,
+               CASE WHEN a_only + b_only = 0 THEN NULL
+                    ELSE round(
+                        (abs(a_only - b_only) - 1)
+                        * (abs(a_only - b_only) - 1) * 1.0
+                        / (a_only + b_only), 6)
+               END AS mcnemar_chi2_cc
+        FROM cells
+    """,
+    doc="McNemar's paired test — the right significance test when two "
+    "classifiers score the SAME examples (comparing raw accuracies "
+    "ignores the pairing and wastes power): only the discordant pairs "
+    "matter, b = A-right/B-wrong and c = A-wrong/B-right, and the "
+    "continuity-corrected statistic (|b-c|-1)^2/(b+c) is chi-square(1) "
+    "under the null that both models err at the same rate.  The two "
+    "models here are deterministic stopword rules (contains ' the ' "
+    "vs ' and ' predicting lang='en') so both engines reproduce the "
+    "predictions bit-identically; every cell is an exact integer and "
+    "the statistic is one division, NULL-guarded when no discordant "
+    "pairs exist (the qc46 zero-expectation convention).  Completes "
+    "the paired-data corner of the stats-test family (qd35 "
+    "Mann-Whitney, qd36 ANOVA, qd38 two-proportion z, qd39 exact KS).  "
+    "Scale: single scan, one map-side-combinable aggregate, five "
+    "integer cells of state.",
+)
+def qd44_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        F.col("text").contains(" the ").alias("pred_a"),
+        F.col("text").contains(" and ").alias("pred_b"),
+    )
+    cells = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("pred_a") == F.col("truth"), 1).otherwise(0)).alias(
+            "a_correct"
+        ),
+        F.sum(F.when(F.col("pred_b") == F.col("truth"), 1).otherwise(0)).alias(
+            "b_correct"
+        ),
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("a_only"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("b_only"),
+    )
+    disc = F.col("a_only") + F.col("b_only")
+    gap = F.abs(F.col("a_only") - F.col("b_only")) - 1
+    return cells.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("a_correct").cast("bigint").alias("a_correct"),
+        F.col("b_correct").cast("bigint").alias("b_correct"),
+        F.col("a_only").cast("bigint").alias("a_only_correct"),
+        F.col("b_only").cast("bigint").alias("b_only_correct"),
+        F.when(disc == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(gap * gap * 1.0 / disc, 6))
+        .alias("mcnemar_chi2_cc"),
+    )
+
+
+@register(
+    "qd45_simpson_paradox_audit",
+    oracle="""
+        WITH base AS (
+            SELECT n.n_name,
+                   CAST(round(l.l_discount * 100, 0) AS BIGINT) AS x_pct,
+                   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS y_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        per_nation AS (
+            SELECT n_name,
+                   count(*) AS n,
+                   sum(x_pct) AS sx, sum(y_cents) AS sy,
+                   sum(x_pct * y_cents) AS sxy
+            FROM base GROUP BY n_name
+        ),
+        global_row AS (
+            SELECT count(*) AS n, sum(x_pct) AS sx, sum(y_cents) AS sy,
+                   sum(x_pct * y_cents) AS sxy
+            FROM base
+        ),
+        signed AS (
+            SELECT p.n_name,
+                   CAST(p.n AS BIGINT) AS n_rows,
+                   CAST(sign(CAST(p.n AS HUGEINT) * p.sxy
+                             - CAST(p.sx AS HUGEINT) * p.sy) AS BIGINT)
+                       AS nation_trend,
+                   CAST(sign(CAST(g.n AS HUGEINT) * g.sxy
+                             - CAST(g.sx AS HUGEINT) * g.sy) AS BIGINT)
+                       AS global_trend
+            FROM per_nation p CROSS JOIN global_row g
+        )
+        SELECT n_name, n_rows, nation_trend, global_trend,
+               (nation_trend <> 0 AND global_trend <> 0
+                AND nation_trend <> global_trend) AS trend_reversal
+        FROM signed
+    """,
+    doc="Simpson's-paradox audit: does the discount-revenue trend "
+    "WITHIN each nation disagree with the pooled global trend?  The "
+    "aggregate-vs-stratified sign flip is the classic way a pooled "
+    "dashboard metric lies, and the audit belongs beside every "
+    "segmented KPI.  The trend sign is the covariance numerator "
+    "n*Sxy - Sx*Sy computed in EXACT integer arithmetic — discount "
+    "as integer percent units, price as integer cents, the two "
+    "products cast up (HUGEINT in DuckDB, DECIMAL(38,0) in Spark — "
+    "tight operand casts per the SCALE.md decimal rule so neither "
+    "engine rounds) — so the sign is bit-trustworthy where a float "
+    "regr_slope near zero would jitter across engines.  Scale: one "
+    "star join feeding two map-side-combinable aggregates (per-"
+    "nation + global), a broadcast of the single global row, and "
+    "integer compares.",
+)
+def qd45_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("x_pct"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("y_cents"),
+        )
+    )
+    def _stats(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("n"),
+            F.sum("x_pct").alias("sx"),
+            F.sum("y_cents").alias("sy"),
+            F.sum(F.col("x_pct") * F.col("y_cents")).alias("sxy"),
+        )
+    per_nation = _stats(base, ["n_name"])
+    global_row = _stats(base, []).select(
+        F.col("n").alias("gn"),
+        F.col("sx").alias("gsx"),
+        F.col("sy").alias("gsy"),
+        F.col("sxy").alias("gsxy"),
+    )
+    def _sign(nn, sxy, sx, sy):
+        num = nn.cast("decimal(12,0)") * sxy.cast("decimal(25,0)") - sx.cast(
+            "decimal(15,0)"
+        ) * sy.cast("decimal(22,0)")
+        return F.signum(num.cast("double")).cast("bigint")
+    signed = per_nation.crossJoin(F.broadcast(global_row)).select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_rows"),
+        _sign(F.col("n"), F.col("sxy"), F.col("sx"), F.col("sy")).alias(
+            "nation_trend"
+        ),
+        _sign(F.col("gn"), F.col("gsxy"), F.col("gsx"), F.col("gsy")).alias(
+            "global_trend"
+        ),
+    )
+    return signed.select(
+        "n_name",
+        "n_rows",
+        "nation_trend",
+        "global_trend",
+        (
+            (F.col("nation_trend") != 0)
+            & (F.col("global_trend") != 0)
+            & (F.col("nation_trend") != F.col("global_trend"))
+        ).alias("trend_reversal"),
+    )
+
+
+@register(
+    "qd46_rolling_origin_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        folds AS (
+            SELECT * FROM (VALUES
+                (1, DATE '2024-01-15'),
+                (2, DATE '2024-01-19'),
+                (3, DATE '2024-01-23'),
+                (4, DATE '2024-01-27')
+            ) AS f(fold_id, cutoff)
+        ),
+        test AS (
+            SELECT f.fold_id, a.event_type, a.d, a.cnt AS actual,
+                   coalesce(p.cnt, 0) AS forecast
+            FROM folds f
+            JOIN daily a
+              ON a.d >= f.cutoff AND a.d < f.cutoff + INTERVAL 4 DAY
+            LEFT JOIN daily p
+              ON p.event_type = a.event_type
+             AND p.d = a.d - INTERVAL 7 DAY
+        )
+        SELECT fold_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(actual) AS BIGINT) AS total_actual,
+               CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err,
+               round(sum(abs(actual - forecast)) * 1.0 / sum(actual), 6)
+                   AS wape
+        FROM test
+        GROUP BY fold_id, event_type
+    """,
+    doc="ROLLING-ORIGIN backtest (time-series cross-validation): four "
+    "expanding-origin folds, each forecasting its next 4 days with "
+    "the seasonal-naive lag-7 model and scoring WAPE per event type — "
+    "qd22 backtests ONE origin; this is the honest protocol (k-fold "
+    "shuffling leaks the future, rolling origins don't), and the "
+    "fold-to-fold WAPE spread is the model-stability signal a single "
+    "backtest can't show.  The fold spine is a 4-row literal VALUES "
+    "table joined against the daily-count rollup; forecasts join at "
+    "d-7 (always before every cutoff by construction, so no fold "
+    "ever reads its own test window); counts are exact integers with "
+    "one WAPE division per output row.  Scale: the daily rollup is "
+    "the only data-sized stage (map-side combinable); folds multiply "
+    "the BOUNDED daily table by 4, not the corpus.",
+)
+def qd46_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    folds = spark.createDataFrame(
+        [(1, "2024-01-15"), (2, "2024-01-19"), (3, "2024-01-23"),
+         (4, "2024-01-27")],
+        "fold_id INT, cutoff STRING",
+    ).select("fold_id", F.col("cutoff").cast("date").alias("cutoff"))
+    a = daily.alias("a")
+    p = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("d").alias("p_d"),
+        F.col("cnt").alias("p_cnt"),
+    )
+    test = (
+        F.broadcast(folds)
+        .join(
+            a,
+            (F.col("a.d") >= F.col("cutoff"))
+            & (F.col("a.d") < F.date_add(F.col("cutoff"), 4)),
+        )
+        .join(
+            p,
+            (F.col("p_type") == F.col("a.event_type"))
+            & (F.col("p_d") == F.date_sub(F.col("a.d"), 7)),
+            "left",
+        )
+        .select(
+            "fold_id",
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.cnt").alias("actual"),
+            F.coalesce("p_cnt", F.lit(0)).alias("forecast"),
+        )
+    )
+    return test.groupBy("fold_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("actual").cast("bigint").alias("total_actual"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("bigint")
+        .alias("abs_err"),
+        F.round(
+            F.sum(F.abs(F.col("actual") - F.col("forecast")))
+            * 1.0
+            / F.sum("actual"),
+            6,
+        ).alias("wape"),
+    )

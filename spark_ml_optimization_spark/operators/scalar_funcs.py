@@ -1192,3 +1192,55 @@ def q57c_inline_stack_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   CAST(cents / 10 AS BIGINT))))",
     )
     return stacked.intersect(inlined)
+
+
+@register(
+    "q54c_array_set_ops",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+            WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(t,
+                   ['the', 'and', 'data', 'model', 'spark'])) AS BIGINT)
+                   AS n_shared,
+               CAST(len(list_filter(
+                   list_distinct(['the', 'and', 'data', 'model', 'spark']),
+                   k -> NOT list_contains(t, k))) AS BIGINT) AS n_missing_kw,
+               CAST(len(list_distinct(list_concat(t,
+                   ['the', 'and', 'data', 'model', 'spark']))) AS BIGINT)
+                   AS n_union,
+               CAST(list_position(t, 'the') AS BIGINT) AS first_the_pos,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tok
+        FROM toks
+    """,
+    doc="Array SET operations — the vocabulary q54/q54b leave out: "
+    "array_intersect / array_except / array_union (all three dedup "
+    "their result, pinned here against DuckDB's list_intersect / "
+    "filtered list_distinct / distinct-concat equivalents so the "
+    "dedup convention is hash-verified, not assumed), array_position "
+    "(1-based, 0 when absent in BOTH engines — the off-by-one trap "
+    "this query exists to pin), and array_distinct.  The keyword "
+    "probe list is a 5-element literal, so every set op is "
+    "element-local: no shuffle, fully codegen'd, and at 100 TB these "
+    "run map-side inside whatever scan already reads the text "
+    "column.",
+)
+def q54c_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(k) for k in ["the", "and", "data", "model", "spark"]])
+    toks = d.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.size(F.array_intersect("t", kw)).cast("bigint").alias("n_shared"),
+        F.size(F.array_except(kw, F.col("t"))).cast("bigint").alias(
+            "n_missing_kw"
+        ),
+        F.size(F.array_union("t", kw)).cast("bigint").alias("n_union"),
+        F.array_position("t", "the").cast("bigint").alias("first_the_pos"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tok"),
+    )

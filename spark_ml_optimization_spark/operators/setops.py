@@ -765,3 +765,98 @@ def q30d_null_ordering_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("nulls_last").alias("arm"), "nk", "l_orderkey", "l_linenumber")
     )
     return first.unionAll(last)
+
+
+@register(
+    "q37d_write_conflict_audit",
+    oracle="""
+        WITH parts_all AS (
+            SELECT o_orderpriority AS part_key,
+                   count(*) AS n_rows
+            FROM orders GROUP BY o_orderpriority
+        ),
+        txn_a AS (
+            SELECT DISTINCT o_orderpriority AS part_key
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ),
+        txn_b AS (
+            SELECT o_orderpriority AS part_key,
+                   count(*) AS b_rows
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-03-01'
+              AND o_totalprice > 150000
+            GROUP BY o_orderpriority
+        )
+        SELECT p.part_key,
+               CAST(p.n_rows AS BIGINT) AS n_rows,
+               (a.part_key IS NOT NULL) AS a_writes,
+               (b.part_key IS NOT NULL) AS b_writes,
+               CAST(coalesce(b.b_rows, 0) AS BIGINT) AS b_touched_rows,
+               CASE WHEN a.part_key IS NOT NULL AND b.part_key IS NOT NULL
+                    THEN 'CONFLICT: retry/rebase'
+                    WHEN b.part_key IS NOT NULL
+                    THEN 'commit'
+                    ELSE 'untouched' END AS b_verdict
+        FROM parts_all p
+        LEFT JOIN txn_a a ON p.part_key = a.part_key
+        LEFT JOIN txn_b b ON p.part_key = b.part_key
+    """,
+    doc="Optimistic-concurrency WRITE-CONFLICT detection — the commit-"
+    "time validation rule Delta/Iceberg run when two writers race on "
+    "a partitioned table (table partitioned by o_orderpriority here): "
+    "txn A dynamically overwrites the urgent/high partitions; txn B, "
+    "started concurrently, updates rows matched by a PREDICATE "
+    "(big Jan-Feb-1996 orders) and therefore writes into whichever "
+    "partitions its matched rows live in.  B may commit iff its "
+    "write-partition set is disjoint from A's committed write set — "
+    "per partition the audit reports who writes it, how many rows B "
+    "touches there, and B's verdict (conflict / commit / untouched).  "
+    "This is the q37b/q37c family's missing third leg: MERGE "
+    "semantics, time travel, and now the concurrency rule, all "
+    "emulated relationally on plain parquet so the flip to a real "
+    "table format keeps the same decision table.  Scale: write-set "
+    "resolution is two grouped DISTINCT scans over partition-pruned "
+    "reads — manifest arithmetic, no shuffle grows with table size.",
+)
+def q37d_write_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    parts_all = o.groupBy(F.col("o_orderpriority").alias("part_key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    txn_a = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_orderpriority").alias("part_key"))
+        .distinct()
+        .withColumn("a_marker", F.lit(1))
+    )
+    txn_b = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("o_totalprice") > 150000)
+        )
+        .groupBy(F.col("o_orderpriority").alias("part_key"))
+        .agg(F.count("*").alias("b_rows"))
+    )
+    return (
+        parts_all.join(F.broadcast(txn_a), "part_key", "left")
+        .join(F.broadcast(txn_b), "part_key", "left")
+        .select(
+            "part_key",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("a_marker").isNotNull().alias("a_writes"),
+            F.col("b_rows").isNotNull().alias("b_writes"),
+            F.coalesce("b_rows", F.lit(0)).cast("bigint").alias(
+                "b_touched_rows"
+            ),
+            F.when(
+                F.col("a_marker").isNotNull() & F.col("b_rows").isNotNull(),
+                "CONFLICT: retry/rebase",
+            )
+            .when(F.col("b_rows").isNotNull(), "commit")
+            .otherwise("untouched")
+            .alias("b_verdict"),
+        )
+    )

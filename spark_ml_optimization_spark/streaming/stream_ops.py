@@ -2156,3 +2156,77 @@ def st28_dual_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_audit",
         (F.col("d_serving") == F.col("d_audit")).alias("digests_match"),
     )
+
+
+@register(
+    "st29_stream_ohlc_bars",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_type,
+                   epoch_us(time_bucket(INTERVAL '1 hour',
+                                        CAST(ts AS TIMESTAMP))) AS bar_hour_us,
+                   value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+            FROM events
+        )
+        SELECT event_type, bar_hour_us,
+               arg_min(value, ord_key) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               arg_max(value, ord_key) AS close_v,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM keyed
+        GROUP BY event_type, bar_hour_us
+    """,
+    doc="readStream twin of q68l's OHLC bars: hourly open/high/low/"
+    "close per event_type as a complete-mode streaming aggregate.  "
+    "The interesting bit is that min_by/max_by are MERGEABLE "
+    "aggregates, so the open/close picks ride the streaming state "
+    "store exactly like count — each micro-batch folds its partial "
+    "(value, key) champion into the stored one, which is why this "
+    "works incrementally at all (a window-function formulation of "
+    "'first value per bar' would be unrunnable on a stream).  The "
+    "integer-micro mean is left to the batch twin: complete-mode "
+    "re-emission makes sums deterministic here, but keeping the "
+    "streaming surface to pick/min/max/count keeps every stored "
+    "state O(1) and engine-portable.  Hash-verified against the "
+    "batch oracle over the drained fixture (the st01 contract).",
+)
+def st29_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    keyed = events.select(
+        "event_type",
+        F.window("ts", "1 hour").alias("w"),
+        "value",
+        F.concat(
+            F.lpad(
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                20,
+                "0",
+            ),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"),
+    )
+    agg = (
+        keyed.groupBy("event_type", "w")
+        .agg(
+            F.expr("min_by(value, ord_key)").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.expr("max_by(value, ord_key)").alias("close_v"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "bar_hour_us"
+            ),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
