@@ -1973,3 +1973,98 @@ def qa39_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("class_cents"),
         F.round(F.sum("cents") * 1.0 / F.max("tot"), 6).alias("revenue_share"),
     )
+
+
+@register(
+    "qa41_demand_trend_topk",
+    oracle="""
+        WITH weekly AS (
+            SELECT l.l_partkey AS pk,
+                   CAST(datediff('day', DATE '1995-01-01',
+                                 CAST(o.o_orderdate AS DATE)) // 7
+                        AS BIGINT) AS wk,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100, 0) AS BIGINT)) AS cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY pk, wk
+        ),
+        sums AS (
+            SELECT pk,
+                   count(*) AS n,
+                   sum(wk) AS sx,
+                   sum(cents) AS sy,
+                   sum(wk * cents) AS sxy,
+                   sum(wk * wk) AS sxx
+            FROM weekly GROUP BY pk
+        )
+        SELECT pk AS p_partkey,
+               CAST(n AS BIGINT) AS n_weeks,
+               round((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS slope_cents_per_week
+        FROM sums
+        WHERE n >= 2 AND n * sxx - sx * sx > 0
+        ORDER BY (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) DESC,
+                 pk
+        LIMIT 20
+    """,
+    doc="Demand-trend TOP MOVERS: per-part weekly revenue series fit "
+    "with a closed-form OLS slope, top-20 fastest-growing parts — "
+    "the velocity screen merchandising runs weekly.  The slope is "
+    "assembled from EXACT integer sums (week index as integer days "
+    "since a fixed epoch // 7, revenue in cents; n/sx/sy/sxy/sxx all "
+    "BIGINT) with exactly ONE IEEE division per part, so both "
+    "engines produce bit-identical doubles and the TakeOrdered(20) "
+    "head is deterministic, with p_partkey breaking exact ties — "
+    "unlike regr_slope, whose internal double accumulation is "
+    "partial-order-dependent (the qd45 lesson applied to ranking).  "
+    "Degenerate series (one week, zero week-variance) are excluded "
+    "by an integer guard, not a NaN filter.  Scale: one (part, week) "
+    "rollup with map-side combine, one per-part fold, TakeOrdered — "
+    "no window, no sort of the full relation.",
+)
+def qa41_demand_trend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("wk"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("row_cents"),
+        )
+        .groupBy("pk", "wk")
+        .agg(F.sum("row_cents").alias("cents"))
+    )
+    sums = weekly.groupBy("pk").agg(
+        F.count("*").alias("n"),
+        F.sum("wk").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("wk") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num * 1.0 / den
+    return (
+        sums.filter((F.col("n") >= 2) & (den > 0))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("n").cast("bigint").alias("n_weeks"),
+            F.round(slope, 6).alias("slope_cents_per_week"),
+            slope.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "p_partkey")
+        .limit(20)
+        .drop("_ord")
+    )

@@ -3308,3 +3308,71 @@ def qc54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+@register(
+    "qc57_epoch_exhaustion_schedule",
+    oracle="""
+        WITH avail AS (
+            SELECT source,
+                   CAST(substr(source, 4) AS BIGINT) + 1 AS w_units,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            w -> w <> ''))) AS BIGINT)
+                       AS tokens
+            FROM documents
+            GROUP BY source
+        )
+        SELECT source, tokens,
+               CAST(w_units AS BIGINT) AS w_units,
+               CAST(100000000 * w_units // 210 AS BIGINT) AS budget_tokens,
+               CAST((100000000 * w_units // 210 + tokens - 1) // tokens
+                    AS BIGINT) AS epochs_ceil,
+               round((100000000 * w_units // 210) * 1.0 / tokens, 6)
+                   AS repeat_factor,
+               (100000000 * w_units // 210 > 4 * tokens) AS over_repeat
+        FROM avail
+    """,
+    doc="Epoch-exhaustion schedule for a data-constrained mixture "
+    "(Muennighoff et al. 2023, 'Scaling Data-Constrained Language "
+    "Models'): given a 100M-token training budget and per-source "
+    "mixture weights (deterministic w_units = source index + 1, "
+    "summing to 210 across src0..src19), how many EPOCHS of each "
+    "source does the run consume, and which sources repeat past the "
+    "~4-epoch point where repeated data stops helping?  "
+    "repeat_factor = budget_share / available is the continuous "
+    "answer, epochs_ceil the integer one (ceiling division as "
+    "(n+d-1)//d in exact integers), over_repeat the 4x gate as an "
+    "integer cross-multiplication.  qc19/qc24 waterfill a budget "
+    "across sources; THIS inverts the question to repetition per "
+    "source — the two together are the mixture-planning loop.  "
+    "Scale: the per-source token rollup is the only corpus-sized "
+    "stage (map-side combinable); everything after is arithmetic on "
+    "one row per source.",
+)
+def qc57_epoch_exhaustion_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.expr("filter(split(text, ' '), w -> w != '')")).cast(
+                "long"
+            )
+        ).alias("tokens")
+    )
+    w_units = (F.substring("source", 4, 10).cast("long") + 1).alias("w_units")
+    avail = avail.select("source", "tokens", w_units)
+    budget = F.expr("(100000000 * w_units) div 210")
+    return avail.select(
+        "source",
+        "tokens",
+        F.col("w_units").cast("bigint").alias("w_units"),
+        budget.cast("bigint").alias("budget_tokens"),
+        F.expr(
+            "((100000000 * w_units) div 210 + tokens - 1) div tokens"
+        )
+        .cast("bigint")
+        .alias("epochs_ceil"),
+        F.round(budget * 1.0 / F.col("tokens"), 6).alias("repeat_factor"),
+        (budget > 4 * F.col("tokens")).alias("over_repeat"),
+    )

@@ -1588,7 +1588,9 @@ def q62c_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFra
     "wiggle the last double bit.  Scale: one map-side-combinable "
     "hash aggregate keyed by (type, hour) — min_by/max_by/min/max/"
     "sum/count all carry O(1) partial state, so a year of 100 TB "
-    "ticks rolls up in a single shuffle with no window, no sort.",
+    "ticks rolls up in a single shuffle with no window and no GLOBAL "
+    "sort (the string pick key forces SortAggregate — a per-partition "
+    "grouping sort over mergeable partials, not a data sort).",
 )
 def q68l_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

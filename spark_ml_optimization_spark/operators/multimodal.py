@@ -798,3 +798,128 @@ def mm09_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "doc_id")
         .select("doc_id", "n_frames", "n_scene_changes", "max_delta")
     )
+
+
+@register(
+    "mm10_keyframe_selection",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id, CAST(doc_id % 6 + 3 AS INT) AS n_frames,
+                   rpad(text, {_SC_FLEN + 7 * _SC_STRIDE}, '.') AS padded
+            FROM documents
+        ),
+        frames AS (
+            SELECT d.doc_id, d.n_frames, f,
+                   (SELECT sum(ascii(substr(d.padded, f * {_SC_STRIDE} + j, 1)))
+                    FROM UNNEST(generate_series(1, {_SC_FLEN})) s(j)) AS fsum
+            FROM dims d CROSS JOIN UNNEST(generate_series(0, d.n_frames - 1)) u(f)
+        ),
+        cuts AS (
+            SELECT doc_id, f, fsum,
+                   CASE WHEN f = 0 OR
+                        abs(fsum - lag(fsum) OVER w) > {_SC_THRESH}
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM frames
+            WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        ),
+        scenes AS (
+            SELECT doc_id, f, fsum,
+                   sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS scene_id
+            FROM cuts
+        ),
+        ranked AS (
+            SELECT doc_id, scene_id, f, fsum,
+                   row_number() OVER (PARTITION BY doc_id, scene_id
+                                      ORDER BY fsum DESC, f ASC) AS rn,
+                   count(*) OVER (PARTITION BY doc_id, scene_id)
+                       AS scene_len
+            FROM scenes
+        )
+        SELECT doc_id,
+               CAST(scene_id AS BIGINT) AS scene_id,
+               CAST(scene_len AS BIGINT) AS scene_len,
+               CAST(f AS BIGINT) AS keyframe_idx,
+               CAST(fsum AS BIGINT) AS keyframe_sum
+        FROM ranked WHERE rn = 1
+    """,
+    doc="KEYFRAME selection per scene — the frame a captioning/"
+    "embedding stage actually decodes: mm09's cut detector segments "
+    "each planted container into scenes (frame 0 opens scene 1; any "
+    f"|lag delta| > {_SC_THRESH} opens the next), and within each "
+    "scene the brightest frame (max intensity sum, earliest-frame "
+    "tiebreak) is elected representative — the standard "
+    "sample-one-per-scene policy that cuts downstream decode cost "
+    "from frames to scenes.  Reuses mm09's Arrow frame-split kernel "
+    "verbatim (same payload layout, same exact integer frame sums); "
+    "segmentation is a cut-flag running sum and election is one "
+    "row_number over (doc, scene) — every quantity an integer, the "
+    "whole chain hash-verified against the positional char-code "
+    "oracle.  Scale: payloads never shuffle (map-side kernel); the "
+    "windows partition by doc (bounded 8 frames).",
+)
+def mm10_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.col("doc_id") % 6 + 3).cast("int")
+    frame_arr = F.expr(
+        f"transform(sequence(0, doc_id % 6 + 2), "
+        f"f -> substr(padded, f * {_SC_STRIDE} + 1, {_SC_FLEN}))"
+    )
+    src = (
+        d.withColumn(
+            "padded",
+            F.rpad(_ascii_guarded_text("mm09"), _SC_FLEN + 7 * _SC_STRIDE, "."),
+        )
+        .select(
+            "doc_id",
+            F.encode(F.concat_ws("", frame_arr), "UTF-8").alias("payload"),
+            n_frames.alias("n_frames"),
+        )
+    )
+    frames = src.mapInPandas(
+        _scene_batch, schema="doc_id long, frame_idx int, fsum long"
+    )
+    w_ord = W.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.select(
+        "doc_id",
+        "frame_idx",
+        "fsum",
+        F.when(
+            (F.col("frame_idx") == 0)
+            | (F.abs(F.col("fsum") - F.lag("fsum").over(w_ord)) > _SC_THRESH),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        "frame_idx",
+        "fsum",
+        F.sum("is_cut")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .alias("scene_id"),
+    )
+    w_rank = W.partitionBy("doc_id", "scene_id").orderBy(
+        F.col("fsum").desc(), F.col("frame_idx").asc()
+    )
+    ranked = scenes.select(
+        "doc_id",
+        "scene_id",
+        "frame_idx",
+        "fsum",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id", "scene_id")).alias(
+            "scene_len"
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("scene_id").cast("bigint").alias("scene_id"),
+        F.col("scene_len").cast("bigint").alias("scene_len"),
+        F.col("frame_idx").cast("bigint").alias("keyframe_idx"),
+        F.col("fsum").cast("bigint").alias("keyframe_sum"),
+    )

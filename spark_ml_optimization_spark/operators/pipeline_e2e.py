@@ -1560,3 +1560,212 @@ def qp12_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum(pair_int).cast("bigint").alias("triplet_checksum"),
     )
+
+
+@register(
+    "qp13_point_in_time_features",
+    oracle="""
+        WITH snap AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate)
+                        + INTERVAL 1 MONTH AS DATE) AS valid_from,
+                   count(*) AS m_orders,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+            FROM orders
+            GROUP BY o_custkey, date_trunc('month', o_orderdate)
+        ),
+        cum AS (
+            SELECT o_custkey, valid_from,
+                   sum(m_orders) OVER w AS cum_orders,
+                   sum(m_cents) OVER w AS cum_cents
+            FROM snap
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pit AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   max(c.valid_from) AS snap_ts
+            FROM orders o
+            JOIN cum c
+              ON c.o_custkey = o.o_custkey
+             AND c.valid_from <= CAST(o.o_orderdate AS DATE)
+            GROUP BY o.o_orderkey, o.o_custkey
+        )
+        SELECT a.o_orderkey,
+               CAST(c.cum_orders AS BIGINT) AS feat_prior_orders,
+               CAST(c.cum_cents AS BIGINT) AS feat_prior_cents
+        FROM pit a
+        JOIN cum c ON c.o_custkey = a.o_custkey AND c.valid_from = a.snap_ts
+    """,
+    doc="POINT-IN-TIME correct feature join — the feature-store "
+    "operation that decides whether a trained model is honest: each "
+    "label row (an order) must see ONLY features computed from data "
+    "strictly before it.  Features live in monthly SNAPSHOTS (per "
+    "customer: cumulative orders/revenue, valid from the month AFTER "
+    "the data they summarize — the publication delay that makes the "
+    "join leakage-free by construction), and each order as-of joins "
+    "to the latest snapshot with valid_from <= order date.  Orders in "
+    "a customer's first active month correctly get NO feature row "
+    "(nothing is published yet) rather than a leaked same-month "
+    "aggregate — the silent off-by-one-month bug this operator exists "
+    "to pin; the inner join dropping them is the assertion.  Scale: "
+    "the snapshot table is |customers| x |active months| — tiny next "
+    "to the label stream; the as-of resolves as a customer-keyed "
+    "equi-join + max aggregate (the q65 pattern), never a per-label "
+    "range scan, and the cumulative window partitions by customer.",
+)
+def qp13_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.groupBy(
+        "o_custkey",
+        F.add_months(F.date_trunc("month", "o_orderdate"), 1).alias(
+            "valid_from"
+        ),
+    ).agg(
+        F.count("*").alias("m_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "m_cents"
+        ),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("valid_from")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = snap.select(
+        F.col("o_custkey").alias("c_key"),
+        "valid_from",
+        F.sum("m_orders").over(w).alias("cum_orders"),
+        F.sum("m_cents").over(w).alias("cum_cents"),
+    )
+    labels = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    asof = (
+        labels.join(
+            cum.select("c_key", "valid_from"),
+            (F.col("c_key") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate").cast("date")),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.max("valid_from").alias("snap_ts"))
+    )
+    return asof.join(
+        cum,
+        (cum["c_key"] == asof["o_custkey"])
+        & (cum["valid_from"] == asof["snap_ts"]),
+    ).select(
+        "o_orderkey",
+        F.col("cum_orders").cast("bigint").alias("feat_prior_orders"),
+        F.col("cum_cents").cast("bigint").alias("feat_prior_cents"),
+    )
+
+
+@register(
+    "qp14_ab_experiment_pipeline",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '8'
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        outcome AS (
+            SELECT a.user_id, a.arm,
+                   CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS converted
+            FROM assign a
+            LEFT JOIN (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase') p
+              ON a.user_id = p.user_id
+        ),
+        cells AS (
+            SELECT
+                count(*) AS n,
+                sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+                sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS c_a,
+                sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS c_b
+            FROM outcome
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               round((n_a - n_b) * (n_a - n_b) * 1.0 / n, 6) AS srm_chi2,
+               ((n_a - n_b) * (n_a - n_b) * 100 < 384 * n) AS srm_pass,
+               CAST(c_a AS BIGINT) AS conv_a,
+               CAST(c_b AS BIGINT) AS conv_b,
+               round(c_a * 1.0 / n_a - c_b * 1.0 / n_b, 6) AS rate_gap,
+               round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                     / sqrt((c_a + c_b) * 1.0 / n
+                            * (1 - (c_a + c_b) * 1.0 / n)
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+        FROM cells
+    """,
+    doc="A/B EXPERIMENT pipeline end-to-end — assignment, sample-ratio "
+    "guard, outcome test, one decision row: users are hashed into "
+    "arms by their md5 first hex digit (the qc03 deterministic-"
+    "assignment convention — the ONLY sound way to randomize without "
+    "storing an assignment table), the SRM (sample-ratio-mismatch) "
+    "guard computes the 50/50 chi-square (n_a-n_b)^2/n with the "
+    "3.84 critical value as the INTEGER cross-multiplication "
+    "100*(n_a-n_b)^2 < 384*n, i.e. |n_a-n_b| < 1.96*sqrt(n): the "
+    "experiment is void "
+    "if assignment itself is biased — the check every A/B platform "
+    "runs before looking at outcomes), and conversion (any "
+    "'purchase' event) is compared with the qd38 pooled two-"
+    "proportion z.  Every cell is an exact integer; the z divides "
+    "and sqrts identical integers in both engines.  Scale: one "
+    "distinct-user pass, one semi-joinable outcome pass, one 5-cell "
+    "aggregate — assignment is a pure hash expression, so the "
+    "pipeline has no per-user state anywhere.",
+)
+def qp14_ab_experiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    purchasers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("p_marker", F.lit(1))
+    )
+    outcome = assign.join(purchasers, "user_id", "left").select(
+        "arm",
+        F.when(F.col("p_marker").isNotNull(), 1).otherwise(0).alias(
+            "converted"
+        ),
+    )
+    cells = outcome.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    gap = F.col("c_a") * 1.0 / F.col("n_a") - F.col("c_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) * 1.0 / F.col("n")
+    z = gap / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    d2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(d2 * 1.0 / F.col("n"), 6).alias("srm_chi2"),
+        (d2 * 100 < 384 * F.col("n")).alias("srm_pass"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(gap, 6).alias("rate_gap"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -3517,3 +3517,371 @@ def qd46_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+@register(
+    "qd47_outlier_consensus",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        stats AS (
+            SELECT grp,
+                   quantile_cont(cents, 0.25) AS q1,
+                   quantile_cont(cents, 0.75) AS q3,
+                   quantile_cont(cents, 0.5) AS med,
+                   quantile_cont(cents, 0.01) AS p01,
+                   quantile_cont(cents, 0.99) AS p99
+            FROM base GROUP BY grp
+        ),
+        mad AS (
+            SELECT b.grp,
+                   quantile_cont(abs(b.cents - s.med), 0.5) AS mad_v
+            FROM base b JOIN stats s ON b.grp = s.grp
+            GROUP BY b.grp
+        ),
+        votes AS (
+            SELECT b.grp,
+                   CASE WHEN b.cents < s.q1 - 1.5 * (s.q3 - s.q1)
+                          OR b.cents > s.q3 + 1.5 * (s.q3 - s.q1)
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN m.mad_v > 0 AND
+                        abs(b.cents - s.med) > 3.5 * m.mad_v / 0.6745
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN b.cents < s.p01 OR b.cents > s.p99
+                        THEN 1 ELSE 0 END AS n_votes
+            FROM base b
+            JOIN stats s ON b.grp = s.grp
+            JOIN mad m ON b.grp = m.grp
+        )
+        SELECT grp, CAST(n_votes AS BIGINT) AS n_votes,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM votes
+        GROUP BY grp, n_votes
+    """,
+    doc="ENSEMBLE outlier consensus — three deterministic screens the "
+    "repo ships individually (qd05 IQR fence, qd08/qd43 median/MAD "
+    "modified z, and the P1/P99 tail-quantile cut) voting on the "
+    "same points, rolled up to a per-group vote histogram: points "
+    "all three flag are actionable, 1-of-3 flags are method "
+    "artifacts (the tail cut flags a FIXED 2%% by construction; the "
+    "robust screens flag by distance — the disagreement IS the "
+    "distribution-shape signal).  A classic mean/stddev z-screen is "
+    "deliberately NOT in the ensemble: Welford-merge stddev doubles "
+    "depend on partial-aggregation order, so its 3-sigma boundary "
+    "is not engine-stable — the three screens here compare exact "
+    "integer cents against interpolated percentiles that both "
+    "engines compute with the same closed formula (the qd05/qd06 "
+    "parity precedent).  Scale: two grouped percentile passes + one "
+    "broadcast scalar table + a map-side vote — shared, not tripled.",
+)
+def qd47_outlier_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    stats = base.groupBy("grp").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+        F.expr("percentile(cents, 0.01)").alias("p01"),
+        F.expr("percentile(cents, 0.99)").alias("p99"),
+    )
+    mad = (
+        base.join(F.broadcast(stats.select("grp", "med")), "grp")
+        .groupBy("grp")
+        .agg(F.expr("percentile(abs(cents - med), 0.5)").alias("mad_v"))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    votes = (
+        base.join(F.broadcast(stats), "grp")
+        .join(F.broadcast(mad), "grp")
+        .select(
+            "grp",
+            (
+                F.when(
+                    (F.col("cents") < F.col("q1") - 1.5 * iqr)
+                    | (F.col("cents") > F.col("q3") + 1.5 * iqr),
+                    1,
+                ).otherwise(0)
+                + F.when(
+                    (F.col("mad_v") > 0)
+                    & (
+                        F.abs(F.col("cents") - F.col("med"))
+                        > 3.5 * F.col("mad_v") / 0.6745
+                    ),
+                    1,
+                ).otherwise(0)
+                + F.when(
+                    (F.col("cents") < F.col("p01"))
+                    | (F.col("cents") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_votes"),
+        )
+    )
+    return (
+        votes.groupBy("grp", "n_votes")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            "grp",
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "qd48_scd2_validity_audit",
+    oracle="""
+        WITH versions AS (
+            SELECT o_custkey AS k, o_orderkey AS vid,
+                   CAST(o_orderdate AS DATE) AS v_start,
+                   lead(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS v_end_clean
+            FROM orders
+        ),
+        corrupted AS (
+            SELECT k, vid, v_start,
+                   CASE WHEN v_end_clean IS NULL THEN NULL
+                        WHEN k % 97 = 0 THEN v_end_clean + INTERVAL 10 DAY
+                        WHEN k % 89 = 0 THEN v_end_clean - INTERVAL 5 DAY
+                        ELSE v_end_clean END AS v_end
+            FROM versions
+        ),
+        seq AS (
+            SELECT k, v_start, v_end,
+                   lead(v_start) OVER (
+                       PARTITION BY k ORDER BY v_start, vid
+                   ) AS next_start
+            FROM corrupted
+        ),
+        per_key AS (
+            SELECT k,
+                   count(*) AS n_versions,
+                   sum(CASE WHEN next_start IS NOT NULL
+                             AND CAST(v_end AS DATE) > next_start
+                            THEN 1 ELSE 0 END) AS n_overlaps,
+                   sum(CASE WHEN next_start IS NOT NULL
+                             AND CAST(v_end AS DATE) < next_start
+                            THEN 1 ELSE 0 END) AS n_gaps,
+                   sum(CASE WHEN v_end IS NULL THEN 1 ELSE 0 END)
+                       AS n_open
+            FROM seq GROUP BY k
+        )
+        SELECT CASE WHEN n_overlaps > 0 THEN 'overlap'
+                    WHEN n_gaps > 0 THEN 'gap'
+                    WHEN n_open <> 1 THEN 'bad_current_count'
+                    ELSE 'clean' END AS verdict,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n_versions) AS BIGINT) AS n_versions,
+               CAST(sum(n_overlaps) AS BIGINT) AS n_overlaps,
+               CAST(sum(n_gaps) AS BIGINT) AS n_gaps
+        FROM per_key
+        GROUP BY 1
+    """,
+    doc="SCD2 VALIDITY audit — the invariant checker every slowly-"
+    "changing-dimension pipeline (q37's MERGE emulation included) "
+    "must run: per key, consecutive version intervals must tile time "
+    "exactly (no overlaps, no gaps) and exactly ONE current (open-"
+    "ended) row must exist.  The audited table is built from the "
+    "orders history and then deterministically CORRUPTED (keys "
+    "divisible by 97 get +10-day ends -> overlaps; by 89 get -5-day "
+    "ends -> gaps — the src15 planted-pattern convention), so the "
+    "audit's recall is proven by construction, not assumed: clean "
+    "keys come out 'clean', every planted class lands in its "
+    "verdict bucket.  Detection is one lead() window per key "
+    "(adjacent-interval compare — never a self-join) and all "
+    "comparisons are DATE-exact.  Scale: window partitions by the "
+    "dimension key; the audit costs one pass over the dimension, "
+    "which is always the small side of a warehouse.",
+)
+def qd48_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w_lead = W.partitionBy("k").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.col("o_custkey").alias("k"),
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderdate").cast("date").alias("v_start"),
+        F.lead(F.col("o_orderdate").cast("date"))
+        .over(W.partitionBy(F.col("o_custkey")).orderBy("o_orderdate", "o_orderkey"))
+        .alias("v_end_clean"),
+    )
+    corrupted = versions.select(
+        "k",
+        F.col("o_orderkey").alias("vid"),
+        "v_start",
+        F.when(F.col("v_end_clean").isNull(), F.lit(None).cast("date"))
+        .when(F.col("k") % 97 == 0, F.date_add("v_end_clean", 10))
+        .when(F.col("k") % 89 == 0, F.date_sub("v_end_clean", 5))
+        .otherwise(F.col("v_end_clean"))
+        .alias("v_end"),
+    )
+    # The interval sequence must be ordered by a UNIQUE key: ordering
+    # tied v_starts by v_end would put the NULL-ended current row at
+    # engine-dependent positions (Spark sorts NULLs first, DuckDB
+    # last) and flip one overlap flag per affected key.
+    seq = corrupted.select(
+        "k",
+        "v_start",
+        "v_end",
+        F.lead("v_start")
+        .over(W.partitionBy("k").orderBy("v_start", "vid"))
+        .alias("next_start"),
+    )
+    per_key = seq.groupBy("k").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("next_start").isNotNull()
+                & (F.col("v_end") > F.col("next_start")),
+                1,
+            ).otherwise(0)
+        ).alias("n_overlaps"),
+        F.sum(
+            F.when(
+                F.col("next_start").isNotNull()
+                & (F.col("v_end") < F.col("next_start")),
+                1,
+            ).otherwise(0)
+        ).alias("n_gaps"),
+        F.sum(F.when(F.col("v_end").isNull(), 1).otherwise(0)).alias(
+            "n_open"
+        ),
+    )
+    return (
+        per_key.select(
+            F.when(F.col("n_overlaps") > 0, "overlap")
+            .when(F.col("n_gaps") > 0, "gap")
+            .when(F.col("n_open") != 1, "bad_current_count")
+            .otherwise("clean")
+            .alias("verdict"),
+            "n_versions",
+            "n_overlaps",
+            "n_gaps",
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_versions").cast("bigint").alias("n_versions"),
+            F.sum("n_overlaps").cast("bigint").alias("n_overlaps"),
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+        )
+    )
+
+
+@register(
+    "qd49_forecast_interval_coverage",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        paired AS (
+            SELECT a.event_type, a.d, a.cnt AS actual, p.cnt AS fc
+            FROM daily a
+            JOIN daily p ON p.event_type = a.event_type
+                        AND p.d = a.d - INTERVAL 7 DAY
+        ),
+        train_resid AS (
+            SELECT event_type, actual - fc AS resid
+            FROM paired WHERE d < DATE '2024-01-22'
+        ),
+        pi AS (
+            SELECT event_type,
+                   count(*) AS n_train,
+                   quantile_cont(resid, 0.05) AS r05,
+                   quantile_cont(resid, 0.95) AS r95
+            FROM train_resid GROUP BY event_type
+        )
+        SELECT t.event_type,
+               CAST(pi.n_train AS BIGINT) AS n_train_resid,
+               CAST(count(*) AS BIGINT) AS n_test_days,
+               CAST(sum(CASE WHEN t.actual >= t.fc + pi.r05
+                              AND t.actual <= t.fc + pi.r95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               round(sum(CASE WHEN t.actual >= t.fc + pi.r05
+                               AND t.actual <= t.fc + pi.r95
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS coverage,
+               round(pi.r95 - pi.r05, 6) AS pi_width
+        FROM paired t
+        JOIN pi ON t.event_type = pi.event_type
+        WHERE t.d >= DATE '2024-01-22'
+        GROUP BY t.event_type, pi.n_train, pi.r05, pi.r95
+    """,
+    doc="Forecast PREDICTION-INTERVAL coverage — the uncertainty leg "
+    "the point backtests (qd22 single-origin, qd46 rolling-origin) "
+    "leave open: train-period residuals of the lag-7 seasonal-naive "
+    "model yield an empirical [P5, P95] band, and the test period "
+    "measures how often actuals land inside forecast+band — the "
+    "number an alerting threshold is actually tuned against "
+    "(nominal 90%%; the gap between nominal and measured IS the "
+    "calibration verdict, same logic as ml33's probability "
+    "calibration but for forecasts).  Counts are exact integers; "
+    "the band endpoints are interpolated percentiles both engines "
+    "compute with the same closed formula (qd05/qd06 precedent); "
+    "coverage divides two integers once.  Scale: one daily rollup, "
+    "one self-join at lag 7 (date equi-join), one bounded "
+    "per-type percentile pass — the band table broadcasts.",
+)
+def qd49_forecast_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    p = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("d").alias("p_d"),
+        F.col("cnt").alias("fc"),
+    )
+    paired = daily.join(
+        p,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_d") == F.date_sub(F.col("d"), 7)),
+    ).select("event_type", "d", F.col("cnt").alias("actual"), "fc")
+    cutoff = F.lit("2024-01-22").cast("date")
+    train = paired.filter(F.col("d") < cutoff).select(
+        "event_type", (F.col("actual") - F.col("fc")).alias("resid")
+    )
+    pi = train.groupBy("event_type").agg(
+        F.count("*").alias("n_train"),
+        F.expr("percentile(resid, 0.05)").alias("r05"),
+        F.expr("percentile(resid, 0.95)").alias("r95"),
+    )
+    test = paired.filter(F.col("d") >= cutoff).join(
+        F.broadcast(pi), "event_type"
+    )
+    covered = F.when(
+        (F.col("actual") >= F.col("fc") + F.col("r05"))
+        & (F.col("actual") <= F.col("fc") + F.col("r95")),
+        1,
+    ).otherwise(0)
+    return (
+        test.groupBy("event_type", "n_train", "r05", "r95")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_days"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            F.round(F.sum(covered) * 1.0 / F.count("*"), 6).alias(
+                "coverage"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train_resid"),
+            "n_test_days",
+            "n_covered",
+            "coverage",
+            F.round(F.col("r95") - F.col("r05"), 6).alias("pi_width"),
+        )
+    )

@@ -491,3 +491,136 @@ def q41c_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "q44b_weighted_moving_average",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS v_micro
+            FROM events
+        ),
+        lagged AS (
+            SELECT user_id, event_type, event_id, ts_us, v_micro,
+                   lag(v_micro, 1) OVER w AS v1,
+                   lag(v_micro, 2) OVER w AS v2
+            FROM u
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts_us, event_id)
+        )
+        SELECT user_id, event_type, event_id, ts_us,
+               round(v_micro / 1000000.0, 6) AS v,
+               CASE WHEN v2 IS NULL THEN NULL
+                    ELSE round((3 * v_micro + 2 * v1 + v2)
+                               / 6000000.0, 6)
+               END AS wma3
+        FROM lagged
+    """,
+    doc="Linearly-WEIGHTED moving average (WMA-3: weights 3/2/1 over "
+    "the current and two prior observations per user+type series) — "
+    "the lag-k vocabulary row the frame-based q44 moving average "
+    "can't express, because frame aggregates weight every row "
+    "equally; recency-weighted smoothing needs explicit lag() terms "
+    "(or q68b's EWMA recurrence when the horizon is unbounded).  "
+    "Values are quantized to integer micro-units BEFORE the weighted "
+    "sum, so 3v+2v1+v2 is exact BIGINT arithmetic and the single "
+    "division at the end is engine-stable; warm-up rows (fewer than "
+    "2 predecessors) emit NULL rather than a partially-weighted "
+    "value — the convention that keeps downstream averages unbiased. "
+    "Scale: one window pass PARTITIONED BY (user, type) — the "
+    "natural series key; no global sort.",
+)
+def q44b_weighted_moving_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v_micro"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    lagged = u.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        "v_micro",
+        F.lag("v_micro", 1).over(w).alias("v1"),
+        F.lag("v_micro", 2).over(w).alias("v2"),
+    )
+    return lagged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.round(F.col("v_micro") / 1000000.0, 6).alias("v"),
+        F.when(F.col("v2").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (3 * F.col("v_micro") + 2 * F.col("v1") + F.col("v2"))
+                / 6000000.0,
+                6,
+            )
+        )
+        .alias("wma3"),
+    )
+
+
+@register(
+    "q47c_trailing_error_burst",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                       AS err_in_10
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(err_in_10) AS BIGINT) AS peak_err_in_10,
+               CAST(sum(CASE WHEN err_in_10 >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_burst_moments
+        FROM flagged
+        GROUP BY user_id
+    """,
+    doc="CONDITIONAL trailing-window count — errors among each user's "
+    "last 10 events at every moment (sum of a CASE inside a rows "
+    "frame: the predicate-in-frame vocabulary q43/q44 leave out), "
+    "rolled up to the per-user burst profile: peak trailing error "
+    "density and how many moments crossed the >=3-in-10 alert "
+    "line.  This is the sliding error-budget / circuit-breaker "
+    "computation monitoring systems run per entity; all counts are "
+    "exact integers so the alert boundary is engine-stable.  Scale: "
+    "one window pass PARTITIONED BY user (bounded 10-row frame "
+    "state) + one grouped agg — the shuffle key is the entity key.",
+)
+def q47c_trailing_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(-9, 0)
+    )
+    flagged = e.select(
+        "user_id",
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .over(w)
+        .alias("err_in_10"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("err_in_10").cast("bigint").alias("peak_err_in_10"),
+        F.sum(F.when(F.col("err_in_10") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_burst_moments"),
+    )

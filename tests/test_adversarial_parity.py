@@ -110,6 +110,17 @@ ADV_FAMILIES = [
     "qc50_mixture_temperature",   # no probe langs at all -> NULL-propagating empty aggregate
     "q84g_label_propagation",     # single-part baskets -> EMPTY strong graph rounds
     "q84h_adamic_adar",           # empty strong graph -> zero candidate pairs
+    # round-7 wave L-R luck-sensitive additions:
+    "q66e_interval_coverage",     # same-instant events (tie order) + exact-adjacency merges
+    "q68l_ohlc_bars",             # same-instant open/close picks resolved by composite key
+    "qa37_window_funnel",         # same-microsecond stage ties under strict >; stage-less users
+    "qc53_length_bucket_packing", # ragged last batch; degenerate single-token docs
+    "qc54_dup_ngram_fraction",    # <5-token docs excluded; all-identical-token docs fully covered
+    "qd48_scd2_validity_audit",   # duplicate order dates: tied v_start + NULL-end ordering (the
+                                  # Spark-NULLS-FIRST vs DuckDB-NULLS-LAST trap fixed via vid tiebreak)
+    "qd47_outlier_consensus",     # percentile boundaries under heavy ties; tiny groups
+    "qp13_point_in_time_features",  # single-order customers: first-month rows correctly dropped
+    "qp14_ab_experiment_pipeline",  # tiny arms; zero-conversion arm keeps z finite via pooled rate
 ]
 
 

@@ -41,6 +41,7 @@ def test_sql_oracle_parity_sf0001(spark, duck_smoke, name):
         "qc13_zorder_file_stats": curation.qc13_oracle_for,
         "qc18_small_file_compaction": curation.qc18_oracle_for,
         "q37b_merge_delete_compact": setops.q37b_oracle_for,
+        "q37c_time_travel": setops.q37c_oracle_for,
     }
     if name in rerender:
         oracle = rerender[name](SF_SMOKE)

@@ -37,6 +37,7 @@ def _oracle_sql_for(name: str, q) -> str:
         "qc13_zorder_file_stats": curation.qc13_oracle_for,
         "qc18_small_file_compaction": curation.qc18_oracle_for,
         "q37b_merge_delete_compact": setops.q37b_oracle_for,
+        "q37c_time_travel": setops.q37c_oracle_for,
     }
     return rerender[name](SF_SMOKE) if name in rerender else q.oracle
 
@@ -57,7 +58,11 @@ def test_all_sql_oracles_sf0001_threaded(spark):
     # scratch dirs) — run them serially first, the rest threaded.
     eager_prefixes = ("st", "src", "ml", "qc13", "qc18")
     serial = [n for n in names if n.startswith(eager_prefixes)]
-    serial += [n for n in names if n in ("q37b_merge_delete_compact",)]
+    serial += [
+        n
+        for n in names
+        if n in ("q37b_merge_delete_compact", "q37c_time_travel")
+    ]
     threaded = [n for n in names if n not in set(serial)]
 
     failures: list[str] = []

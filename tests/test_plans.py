@@ -532,3 +532,36 @@ def test_global_with_ties_topk_is_window_free(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ohlc_bars_is_single_mergeable_aggregate(spark):
+    """q68l's open/close picks must ride min_by/max_by inside ONE hash
+    aggregate pair — no WindowExec, no sort: the whole design is that
+    first/last-by-time becomes O(1)-state mergeable aggregation."""
+    df = all_queries()["q68l_ohlc_bars"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "Window" not in plan
+    # string-keyed min_by state has no fixed-size hash buffer, so Spark
+    # picks SortAggregate — still partial+final mergeable aggregation
+    # (the sort is per-partition grouping, never a global data sort).
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2  # one partial->final exchange
+
+
+def test_demand_trend_topk_is_takeordered(spark):
+    """qa41's global head must be TakeOrdered (k rows per partition +
+    driver merge), never a full Sort of the per-part slope table."""
+    df = all_queries()["qa41_demand_trend_topk"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_point_in_time_features_has_no_cartesian(spark):
+    """qp13's as-of resolution must stay an equi-join on the customer
+    key (range predicate as a post-filter), never a nested-loop over
+    labels x snapshots."""
+    df = all_queries()["qp13_point_in_time_features"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

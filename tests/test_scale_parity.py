@@ -129,6 +129,15 @@ SCALE_SENSITIVE = [
     # banding-config candidate counts only bite under sf0.1's planted
     # near-dup density (the 2x8 config is empty at sf0.01).
     "q72f_banding_tradeoff",
+    # round-7 wave additions whose results are density-coupled: the
+    # containment pair set and dup-5-gram coverage shift with corpus
+    # repetition; q84j rides the same strong-graph substrate as
+    # q84g/h/i; qd48's planted corruption classes only co-occur (a key
+    # divisible by both 97 and 89) once custkeys reach 8633 at sf0.1.
+    "qc56_containment_dedup",
+    "qc54_dup_ngram_fraction",
+    "q84j_jaccard_link_prediction",
+    "qd48_scd2_validity_audit",
 ]
 
 TABLES = (
