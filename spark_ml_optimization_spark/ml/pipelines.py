@@ -160,10 +160,12 @@ def ml02_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc="The core MLlib-tuning operator: multinomial LogisticRegression "
     "on embedding features vs the 10-class label, ParamGridBuilder over "
-    "regParam/elasticNetParam, CrossValidator(numFolds=3, parallelism=4, "
+    "regParam/elasticNetParam, CrossValidator(numFolds=2, parallelism=4, "
     "seed pinned).  Output = one row per grid cell with its CV metric "
-    "and a best-model flag.  Grid kept to 2 cells (6 fits) — the knob "
-    "surface is the point; a production sweep just widens the lists.",
+    "and a best-model flag.  Grid kept to 2 cells (4 fits; folds 3 -> 2 "
+    "in round 7 for the 10 s single-query budget line on a drifting "
+    "VM — ml12 already established the 2-fold CV shape) — the knob "
+    "surface is the point; a production sweep widens the lists.",
 )
 def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
@@ -186,7 +188,7 @@ def ml03_logreg_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimator=lr,
         estimatorParamMaps=grid,
         evaluator=evaluator,
-        numFolds=3,
+        numFolds=2,
         parallelism=4,
         seed=42,
     )
@@ -2016,7 +2018,11 @@ def ml33_reliability_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_R = 32  # bootstrap replicas
+_BOOT_R = 16  # bootstrap replicas (32 -> 16 over round 7: the explode
+#  is the whole cost and the 10 s single-query budget line needs margin
+#  on a VM whose same-code wall-clock drifts 1.3x between rounds; a
+#  16-replica percentile CI is coarser but statistically legitimate,
+#  and the replica count is ONE constant feeding both engines)
 #: floor(65536 * CDF_Poisson1(k)) for k = 0..4 — the exact integer
 #: thresholds of the inverse-CDF ladder (e^-1, 2e^-1, ...).
 _POIS_T = (24109, 48219, 60274, 64292, 65296)
@@ -2062,7 +2068,7 @@ def _pois_sql(u: str) -> str:
                 SELECT r.r, s.bin, s.y,
                        (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(r.r // 8 AS VARCHAR) || ':' || s.l_orderkey || ':' || s.l_linenumber), (r.r % 8) * 4 + 4, 1)) - 1) * 1 AS u
                 FROM scored s
-                CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r
+                CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) r
             ) AS t(r, bin, y, u)
         ),
         bins AS (
@@ -2112,9 +2118,9 @@ def _pois_sql(u: str) -> str:
     "score bins (ml27b's binned spine) computed entirely in BIGINT "
     "(doubled tie term keeps .5 out), one division per replica, "
     "quantized to micro-units; the CI is exact percentile "
-    "interpolation over the 32 integer replicas (q22's pinned "
+    "interpolation over the integer replica AUCs (q22's pinned "
     "parity).  Zero-class replicas are excluded by the p>0 AND n>0 "
-    "guard in both engines.  Scale: the 32x expansion is map-side "
+    "guard in both engines.  Scale: the replica expansion is map-side "
     "and feeds a (replica x 1024)-row aggregate; the per-replica "
     "window is 1024 rows.  This is the uncertainty readout ml27's "
     "point AUC lacks — the difference between 'AUC 0.61' and "
@@ -2133,8 +2139,8 @@ def ml34_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
         F.least(F.floor(s).cast("bigint"), F.lit(1023)).alias("bin"),
     )
-    # 4 md5 calls per ROW (not 32): each 32-hex digest yields eight
-    # 4-hex uniform spans; replica r reads span r%8 of digest r//8.
+    # ceil(R/8) md5 calls per ROW (not R): each 32-hex digest yields
+    # eight 4-hex uniform spans; replica r reads span r%8 of digest r//8.
     # Spark parses the span with conv() (fast JVM hex parse); the
     # oracle uses the instr() digit ladder — different expressions,
     # identical integers.
@@ -2144,7 +2150,7 @@ def ml34_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array(" + ", ".join(
             f"md5('{salt}:' || CAST(l_orderkey AS STRING) || ':'"
             f" || CAST(l_linenumber AS STRING))"
-            for salt in range(4)
+            for salt in range((_BOOT_R + 7) // 8)
         ) + ") AS hs",
     )
     weighted = hashed.selectExpr(

@@ -2068,3 +2068,117 @@ def qa41_demand_trend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+@register(
+    "qa42_mix_rate_decomposition",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS seg,
+                   year(o.o_orderdate) AS yr,
+                   count(*) AS n,
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE year(o.o_orderdate) IN (1996, 1997)
+            GROUP BY seg, yr
+        ),
+        wide AS (
+            SELECT seg,
+                   CAST(sum(CASE WHEN yr = 1996 THEN n ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN yr = 1997 THEN n ELSE 0 END)
+                        AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM base GROUP BY seg
+        )
+        SELECT seg, n1, c1, n2, c2,
+               CAST(c2 - c1 AS BIGINT) AS delta_cents,
+               CASE WHEN n1 = 0 THEN NULL
+                    ELSE round((n2 - n1) * (c1 * 1.0 / n1), 2)
+               END AS volume_effect,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                    ELSE round(n1 * (c2 * 1.0 / n2 - c1 * 1.0 / n1), 2)
+               END AS rate_effect,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                    ELSE round((n2 - n1)
+                               * (c2 * 1.0 / n2 - c1 * 1.0 / n1), 2)
+               END AS interaction_effect
+        FROM wide
+    """,
+    doc="Volume/rate/mix DECOMPOSITION (the Laspeyres bridge every "
+    "revenue dashboard eventually needs): the year-over-year revenue "
+    "delta per segment splits EXACTLY into volume effect "
+    "(dN x avg1), rate effect (N1 x d_avg), and the interaction "
+    "residual (dN x d_avg) — the three-term identity volume + rate "
+    "+ interaction = delta holds to the cent by construction, which "
+    "makes the decomposition itself auditable in-result (the qp11 "
+    "law-in-plan convention).  Averages are formed by ONE division "
+    "of exact integer cents/counts per term, so both engines emit "
+    "identical doubles; degenerate segments (no 1996 or no 1997 "
+    "orders) NULL-guard every rate term explicitly.  Scale: one "
+    "(segment, year) rollup with map-side combine, then arithmetic "
+    "on a |segments|-row table.",
+)
+def qa42_mix_rate_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents"),
+        )
+    )
+    wide = base.groupBy("seg").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    avg1 = F.col("c1") * 1.0 / F.col("n1")
+    avg2 = F.col("c2") * 1.0 / F.col("n2")
+    return wide.select(
+        "seg",
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("delta_cents"),
+        F.when(F.col("n1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("n2") - F.col("n1")) * avg1, 2))
+        .alias("volume_effect"),
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(F.col("n1") * (avg2 - avg1), 2))
+        .alias("rate_effect"),
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((F.col("n2") - F.col("n1")) * (avg2 - avg1), 2))
+        .alias("interaction_effect"),
+    )

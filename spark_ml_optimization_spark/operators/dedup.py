@@ -2787,3 +2787,142 @@ def qc56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "qc58_cluster_transitivity_audit",
+    oracle=f"""
+        WITH comp AS ({_REGISTRY["q74b_dup_components"].oracle}),
+        multi AS (
+            SELECT doc_id, component FROM comp
+            WHERE component IN (
+                SELECT component FROM comp
+                GROUP BY component HAVING count(*) >= 2
+            )
+        ),
+        tok AS (
+            SELECT DISTINCT m.component, m.doc_id,
+                   unnest(string_split(d.text, ' ')) AS token
+            FROM multi m JOIN documents d USING (doc_id)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+        ),
+        allpairs AS (
+            SELECT m1.component, m1.doc_id AS a, m2.doc_id AS b
+            FROM multi m1
+            JOIN multi m2 ON m1.component = m2.component
+                         AND m1.doc_id < m2.doc_id
+        ),
+        common AS (
+            SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS n_common
+            FROM tok t1
+            JOIN tok t2 ON t1.token = t2.token
+                       AND t1.component = t2.component
+                       AND t1.doc_id < t2.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.component,
+                   coalesce(c.n_common, 0) AS nc,
+                   sa.n_tok AS na, sb.n_tok AS nb
+            FROM allpairs p
+            LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+            JOIN sizes sa ON sa.doc_id = p.a
+            JOIN sizes sb ON sb.doc_id = p.b
+        )
+        SELECT component,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN 2 * nc < na + nb - nc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_pairs,
+               round(min(nc * 1.0 / (na + nb - nc)), 6) AS min_jaccard,
+               (max(CASE WHEN 2 * nc < na + nb - nc THEN 1 ELSE 0 END) = 1)
+                   AS false_merge
+        FROM scored
+        GROUP BY component
+    """,
+    doc="Cluster TRANSITIVITY audit — the dedup-quality question "
+    "connected components silently create: edges require Jaccard >= "
+    "0.8, but components merge by CHAINS (A~B, B~C) so two members "
+    "can share almost nothing; every multi-member cluster is scored "
+    "on ALL its internal pairs (generated from the membership self-"
+    "join, NOT from the token join — transitive pairs with zero "
+    "shared tokens must appear as J=0, not vanish) and flagged "
+    "false_merge when any pair falls under J=0.5.  This is the audit "
+    "behind the 'keep one per cluster' decision: a flagged cluster's "
+    "survivor silently deletes non-duplicates.  Weak-pair gates are "
+    "integer cross-multiplications; min() over identically-computed "
+    "doubles is order-safe.  Spark reuses the memoized q74b component "
+    "labels (the fixpoint never reruns); the oracle embeds q74b's "
+    "recursive CTE — one source of truth for CC semantics.  Scale: "
+    "clusters are tiny (pair work is sum of squared CLUSTER sizes, "
+    "not corpus size); the token join is blocked by component.",
+)
+def qc58_cluster_transitivity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    labels = _dup_component_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    multi = (
+        labels.withColumn(
+            "csize", F.count("*").over(W.partitionBy("component"))
+        )
+        .filter(F.col("csize") >= 2)
+        .select("doc_id", "component")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        multi.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    m1 = multi.select("component", F.col("doc_id").alias("a"))
+    m2 = multi.select(F.col("component").alias("c2"), F.col("doc_id").alias("b"))
+    allpairs = m1.join(
+        m2, (F.col("component") == F.col("c2")) & (F.col("a") < F.col("b"))
+    ).select("component", "a", "b")
+    t1 = tok.select("component", F.col("doc_id").alias("a"), "token")
+    t2 = tok.select(
+        F.col("component").alias("c2"),
+        F.col("doc_id").alias("b"),
+        F.col("token").alias("token2"),
+    )
+    common = (
+        t1.join(
+            t2,
+            (F.col("component") == F.col("c2"))
+            & (F.col("token") == F.col("token2"))
+            & (F.col("a") < F.col("b")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_tok").alias("nb"))
+    scored = (
+        allpairs.join(common, ["a", "b"], "left")
+        .join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "component",
+            F.coalesce("n_common", F.lit(0)).alias("nc"),
+            "na",
+            "nb",
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("nc")
+    weak = F.when(2 * F.col("nc") < union, 1).otherwise(0)
+    return scored.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(weak).cast("bigint").alias("n_weak_pairs"),
+        F.round(F.min(F.col("nc") * 1.0 / union), 6).alias("min_jaccard"),
+        (F.max(weak) == 1).alias("false_merge"),
+    )

@@ -3885,3 +3885,84 @@ def qd49_forecast_interval_coverage(
             F.round(F.col("r95") - F.col("r05"), 6).alias("pi_width"),
         )
     )
+
+
+@register(
+    "qd51_weekday_seasonal_index",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        keyed AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-01', d) % 7
+                        AS BIGINT) AS dow,
+                   cnt
+            FROM daily
+        ),
+        per_dow AS (
+            SELECT event_type, dow,
+                   count(*) AS n_days,
+                   sum(cnt) AS total
+            FROM keyed GROUP BY event_type, dow
+        ),
+        grand AS (
+            SELECT event_type,
+                   sum(n_days) AS g_days,
+                   sum(total) AS g_total
+            FROM per_dow GROUP BY event_type
+        )
+        SELECT p.event_type, p.dow,
+               CAST(p.n_days AS BIGINT) AS n_days,
+               CAST(p.total AS BIGINT) AS total_events,
+               round(p.total * 1.0 / p.n_days, 6) AS dow_mean,
+               round((p.total * 1.0 / p.n_days)
+                     / (g.g_total * 1.0 / g.g_days), 6) AS seasonal_index
+        FROM per_dow p JOIN grand g ON p.event_type = g.event_type
+    """,
+    doc="WEEKDAY seasonal-index profile — the multiplicative seasonality "
+    "table behind qd22/qd46's lag-7 forecasts: per event type, each "
+    "day-of-week's mean daily volume as a ratio to the type's grand "
+    "daily mean (index 1.3 = 'this weekday runs 30%% hot'), which is "
+    "both the classical decomposition's seasonal component and the "
+    "sanity check on WHY lag-7 beats lag-1.  Day-of-week comes from "
+    "pure integer arithmetic (days since epoch mod 7) — deliberately "
+    "NOT dayofweek(), whose 0-vs-1-based Sunday differs across "
+    "engines (the q52c dialect trap, sidestepped rather than "
+    "re-normalized).  Counts are exact integers; each index is two "
+    "divisions of identical integers.  Scale: one daily rollup, one "
+    "7-row-per-type fold, one broadcastable grand-mean join.",
+)
+def qd51_weekday_seasonal_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    keyed = daily.select(
+        "event_type",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        "cnt",
+    )
+    per_dow = keyed.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"), F.sum("cnt").alias("total")
+    )
+    grand = per_dow.groupBy("event_type").agg(
+        F.sum("n_days").alias("g_days"), F.sum("total").alias("g_total")
+    )
+    dow_mean = F.col("total") * 1.0 / F.col("n_days")
+    grand_mean = F.col("g_total") * 1.0 / F.col("g_days")
+    return per_dow.join(F.broadcast(grand), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("total").cast("bigint").alias("total_events"),
+        F.round(dow_mean, 6).alias("dow_mean"),
+        F.round(dow_mean / grand_mean, 6).alias("seasonal_index"),
+    )
