@@ -2218,8 +2218,14 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled peel rounds (the qc42 unrolled-fold convention): round r
     keeps nodes whose degree in e_{r-1} is >= k, then keeps edges with
     both endpoints surviving."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one THREE times (degree count + two
+    # IN-subqueries), so an inlined chain re-evaluates the base pair
+    # join 3^rounds times — measured as a >79 GB temp spill at sf0.1.
+    # Materialization makes the oracle linear in rounds, matching the
+    # Spark side's per-round localCheckpoint.
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
             FROM lineitem a
             JOIN lineitem b
@@ -2228,16 +2234,18 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     ]
     for r in range(1, rounds + 1):
         ctes.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
             SELECT node, count(*) AS d FROM (
                 SELECT pa AS node FROM e{r - 1}
                 UNION ALL SELECT pb FROM e{r - 1}
             ) GROUP BY node
         )"""
         )
-        ctes.append(f"k{r} AS (SELECT node FROM d{r} WHERE d >= {k})")
         ctes.append(
-            f"""e{r} AS (
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k})"
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
             SELECT pa, pb FROM e{r - 1}
             WHERE pa IN (SELECT node FROM k{r})
               AND pb IN (SELECT node FROM k{r})
