@@ -909,3 +909,109 @@ def q22b_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q22b_cents GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q20f_weighted_stats",
+    oracle="""
+        WITH base AS (
+            SELECT n.n_name,
+                   CAST(round(l.l_quantity) AS BIGINT) AS w,
+                   CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       AS cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        sums AS (
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(w) AS BIGINT) AS tot_w,
+                   CAST(sum(w * cents) AS BIGINT) AS swx,
+                   CAST(sum(CAST(w AS HUGEINT) * cents * cents)
+                        AS HUGEINT) AS swxx,
+                   CAST(sum(cents) AS BIGINT) AS sx
+            FROM base GROUP BY n_name
+        )
+        SELECT n_name, n_rows, tot_w,
+               round(sx * 1.0 / n_rows, 6) AS unweighted_mean,
+               round(swx * 1.0 / tot_w, 6) AS weighted_mean,
+               CAST((CAST(tot_w AS HUGEINT) * swxx
+                     - CAST(swx AS HUGEINT) * swx)
+                    // (CAST(tot_w AS HUGEINT) * tot_w)
+                    AS BIGINT) AS weighted_var_cents2,
+               round(swx * 1.0 / tot_w - sx * 1.0 / n_rows, 6)
+                   AS size_bias
+        FROM sums
+    """,
+    doc="WEIGHTED statistics — the family q20's unweighted moments "
+    "leave out: per nation, the quantity-weighted mean/variance of "
+    "line price next to the unweighted mean, and their gap "
+    "(size_bias: positive means big orders run expensive — the "
+    "volume-weighted-vs-simple-average divergence every 'average "
+    "price' dashboard silently hides).  All accumulations are exact "
+    "integer sums (weights are integer units, prices integer cents; "
+    "the weighted second moment sums w*x^2 in HUGEINT/DECIMAL(38) "
+    "because cents^2 crosses the BIGINT line past ~90k rows per "
+    "group — the qd45 tight-cast rule); each output divides exact "
+    "integers once or twice, so both engines emit identical doubles "
+    "with no Welford merge-order dependence anywhere; the variance is "
+    "emitted as an exact INTEGER of cents^2 via integral division of "
+    "the exact numerator W*Swx2 - (Swx)^2 — converting the 21-digit "
+    "second moment to double first diverges, because DuckDB's "
+    "hugeint->double is a two-step (hi<<64 + lo) conversion that "
+    "double-rounds while Spark's BigDecimal path rounds once, and the "
+    "E[wx^2] - mean^2 cancellation amplifies that last ULP into the "
+    "rounded output (measured: one nation flipped at sf0.1).  Scale: one "
+    "star join feeding one map-side-combinable aggregate; the "
+    "second-moment trick (E[wx^2]/W - mean^2) keeps it single-pass.",
+)
+def q20f_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.round("l_quantity").cast("long").alias("w"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    sums = base.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("w").cast("bigint").alias("tot_w"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swx"),
+        F.sum(
+            F.col("w").cast("decimal(10,0)")
+            * (F.col("cents").cast("decimal(14,0)") * F.col("cents")).cast(
+                "decimal(26,0)"
+            )
+        ).alias("swxx"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    wmean = F.col("swx") * 1.0 / F.col("tot_w")
+    return sums.select(
+        "n_name",
+        "n_rows",
+        "tot_w",
+        F.round(F.col("sx") * 1.0 / F.col("n_rows"), 6).alias(
+            "unweighted_mean"
+        ),
+        F.round(wmean, 6).alias("weighted_mean"),
+        F.expr(
+            "CAST((CAST(tot_w AS DECIMAL(8,0))"
+            " * CAST(swxx AS DECIMAL(22,0))"
+            " - CAST(swx AS DECIMAL(15,0)) * CAST(swx AS DECIMAL(15,0)))"
+            " div (CAST(tot_w AS DECIMAL(13,0)) * tot_w) AS BIGINT)"
+        ).alias("weighted_var_cents2"),
+        F.round(wmean - F.col("sx") * 1.0 / F.col("n_rows"), 6).alias(
+            "size_bias"
+        ),
+    )

@@ -138,6 +138,10 @@ SCALE_SENSITIVE = [
     "qc54_dup_ngram_fraction",
     "q84j_jaccard_link_prediction",
     "qd48_scd2_validity_audit",
+    # q20f's second moment is MAGNITUDE-coupled: the hugeint->double
+    # double-rounding trap only bites once w*x^2 sums cross the
+    # double-exact integer line (~9e15), which sf0.01 doesn't reach.
+    "q20f_weighted_stats",
 ]
 
 TABLES = (
