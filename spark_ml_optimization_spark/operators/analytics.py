@@ -2182,3 +2182,132 @@ def qa42_mix_rate_decomposition(
         .otherwise(F.round((F.col("n2") - F.col("n1")) * (avg2 - avg1), 2))
         .alias("interaction_effect"),
     )
+
+
+@register(
+    "qa43_growth_accounting",
+    oracle="""
+        WITH weekly AS (
+            SELECT DISTINCT user_id,
+                   CAST(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                       AS prev_wk
+            FROM weekly
+        ),
+        classified AS (
+            SELECT wk,
+                   CASE WHEN prev_wk IS NULL THEN 'new'
+                        WHEN prev_wk = wk - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS status
+            FROM flagged
+        ),
+        churned AS (
+            SELECT wk + 1 AS wk, count(*) AS n_churned
+            FROM flagged f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM weekly w
+                WHERE w.user_id = f.user_id AND w.wk = f.wk + 1
+            )
+            GROUP BY wk + 1
+        ),
+        actives AS (
+            SELECT wk,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_resurrected
+            FROM classified GROUP BY wk
+        )
+        SELECT a.wk,
+               a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+               CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned_out
+        FROM actives a
+        LEFT JOIN churned c ON a.wk = c.wk
+    """,
+    doc="GROWTH ACCOUNTING (the new/retained/resurrected/churned MAU "
+    "decomposition every growth team reports): per week, each active "
+    "user is classified by their previous active week — never seen "
+    "(new), active last week (retained), active before but lapsed "
+    "(resurrected) — and churn-out counts users active in week w but "
+    "absent in w+1, attributed to w+1 (the week the loss is felt).  "
+    "The identity active(w) = new + retained + resurrected holds by "
+    "construction, and retained(w+1) = active(w) - churned_out(w+1) "
+    "up to resurrection — the cross-checks that make the table "
+    "trustworthy.  Week keys are integer days-since-epoch // 7 (the "
+    "qd51 calendar-dialect sidestep); everything is exact integers.  "
+    "Scale: one distinct (user, week) rollup, one per-user lag "
+    "window, one anti-join-shaped churn pass — all keyed by user, "
+    "AQE-splittable.",
+)
+def qa43_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+    ).distinct()
+    flagged = weekly.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(W.partitionBy("user_id").orderBy("wk")).alias(
+            "prev_wk"
+        ),
+    )
+    classified = flagged.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    nxt = weekly.select(
+        F.col("user_id").alias("u2"), (F.col("wk") - 1).alias("wk_prev")
+    )
+    churned = (
+        flagged.join(
+            nxt,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("wk") == F.col("wk_prev")),
+            "left_anti",
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    actives = classified.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return actives.join(F.broadcast(churned), "wk", "left").select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("bigint").alias(
+            "n_churned_out"
+        ),
+    )

@@ -3376,3 +3376,55 @@ def qc57_epoch_exhaustion_schedule(
         F.round(budget * 1.0 / F.col("tokens"), 6).alias("repeat_factor"),
         (budget > 4 * F.col("tokens")).alias("over_repeat"),
     )
+
+
+@register(
+    "qc59_cross_source_flow",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, source, md5(text) AS digest
+            FROM documents
+        ),
+        firsts AS (
+            SELECT digest,
+                   min(doc_id) AS first_id,
+                   arg_min(source, doc_id) AS first_src
+            FROM hashed GROUP BY digest
+        )
+        SELECT f.first_src AS source_from,
+               h.source AS source_to,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM hashed h
+        JOIN firsts f ON h.digest = f.digest AND h.doc_id > f.first_id
+        GROUP BY f.first_src, h.source
+    """,
+    doc="Cross-source duplicate FLOW matrix — provenance attribution "
+    "for exact duplicates: for every content digest seen more than "
+    "once, the lowest-doc_id copy is the origin (qc22's keep-first "
+    "debit convention) and each later copy contributes one "
+    "(origin_source -> copying_source) cell.  The matrix answers the "
+    "curation question qc22's per-source totals can't: WHO copies "
+    "FROM whom — a mirror site shows as one heavy off-diagonal cell, "
+    "scraper-of-scrapers chains as a dense row, and self-dups stay "
+    "on the diagonal.  Everything is exact (md5 digest, integer "
+    "min/argmin tiebreak, integer cell counts).  Scale: one map-side "
+    "digest projection, one digest-keyed rollup (the firsts table "
+    "is at most one row per distinct content), one digest equi-join "
+    "back — the q70 exact-dedup shape with one extra aggregation.",
+)
+def qc59_cross_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "source", F.md5("text").alias("digest"))
+    firsts = hashed.groupBy("digest").agg(
+        F.min("doc_id").alias("first_id"),
+        F.expr("min_by(source, doc_id)").alias("first_src"),
+    )
+    return (
+        hashed.join(firsts, "digest")
+        .filter(F.col("doc_id") > F.col("first_id"))
+        .groupBy(
+            F.col("first_src").alias("source_from"),
+            F.col("source").alias("source_to"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_copies"))
+    )

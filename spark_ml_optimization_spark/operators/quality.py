@@ -3966,3 +3966,101 @@ def qd51_weekday_seasonal_index(
         F.round(dow_mean, 6).alias("dow_mean"),
         F.round(dow_mean / grand_mean, 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "qd52_poisson_fit_audit",
+    oracle="""
+        WITH sizes AS (
+            SELECT l_orderkey, count(*) AS k
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        lam AS (
+            SELECT count(*) AS n_orders,
+                   sum(k) AS n_lines,
+                   sum(k) * 1.0 / count(*) AS lambda
+            FROM sizes
+        ),
+        obs AS (
+            SELECT k, count(*) AS observed FROM sizes GROUP BY k
+        )
+        SELECT o.k,
+               CAST(o.observed AS BIGINT) AS observed,
+               round(l.n_orders * exp(-l.lambda)
+                     * (CASE CAST(o.k AS INT)
+                          WHEN 1 THEN l.lambda
+                          WHEN 2 THEN l.lambda * l.lambda
+                          WHEN 3 THEN l.lambda * l.lambda * l.lambda
+                          WHEN 4 THEN l.lambda * l.lambda * l.lambda
+                                      * l.lambda
+                          WHEN 5 THEN l.lambda * l.lambda * l.lambda
+                                      * l.lambda * l.lambda
+                          WHEN 6 THEN l.lambda * l.lambda * l.lambda
+                                      * l.lambda * l.lambda * l.lambda
+                          WHEN 7 THEN l.lambda * l.lambda * l.lambda
+                                      * l.lambda * l.lambda * l.lambda
+                                      * l.lambda
+                          ELSE NULL END)
+                     / (CASE CAST(o.k AS INT)
+                          WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+                          WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720
+                          WHEN 7 THEN 5040 ELSE NULL END), 4)
+                   AS poisson_expected,
+               round(l.lambda, 6) AS lambda
+        FROM obs o CROSS JOIN lam l
+    """,
+    doc="Count-distribution FIT audit (the qd09 Benford idea applied "
+    "to basket sizes): observed orders-with-k-lines vs the Poisson(λ) "
+    "expectation at the fitted mean — systematic deviation (zero "
+    "inflation, a truncated tail, an operational cap) shows up as "
+    "observed/expected divergence per k, the standard count-data "
+    "sanity screen.  λ is ONE division of exact integers, λ^k is an "
+    "explicit multiplication ladder (never pow(), whose libm last-ULP "
+    "differs across engines), k! is a literal integer table, and the "
+    "single exp(-λ) call is the only transcendental — applied to the "
+    "same double in both engines with its result rounded at 4dp, "
+    "orders of magnitude above ULP noise (the q84h quantized-ln "
+    "precedent).  Scale: one per-order rollup + a |k|-row fit table; "
+    "the distribution never leaves aggregate space.",
+)
+def qd52_poisson_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    sizes = l.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    lam = sizes.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("k").alias("n_lines"),
+        (F.sum("k") * 1.0 / F.count("*")).alias("lambda"),
+    )
+    obs = sizes.groupBy("k").agg(F.count("*").alias("observed"))
+    lamc = F.col("lambda")
+    pow_expr = (
+        F.when(F.col("k") == 1, lamc)
+        .when(F.col("k") == 2, lamc * lamc)
+        .when(F.col("k") == 3, lamc * lamc * lamc)
+        .when(F.col("k") == 4, lamc * lamc * lamc * lamc)
+        .when(F.col("k") == 5, lamc * lamc * lamc * lamc * lamc)
+        .when(F.col("k") == 6, lamc * lamc * lamc * lamc * lamc * lamc)
+        .when(
+            F.col("k") == 7,
+            lamc * lamc * lamc * lamc * lamc * lamc * lamc,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    fact_expr = (
+        F.when(F.col("k") == 1, 1)
+        .when(F.col("k") == 2, 2)
+        .when(F.col("k") == 3, 6)
+        .when(F.col("k") == 4, 24)
+        .when(F.col("k") == 5, 120)
+        .when(F.col("k") == 6, 720)
+        .when(F.col("k") == 7, 5040)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return obs.crossJoin(F.broadcast(lam)).select(
+        "k",
+        F.col("observed").cast("bigint").alias("observed"),
+        F.round(
+            F.col("n_orders") * F.exp(-lamc) * pow_expr / fact_expr, 4
+        ).alias("poisson_expected"),
+        F.round(lamc, 6).alias("lambda"),
+    )
