@@ -142,6 +142,9 @@ SCALE_SENSITIVE = [
     # double-rounding trap only bites once w*x^2 sums cross the
     # double-exact integer line (~9e15), which sf0.01 doesn't reach.
     "q20f_weighted_stats",
+    # qc59's flow matrix is EMPTY at sf0.01 (zero planted exact dups);
+    # the 8 sf0.1 planted copies are the real who-copies-from-whom pin.
+    "qc59_cross_source_flow",
 ]
 
 TABLES = (
