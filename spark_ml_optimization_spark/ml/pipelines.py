@@ -2500,3 +2500,146 @@ def ml38_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("loo_encoded"),
     )
+
+
+@register(
+    "ml40_brier_decomposition",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   1.0 / (1.0 + exp(-(CAST(round(l_quantity) AS BIGINT)
+                                      - 25) / 10.0)) AS s
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   CAST(round(1e6 * s) AS BIGINT) AS s_micro, y
+            FROM scored
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS ysum,
+                   CAST(sum(s_micro) AS BIGINT) AS ssum,
+                   CAST(sum(s_micro * s_micro) AS BIGINT) AS ss2,
+                   CAST(sum(s_micro * y) AS BIGINT) AS sy
+            FROM binned GROUP BY bin
+        ),
+        gstats AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(ysum) AS BIGINT) AS yy,
+                   CAST(sum(ss2) AS BIGINT) AS tss2,
+                   CAST(sum(sy) AS BIGINT) AS tsy
+            FROM bins
+        ),
+        terms AS (
+            SELECT
+                sum(b.n * (CAST(b.ssum AS DOUBLE) / b.n / 1e6
+                           - CAST(b.ysum AS DOUBLE) / b.n)
+                        * (CAST(b.ssum AS DOUBLE) / b.n / 1e6
+                           - CAST(b.ysum AS DOUBLE) / b.n)) AS rel_num,
+                sum(b.n * (CAST(b.ysum AS DOUBLE) / b.n
+                           - CAST(g.yy AS DOUBLE) / g.nn)
+                        * (CAST(b.ysum AS DOUBLE) / b.n
+                           - CAST(g.yy AS DOUBLE) / g.nn)) AS res_num
+            FROM bins b CROSS JOIN gstats g
+        )
+        SELECT
+            round((CAST(g.tss2 AS DOUBLE) / 1e12
+                   - 2.0 * CAST(g.tsy AS DOUBLE) / 1e6
+                   + CAST(g.yy AS DOUBLE)) / g.nn, 6) AS brier,
+            round(t.rel_num / g.nn, 6) AS reliability,
+            round(t.res_num / g.nn, 6) AS resolution,
+            round(CAST(g.yy AS DOUBLE) / g.nn
+                  * (1.0 - CAST(g.yy AS DOUBLE) / g.nn), 6) AS uncertainty,
+            round((CAST(g.tss2 AS DOUBLE) / 1e12
+                   - 2.0 * CAST(g.tsy AS DOUBLE) / 1e6
+                   + CAST(g.yy AS DOUBLE)) / g.nn
+                  - (t.rel_num / g.nn - t.res_num / g.nn
+                     + CAST(g.yy AS DOUBLE) / g.nn
+                       * (1.0 - CAST(g.yy AS DOUBLE) / g.nn)), 6)
+                AS within_bin_variance
+        FROM gstats g CROSS JOIN terms t
+    """,
+    doc="MURPHY DECOMPOSITION of the Brier score (Brier = reliability "
+    "- resolution + uncertainty) for ml33's sigmoid scorer: "
+    "reliability is the calibration error a recalibration map can "
+    "remove, resolution is the discrimination the score actually "
+    "carries, uncertainty is the base-rate floor no model beats, and "
+    "the residual (reported as within_bin_variance, provably >= 0) is "
+    "the part of the raw Brier the 10-bin coarsening hides — together "
+    "they answer WHY a Brier number is what it is, not just its size. "
+    "Determinism: scores ride ml33's micro-quantization (s_micro = "
+    "round(1e6*s)), so every bin statistic (n, ysum, ssum, sum s^2, "
+    "sum s*y) is an EXACT INTEGER and the raw Brier is assembled from "
+    "integer sums with divisions only at the end; the two 10-term "
+    "double sums (rel/res) round at 6dp, orders of magnitude above "
+    "summation-order ULP.  Integer headroom: s_micro^2 <= 1e12 x 6e5 "
+    "rows = 6e17 < 2^63 at sf0.1 (and the DuckDB hugeint->double "
+    "conversion stays below the q20f double-rounding line because "
+    "every sum is < 2^64).  Scale: one map-side score pass, a 10-row "
+    "bin table, broadcast globals — aggregate space end to end.",
+)
+def ml40_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = 1.0 / (
+        1.0
+        + F.exp(
+            -(F.round(F.col("l_quantity")).cast("bigint") - 25) / 10.0
+        )
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    binned = li.select(
+        F.least(F.floor(s * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        F.round(F.lit(1e6) * s).cast("bigint").alias("s_micro"),
+        y.alias("y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("ysum"),
+        F.sum("s_micro").cast("bigint").alias("ssum"),
+        F.sum(F.col("s_micro") * F.col("s_micro"))
+        .cast("bigint")
+        .alias("ss2"),
+        F.sum(F.col("s_micro") * F.col("y")).cast("bigint").alias("sy"),
+    )
+    glob = bins.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("ysum").cast("bigint").alias("yy"),
+        F.sum("ss2").cast("bigint").alias("tss2"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+    )
+    fbar = F.col("ssum").cast("double") / F.col("n") / 1e6
+    ybar_k = F.col("ysum").cast("double") / F.col("n")
+    ybar = F.col("yy").cast("double") / F.col("nn")
+    terms = (
+        bins.crossJoin(F.broadcast(glob))
+        .select(
+            (F.col("n") * (fbar - ybar_k) * (fbar - ybar_k)).alias("rel_t"),
+            (F.col("n") * (ybar_k - ybar) * (ybar_k - ybar)).alias("res_t"),
+        )
+        .agg(
+            F.sum("rel_t").alias("rel_num"), F.sum("res_t").alias("res_num")
+        )
+    )
+    brier = (
+        F.col("tss2").cast("double") / 1e12
+        - 2.0 * F.col("tsy").cast("double") / 1e6
+        + F.col("yy").cast("double")
+    ) / F.col("nn")
+    unc = ybar * (1.0 - ybar)
+    return glob.crossJoin(F.broadcast(terms)).select(
+        F.round(brier, 6).alias("brier"),
+        F.round(F.col("rel_num") / F.col("nn"), 6).alias("reliability"),
+        F.round(F.col("res_num") / F.col("nn"), 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(
+            brier
+            - (
+                F.col("rel_num") / F.col("nn")
+                - F.col("res_num") / F.col("nn")
+                + unc
+            ),
+            6,
+        ).alias("within_bin_variance"),
+    )

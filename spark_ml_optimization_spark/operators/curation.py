@@ -3428,3 +3428,276 @@ def qc59_cross_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_copies"))
     )
+
+
+def _ps_u16_duck(key: str) -> str:
+    """DuckDB twin of the Spark conv() hex parse: uniform 16-bit from
+    md5('ps:' || key) via the instr digit ladder (q28d/ml34 convention)."""
+    h = f"md5('ps:' || CAST({key} AS VARCHAR))"
+    parts = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "qc60_weighted_priority_sample",
+    oracle=f"""
+        WITH pr AS (
+            SELECT o_orderkey,
+                   o_totalprice AS w,
+                   o_totalprice /
+                       (({_ps_u16_duck('o_orderkey')} + 1) / 65536.0)
+                       AS q
+            FROM orders
+        ),
+        top21 AS (
+            SELECT * FROM pr ORDER BY q DESC, o_orderkey ASC LIMIT 21
+        ),
+        tau AS (SELECT min(q) AS tau FROM top21)
+        SELECT p.o_orderkey,
+               p.w AS weight,
+               round(p.q, 4) AS priority,
+               round(CASE WHEN p.w >= t.tau THEN p.w ELSE t.tau END, 2)
+                   AS ht_estimate
+        FROM top21 p CROSS JOIN tau t
+        WHERE p.q > t.tau
+    """,
+    doc="WEIGHTED PRIORITY SAMPLING (Duffield-Lund-Thorup) — the "
+    "sample-without-replacement that makes subset sums estimable: each "
+    "order draws priority q = w/u from its weight w (total price) and "
+    "a DETERMINISTIC uniform u = (md5-16bit + 1)/65536 (the ml34 "
+    "derandomization, so both engines draw the SAME sample), the k=20 "
+    "largest priorities are kept, and tau (the 21st priority) gives "
+    "the Horvitz-Thompson estimate max(w, tau) per kept item — sums "
+    "of ht_estimate over any kept subset are unbiased for the "
+    "population subset total, the property that lets a 20-row sample "
+    "answer revenue questions about the full table.  u is a power-of-"
+    "two division (exact), q is ONE IEEE division (identical across "
+    "engines), the boundary is a strict q > tau cut (tie-degenerate "
+    "by hash construction).  Scale: priorities are map-side; the only "
+    "reduction is TakeOrdered(21) + a broadcast 1-row threshold — no "
+    "window, no shuffle of the data.",
+)
+def qc60_weighted_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u16 = (
+        "CAST(conv(substr(md5('ps:' || CAST(o_orderkey AS STRING)), 1, 4),"
+        " 16, 10) AS BIGINT)"
+    )
+    # 65536.0D: the D suffix forces a DOUBLE literal — a bare 65536.0 is
+    # a DECIMAL in Spark SQL and decimal division quantizes u away from
+    # the oracle's exact power-of-two double division.
+    pr = o.selectExpr(
+        "o_orderkey",
+        "o_totalprice AS w",
+        f"o_totalprice / (({u16} + 1) / 65536.0D) AS q",
+    )
+    top21 = pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc()).limit(21)
+    tau = top21.agg(F.min("q").alias("tau"))
+    return (
+        top21.crossJoin(F.broadcast(tau))
+        .filter(F.col("q") > F.col("tau"))
+        .select(
+            "o_orderkey",
+            F.col("w").alias("weight"),
+            F.round("q", 4).alias("priority"),
+            F.round(
+                F.when(F.col("w") >= F.col("tau"), F.col("w")).otherwise(
+                    F.col("tau")
+                ),
+                2,
+            ).alias("ht_estimate"),
+        )
+    )
+
+
+@register(
+    "qc61_pseudonymization_invariance",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        via_real AS (
+            SELECT c.c_mktsegment,
+                   CAST(sum(o.cents) AS BIGINT) AS cents_real,
+                   CAST(count(*) AS BIGINT) AS n_real
+            FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        ),
+        pseu_c AS (
+            SELECT md5('pseu:' || CAST(c_custkey AS VARCHAR)) AS pid,
+                   c_mktsegment
+            FROM customer
+        ),
+        pseu_o AS (
+            SELECT md5('pseu:' || CAST(o_custkey AS VARCHAR)) AS pid, cents
+            FROM o
+        ),
+        via_pseu AS (
+            SELECT c.c_mktsegment,
+                   CAST(sum(o.cents) AS BIGINT) AS cents_pseu,
+                   CAST(count(*) AS BIGINT) AS n_pseu
+            FROM pseu_o o JOIN pseu_c c ON o.pid = c.pid
+            GROUP BY c.c_mktsegment
+        )
+        SELECT r.c_mktsegment,
+               r.n_real, r.cents_real, p.n_pseu, p.cents_pseu,
+               r.n_real = p.n_pseu AND r.cents_real = p.cents_pseu
+                   AS invariant
+        FROM via_real r JOIN via_pseu p
+          ON r.c_mktsegment = p.c_mktsegment
+    """,
+    doc="REFERENTIALLY-CONSISTENT PSEUDONYMIZATION proof — the "
+    "privacy-engineering requirement behind every data-sharing "
+    "agreement: replacing the customer key with a keyed digest "
+    "(md5('pseu:'||key), deterministic so BOTH tables map "
+    "identically) must preserve every join-derived statistic while "
+    "severing the link to the real identifier.  The audit runs the "
+    "SAME revenue-by-segment rollup twice — joined on real keys and "
+    "joined on pseudonyms — and emits both, plus the row-level "
+    "invariant flag; any collision or mapping drift between the two "
+    "key spaces breaks the hash.  (A production deployment swaps "
+    "md5 for an HMAC with a secret salt — the relational shape is "
+    "identical; the salt is the only secret.)  Exact cents end to "
+    "end.  Scale: two broadcast-dim joins and two grouped rollups; "
+    "pseudonym minting is map-side (the q56c content-addressed-ID "
+    "convention).",
+)
+def qc61_pseudonymization_invariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pid = lambda col: F.md5(F.concat(F.lit("pseu:"), F.col(col).cast("string")))  # noqa: E731
+    via_real = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents_real"),
+            F.count("*").cast("bigint").alias("n_real"),
+        )
+    )
+    pseu_c = c.select(
+        pid("c_custkey").alias("pid"), "c_mktsegment"
+    )
+    pseu_o = o.select(pid("o_custkey").alias("pid"), "cents")
+    via_pseu = (
+        pseu_o.join(F.broadcast(pseu_c), "pid")
+        .groupBy(F.col("c_mktsegment").alias("seg_p"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents_pseu"),
+            F.count("*").cast("bigint").alias("n_pseu"),
+        )
+    )
+    return via_real.join(
+        via_pseu, via_real.c_mktsegment == via_pseu.seg_p
+    ).select(
+        "c_mktsegment",
+        "n_real",
+        "cents_real",
+        "n_pseu",
+        "cents_pseu",
+        (
+            (F.col("n_real") == F.col("n_pseu"))
+            & (F.col("cents_real") == F.col("cents_pseu"))
+        ).alias("invariant"),
+    )
+
+
+@register(
+    "qc62_survivorship_quality_shift",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, source, n_chars, md5(text) AS digest
+            FROM documents
+        ),
+        firsts AS (
+            SELECT digest, min(doc_id) AS first_id
+            FROM hashed GROUP BY digest
+        ),
+        tagged AS (
+            SELECT h.source, h.n_chars,
+                   CASE WHEN h.doc_id = f.first_id THEN 'kept'
+                        ELSE 'dropped' END AS fate
+            FROM hashed h JOIN firsts f ON h.digest = f.digest
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN fate = 'dropped' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               round(CAST(sum(CASE WHEN fate = 'kept' THEN n_chars
+                              ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END), 4)
+                   AS kept_mean_chars,
+               CASE WHEN sum(CASE WHEN fate = 'dropped' THEN 1 ELSE 0
+                             END) = 0 THEN NULL
+                    ELSE round(CAST(sum(CASE WHEN fate = 'dropped'
+                                       THEN n_chars ELSE 0 END) AS DOUBLE)
+                               / sum(CASE WHEN fate = 'dropped' THEN 1
+                                     ELSE 0 END), 4)
+               END AS dropped_mean_chars
+        FROM tagged GROUP BY source
+    """,
+    doc="DEDUP SURVIVORSHIP-BIAS AUDIT — the question every corpus "
+    "team should ask after a dedup pass and almost none do: are the "
+    "documents we DROP systematically different from the ones we "
+    "keep?  Keep-first exact dedup (the qc22/qc59 convention) tags "
+    "every doc kept/dropped, and per source the mean length of each "
+    "fate is compared — if dropped docs skew long (mirrors cloning "
+    "the good content) the dedup is eating quality, if they skew "
+    "short it's cleaning boilerplate; either way the delta belongs "
+    "in the pipeline report, not in the dark.  Integer sums, one "
+    "guarded division per fate (NULL when a source dropped nothing "
+    "— explicit CASE in BOTH engines, the qc46 zero-guard "
+    "convention).  Scale: one digest rollup + one digest-keyed "
+    "equi-join + one grouped aggregate — the q70 shape.",
+)
+def qc62_survivorship_quality_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("digest")
+    )
+    firsts = hashed.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    tagged = hashed.join(firsts, "digest").select(
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") == F.col("first_id"), "kept")
+        .otherwise("dropped")
+        .alias("fate"),
+    )
+    kept = F.when(F.col("fate") == "kept", 1).otherwise(0)
+    dropped = F.when(F.col("fate") == "dropped", 1).otherwise(0)
+    kept_chars = F.when(F.col("fate") == "kept", F.col("n_chars")).otherwise(
+        0
+    )
+    dropped_chars = F.when(
+        F.col("fate") == "dropped", F.col("n_chars")
+    ).otherwise(0)
+    return tagged.groupBy("source").agg(
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(dropped).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.sum(kept_chars).cast("double") / F.sum(kept), 4
+        ).alias("kept_mean_chars"),
+        F.when(F.sum(dropped) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.sum(dropped_chars).cast("double") / F.sum(dropped), 4)
+        )
+        .alias("dropped_mean_chars"),
+    )

@@ -1728,3 +1728,126 @@ def q66e_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_us") * 1.0 / (F.sum("n_ev") * F.lit(300000000)), 6
         ).alias("compression"),
     )
+
+
+@register(
+    "q68n_leadlag_xcorr",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                   event_type
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(0,
+                       (SELECT max(day) FROM days))) AS day
+        ),
+        a AS (
+            SELECT s.day,
+                   CAST(coalesce(x.n, 0) AS BIGINT) AS a_cnt
+            FROM spine s
+            LEFT JOIN (SELECT day, count(*) AS n FROM days
+                       WHERE event_type = 'click' GROUP BY day) x
+              ON s.day = x.day
+        ),
+        b AS (
+            SELECT s.day,
+                   CAST(coalesce(x.n, 0) AS BIGINT) AS b_cnt
+            FROM spine s
+            LEFT JOIN (SELECT day, count(*) AS n FROM days
+                       WHERE event_type = 'purchase' GROUP BY day) x
+              ON s.day = x.day
+        ),
+        lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        paired AS (
+            SELECT l.lag, a.a_cnt AS x, b.b_cnt AS y
+            FROM lags l
+            JOIN a ON TRUE
+            JOIN b ON b.day = a.day + l.lag
+        ),
+        sums AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM paired GROUP BY lag
+        )
+        SELECT lag, n,
+               round((CAST(n * sxy - sx * sy AS DOUBLE))
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS xcorr
+        FROM sums
+    """,
+    doc="LEAD-LAG CROSS-CORRELATION between two event streams (do "
+    "clicks LEAD purchases, and by how many days?): daily click and "
+    "purchase counts on a dense zero-filled day spine, Pearson r at "
+    "every lag in [-7, +7] — the argmax lag is the conversion delay "
+    "a marketing-mix model needs, and asymmetry across the sign of "
+    "the lag is the causality smell test.  All covariance numerators "
+    "are EXACT INTEGERS (n*sxy - sx*sy over integer daily counts); "
+    "the only doubles are one sqrt and one division, rounded at 6dp. "
+    " Scale: two grouped day rollups + a 15x lag fan-out over the "
+    "CALENDAR-sized spine (bounded, never data-sized) — the data "
+    "shuffle is the daily rollup and nothing else.",
+)
+def q68n_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    )
+    maxd = days.agg(F.max("day").alias("maxd"))
+    spine = maxd.select(
+        F.explode(F.sequence(F.lit(0), F.col("maxd"))).alias("day")
+    )
+
+    def dense(ev: str, day_out: str, out: str) -> DataFrame:
+        cnt = (
+            days.filter(F.col("event_type") == ev)
+            .groupBy("day")
+            .agg(F.count("*").alias("n"))
+        )
+        return spine.join(cnt, "day", "left").select(
+            F.col("day").alias(day_out),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias(out),
+        )
+
+    a = dense("click", "day_a", "x")
+    b = dense("purchase", "day_b", "y")
+    lags = spark.range(-7, 8).select(F.col("id").cast("bigint").alias("lag"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day_a") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    sums = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return sums.select(
+        "lag", "n", F.round(num / den, 6).alias("xcorr")
+    )

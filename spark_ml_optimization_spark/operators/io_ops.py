@@ -1105,3 +1105,70 @@ def src27_multiline_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", True)
         .csv(path)
     )
+
+
+@register(
+    "src28_managed_table_lifecycle",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+          AND o_orderstatus <> 'F'
+        GROUP BY 1, 2
+    """,
+    doc="CATALOG TABLE DML LIFECYCLE — the CREATE/INSERT/OVERWRITE "
+    "surface every warehouse job uses, exercised end to end through "
+    "the session catalog: CTAS materializes the 1995 slice as an "
+    "external parquet table, INSERT INTO appends 1996 (file-append, "
+    "no rewrite), INSERT OVERWRITE atomically replaces the whole "
+    "content with the corrected union (both years minus status-F "
+    "rows — the 'reload after a rule change' move), and the final "
+    "read goes through spark.table() name resolution, not a path.  "
+    "The oracle recomputes the post-overwrite state straight from "
+    "the source, so the hash proves every DML step's semantics "
+    "(CTAS didn't drop rows, the append didn't dedup, the overwrite "
+    "actually replaced instead of appending).  Money rides the cents "
+    "convention.  Scale: each step is one write of the selected "
+    "slice; OVERWRITE of a whole unpartitioned table is the "
+    "INTENTIONALLY blunt tool here — the partition-scoped variant "
+    "is src21's dynamic partition overwrite.",
+)
+def src28_managed_table_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    )
+    o.createOrReplaceTempView("src28_src")
+    tbl = "src28_lifecycle"
+    path = os.path.join(
+        tempfile.gettempdir(), f"src28_{uuid.uuid4().hex[:10]}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    cols = (
+        "o_orderkey, o_orderstatus, o_totalprice, yr"
+    )
+    spark.sql(
+        f"CREATE TABLE {tbl} USING PARQUET LOCATION '{path}' AS "
+        f"SELECT {cols} FROM src28_src WHERE yr = 1995"
+    )
+    spark.sql(
+        f"INSERT INTO {tbl} SELECT {cols} FROM src28_src WHERE yr = 1996"
+    )
+    spark.sql(
+        f"INSERT OVERWRITE {tbl} SELECT {cols} FROM src28_src "
+        f"WHERE yr IN (1995, 1996) AND o_orderstatus <> 'F'"
+    )
+    return spark.table(tbl).groupBy("yr", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -4064,3 +4064,438 @@ def qd52_poisson_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("poisson_expected"),
         F.round(lamc, 6).alias("lambda"),
     )
+
+
+@register(
+    "qd53_k_anonymity_audit",
+    oracle="""
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS
+                                        BIGINT)) AS BIGINT) AS l_diversity,
+               count(*) < 5 AS k5_risky,
+               count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3
+                   AS l3_risky
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="K-ANONYMITY / L-DIVERSITY privacy audit (Sweeney; Machanavajjhala "
+    "et al.) over the quasi-identifier pair (nation, market segment): a "
+    "release is k-anonymous iff every QI group holds >= k individuals, "
+    "and l-diverse iff each group spans >= l distinct values of the "
+    "sensitive attribute (account-balance band, floor(acctbal/2000) — "
+    "one IEEE division + floor, identical across engines).  Groups "
+    "below k=5 re-identify members by linkage; groups below l=3 leak "
+    "the sensitive value even when k holds (the homogeneity attack).  "
+    "Everything is exact integers over one grouped aggregate.  Scale: "
+    "one groupBy on the QI key — the group count is the QI domain "
+    "(bounded: |nations| x |segments|), distinct-band state is a "
+    "per-group set of at most a few dozen bands; at 100 TB the same "
+    "plan runs with approx_count_distinct if the sensitive domain "
+    "ever grows unbounded (the qd01 swap convention).",
+)
+def qd53_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.countDistinct(band).cast("bigint").alias("l_diversity"),
+        (F.count("*") < 5).alias("k5_risky"),
+        (F.countDistinct(band) < 3).alias("l3_risky"),
+    )
+
+
+@register(
+    "qd54_join_fanout_preflight",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT sum(n_rows * (n_rows - 1) / 2) AS total_pairs
+            FROM per_key
+        )
+        SELECT p.l_partkey,
+               p.n_rows,
+               CAST(p.n_rows * (p.n_rows - 1) / 2 AS BIGINT) AS pairs,
+               round(p.n_rows * (p.n_rows - 1) / 2.0 / t.total_pairs, 6)
+                   AS pct_of_total_pairs
+        FROM per_key p CROSS JOIN tot t
+        WHERE p.n_rows > 1
+        ORDER BY p.n_rows DESC, p.l_partkey ASC
+        LIMIT 15
+    """,
+    doc="JOIN FAN-OUT PREFLIGHT — the cardinality-explosion estimator a "
+    "planner (or an engineer) runs BEFORE submitting a key-equality "
+    "self-join (candidate-pair generation, dedup blocking, sessionized "
+    "co-visits): per join key k the output contributes n_k*(n_k-1)/2 "
+    "pairs, so the total and its top contributors are computable from "
+    "ONE per-key count — thousands of times cheaper than running the "
+    "join.  Emits the 15 heaviest keys with their pair mass and share "
+    "of the total; one hot key owning double-digit share is the "
+    "signature of a skew blow-up that needs salting (q48) or an AQE "
+    "skew split (q48c) before the real join runs.  Exact integers; "
+    "the share is one division rounded at 6dp.  Scale: one map-side "
+    "combine groupBy + a broadcast 1-row total + TakeOrdered(15) — "
+    "never materializes a single joined pair.",
+)
+def qd54_join_fanout_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    pairs = (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("bigint")
+    tot = per_key.agg(
+        F.sum(F.col("n_rows") * (F.col("n_rows") - 1) / 2).alias(
+            "total_pairs"
+        )
+    )
+    return (
+        per_key.filter(F.col("n_rows") > 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n_rows",
+            pairs.alias("pairs"),
+            F.round(
+                F.col("n_rows")
+                * (F.col("n_rows") - 1)
+                / 2.0
+                / F.col("total_pairs"),
+                6,
+            ).alias("pct_of_total_pairs"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "qd55_zonemap_skipping_audit",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(datediff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS day
+            FROM orders
+        ),
+        laid AS (
+            SELECT 'insertion' AS layout, o_orderkey // 500 AS file_id, day
+            FROM base
+            UNION ALL
+            SELECT 'clustered' AS layout, day // 80 AS file_id, day
+            FROM base
+        ),
+        files AS (
+            SELECT layout, file_id,
+                   min(day) AS min_day, max(day) AS max_day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN day BETWEEN 365 AND 729
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_matching
+            FROM laid GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN max_day < 365 OR min_day > 729
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+               CAST(sum(CASE WHEN max_day < 365 OR min_day > 729
+                             THEN 0 ELSE n_rows END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(sum(n_matching) AS BIGINT) AS rows_matching,
+               round(sum(CASE WHEN max_day < 365 OR min_day > 729
+                              THEN n_rows ELSE 0 END) * 1.0
+                     / sum(n_rows), 6) AS row_skip_fraction
+        FROM files GROUP BY layout
+    """,
+    doc="ZONE-MAP DATA-SKIPPING AUDIT — the measurement behind every "
+    "file-layout decision (Iceberg/Delta min-max manifests, parquet "
+    "row-group stats, qc12's Z-order): simulate the SAME orders table "
+    "under two physical layouts — insertion order (files cut by "
+    "arrival key, dates scattered) vs date-clustered (files cut by "
+    "date range) — build each file's [min_day, max_day] zone map, and "
+    "evaluate a one-year predicate against the maps.  A file is "
+    "skippable iff its interval misses the predicate entirely; the "
+    "audit reports files skipped, rows actually scanned vs rows "
+    "matching, and the row-skip fraction — the number that says "
+    "'clustering turns a full scan into a 1/6th scan', which at "
+    "100 TB is the difference between minutes and hours.  Everything "
+    "is exact integer day arithmetic; the fraction is one division "
+    "at 6dp.  Scale: one map-side layout tag + one (layout, file) "
+    "rollup + one per-layout rollup — zone maps are metadata-sized "
+    "(2 rows per simulated file), never a data shuffle.",
+)
+def qd55_zonemap_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day"),
+    )
+    laid = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("insertion").alias("layout"),
+                    (F.col("o_orderkey") / 500)
+                    .cast("bigint")
+                    .alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    (F.col("day") / 80).cast("bigint").alias("file_id"),
+                ),
+            )
+        ).alias("l"),
+        "day",
+    ).select("l.layout", "l.file_id", "day")
+    hit = F.col("day").between(365, 729)
+    files = laid.groupBy("layout", "file_id").agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_matching"),
+    )
+    skipped = (F.col("max_day") < 365) | (F.col("min_day") > 729)
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(skipped, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skipped"),
+        F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_matching").cast("bigint").alias("rows_matching"),
+        F.round(
+            F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+            * 1.0
+            / F.sum("n_rows"),
+            6,
+        ).alias("row_skip_fraction"),
+    )
+
+
+@register(
+    "qd56_generalization_ladder",
+    oracle="""
+        WITH widths AS (
+            SELECT unnest([500, 1000, 2000, 4000, 8000]) AS width
+        ),
+        grouped AS (
+            SELECT w.width,
+                   c.c_nationkey,
+                   CAST(floor(c.c_acctbal / w.width) AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer c CROSS JOIN widths w
+            GROUP BY w.width, c.c_nationkey,
+                     CAST(floor(c.c_acctbal / w.width) AS BIGINT)
+        )
+        SELECT width,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(n) AS BIGINT) AS min_group_size,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_groups,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_exposed_individuals,
+               min(n) >= 5 AS k5_anonymous
+        FROM grouped GROUP BY width
+    """,
+    doc="K-ANONYMITY GENERALIZATION LADDER (the Incognito/Mondrian "
+    "search, evaluated relationally): qd53 DETECTS risky "
+    "quasi-identifier groups; this finds the MINIMAL coarsening that "
+    "removes them — the balance band is widened through a 5-step "
+    "ladder (500 -> 8000) against the nation QI, and each rung "
+    "reports group count, smallest group, risky-group count, and "
+    "exposed individuals.  The first rung with min_group_size >= 5 "
+    "is the release policy: publish bands no finer than that width.  "
+    "Monotonicity (risk never increases up the ladder) is the "
+    "lattice property the Incognito pruning relies on — visible in "
+    "the output and asserted in tests.  One IEEE division + floor "
+    "per (row, rung), exact integers after.  Scale: the rung fan-out "
+    "is a 5x map-side explode feeding ONE grouped aggregate whose "
+    "state is |rungs| x |QI domain| — aggregate-space, no data "
+    "shuffle beyond the group keys.",
+)
+def qd56_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    laid = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.explode(
+            F.array(*[F.lit(w) for w in (500, 1000, 2000, 4000, 8000)])
+        ).alias("width"),
+    )
+    grouped = laid.groupBy(
+        "width",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.col("width"))
+        .cast("bigint")
+        .alias("band"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return grouped.groupBy("width").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_individuals"),
+        (F.min("n") >= 5).alias("k5_anonymous"),
+    )
+
+
+@register(
+    "qd57_ab_power_sizing",
+    oracle="""
+        WITH tot AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+            FROM events
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        )
+        SELECT p.event_type,
+               p.n_users,
+               round(CAST(p.n_users AS DOUBLE) / t.u, 6) AS baseline_rate,
+               CAST(ceil(
+                   ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                   * (2.0 * (CAST(p.n_users AS DOUBLE) / t.u)
+                          * (1.0 - CAST(p.n_users AS DOUBLE) / t.u))
+                   / ((0.1 * (CAST(p.n_users AS DOUBLE) / t.u))
+                      * (0.1 * (CAST(p.n_users AS DOUBLE) / t.u)))
+               ) AS BIGINT) AS n_per_arm,
+               CAST(ceil(
+                   ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                   * (2.0 * (CAST(p.n_users AS DOUBLE) / t.u)
+                          * (1.0 - CAST(p.n_users AS DOUBLE) / t.u))
+                   / ((0.1 * (CAST(p.n_users AS DOUBLE) / t.u))
+                      * (0.1 * (CAST(p.n_users AS DOUBLE) / t.u)))
+               ) AS BIGINT) * 2 <= t.u AS feasible
+        FROM per_type p CROSS JOIN tot t
+    """,
+    doc="A/B TEST POWER SIZING — the pre-registration step qp14's "
+    "analysis pipeline assumes has already happened: per event type, "
+    "the baseline adoption rate p (distinct adopters / distinct "
+    "users) sets the required per-arm sample size for detecting a "
+    "10% RELATIVE lift at alpha=0.05 two-sided, power=0.80 — "
+    "n = (z_a + z_b)^2 * 2p(1-p) / (0.1p)^2, the standard "
+    "two-proportion formula with the z constants as literals "
+    "(1.959964, 0.841621 — never a quantile function, whose "
+    "implementations differ across engines).  The feasible flag "
+    "answers the question that kills most experiment plans: does "
+    "the population even contain 2n users?  Every double op is the "
+    "IDENTICAL expression tree in both engines, then one ceil to "
+    "exact integers.  Scale: two distinct-count aggregates (exact "
+    "here, approx_count_distinct at 100 TB per the qd01 swap) and a "
+    "broadcast scalar — aggregate space end to end.",
+)
+def qd57_ab_power_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tot = e.agg(
+        F.countDistinct("user_id").cast("bigint").alias("u")
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    p = F.col("n_users").cast("double") / F.col("u")
+    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    n_per_arm = F.ceil(
+        F.lit(z2) * (2.0 * p * (1.0 - p)) / ((0.1 * p) * (0.1 * p))
+    ).cast("bigint")
+    return per_type.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_users",
+        F.round(p, 6).alias("baseline_rate"),
+        n_per_arm.alias("n_per_arm"),
+        (n_per_arm * 2 <= F.col("u")).alias("feasible"),
+    )
+
+
+@register(
+    "qd58_seasonal_anomaly_screen",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        dow_mean AS (
+            SELECT day % 7 AS dow,
+                   CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM daily GROUP BY day % 7
+        ),
+        resid AS (
+            SELECT d.day, d.n, d.day % 7 AS dow,
+                   d.n - CAST(m.tot AS DOUBLE) / m.k AS r
+            FROM daily d JOIN dow_mean m ON d.day % 7 = m.dow
+        ),
+        sigma AS (
+            SELECT stddev_samp(r) AS s FROM resid
+        )
+        SELECT r.day, r.n, r.dow,
+               round(r.r, 6) AS residual,
+               round(r.r / s.s, 6) AS z,
+               abs(round(r.r / s.s, 6)) > 2.0 AS is_anomaly
+        FROM resid r CROSS JOIN sigma s
+    """,
+    doc="SEASONALLY-ADJUSTED volume anomaly screen — the pipeline-"
+    "health monitor that does NOT page on every weekend dip: daily "
+    "event counts are residualized against their day-of-week mean "
+    "(epoch-day % 7, the qd51 calendar-dialect sidestep), "
+    "standardized by the residual stddev, and |z| > 2 flags the days "
+    "that are anomalous FOR THEIR WEEKDAY — a quiet Saturday stays "
+    "quiet, a quiet Tuesday pages.  The dow means are exact-integer "
+    "ratios; the z boundary tests the ROUNDED z in both engines so "
+    "the flag can never straddle a ULP.  Scale: one daily rollup "
+    "(the only data-sized stage), a 7-row profile join, a broadcast "
+    "1-row sigma — the anomaly table is calendar-sized.",
+)
+def qd58_seasonal_anomaly_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    dow_mean = daily.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    resid = daily.join(
+        F.broadcast(dow_mean), daily["day"] % 7 == dow_mean["dow"]
+    ).select(
+        "day",
+        "n",
+        "dow",
+        (F.col("n") - F.col("tot").cast("double") / F.col("k")).alias("r"),
+    )
+    sigma = resid.agg(F.stddev_samp("r").alias("s"))
+    z = F.round(F.col("r") / F.col("s"), 6)
+    return resid.crossJoin(F.broadcast(sigma)).select(
+        "day",
+        "n",
+        "dow",
+        F.round("r", 6).alias("residual"),
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -860,3 +860,68 @@ def q37d_write_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b_verdict"),
         )
     )
+
+
+@register(
+    "q37e_write_audit_publish",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               TRUE AS audit_passed
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+        GROUP BY o_orderstatus
+    """,
+    doc="WRITE-AUDIT-PUBLISH (the WAP pattern every serious lakehouse "
+    "pipeline uses; Netflix/Iceberg popularized the name): the 1995 "
+    "slice is written to a STAGING path consumers never read, the "
+    "audit recomputes row count and an exact cents checksum from the "
+    "staged files and compares them to the source-side expectation, "
+    "and only on a clean audit is the data copied to the PUBLISHED "
+    "path the final read goes through — a failed audit leaves the "
+    "published path untouched (here: the query would return the "
+    "audit failure, breaking the hash).  The oracle recomputes the "
+    "published state straight from source, so the hash proves the "
+    "staged->audited->published chain was lossless end to end.  "
+    "Scale: staging is one slice write; the audit is one aggregate "
+    "over staged files (count + checksum, the qd30 manifest shape); "
+    "publish is a metadata-cheap rewrite of audited files — never "
+    "touching consumers mid-write is the whole point.",
+)
+def q37e_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    o = load_table(spark, sf_dir, "orders")
+    slice_df = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = os.path.join(tempfile.gettempdir(), f"wap_{uuid.uuid4().hex[:10]}")
+    staging, published = os.path.join(base, "staging"), os.path.join(
+        base, "published"
+    )
+    expected = slice_df.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    ).collect()[0]
+    slice_df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    audited = staged.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    ).collect()[0]
+    audit_passed = (expected["n"], expected["c"]) == (
+        audited["n"],
+        audited["c"],
+    )
+    if audit_passed:
+        staged.write.mode("overwrite").parquet(published)
+    final = spark.read.parquet(published if audit_passed else staging)
+    return final.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.first(F.lit(audit_passed)).alias("audit_passed"),
+    )

@@ -1750,3 +1750,168 @@ def q85k_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "q85i_matryoshka_prefix_retrieval",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pvec
+            FROM embeddings WHERE vec_id < 5
+        ),
+        corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id >= 5
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   list_dot_product(c.cvec, p.pvec) AS full_s,
+                   list_dot_product(c.cvec[1:16], p.pvec[1:16]) AS pre_s
+            FROM corpus c CROSS JOIN probes p
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY full_s DESC, vec_id ASC)
+                       AS rf,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY pre_s DESC, vec_id ASC)
+                       AS rp
+            FROM scored
+        )
+        SELECT probe_id,
+               CAST(sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap10,
+               CAST(max(CASE WHEN rf = 1 THEN vec_id END) AS BIGINT)
+                   AS full_top1,
+               CAST(max(CASE WHEN rp = 1 THEN vec_id END) AS BIGINT)
+                   AS prefix_top1,
+               CAST(max(CASE WHEN rp <= 10 THEN rf END) AS BIGINT)
+                   AS worst_true_rank_in_prefix10
+        FROM ranked GROUP BY probe_id
+    """,
+    doc="MATRYOSHKA prefix-dimension retrieval audit (Kusupati et al. "
+    "MRL): embeddings trained with nested prefixes let a 16-d PREFIX "
+    "of the 64-d vector serve as a 4x-cheaper first-stage retriever — "
+    "this audit measures what that truncation costs on THIS corpus "
+    "before anyone flips the switch.  Per probe (vec_id<5): top-10 by "
+    "full 64-d dot vs top-10 by first-16-dim dot, their overlap "
+    "count, both top-1 ids, and the worst TRUE rank hiding inside the "
+    "prefix top-10 (how deep a prefix shortlist actually reaches — "
+    "the number that sets the re-rank shortlist size).  Scores are "
+    "sequential-order double dots (zip_with/aggregate HOFs vs "
+    "list_dot_product, the q85 determinism contract), ranks are "
+    "integers, no rounded ratios anywhere.  Scale: probe side is "
+    "broadcast (bounded probes), ranking windows are PARTITIONED by "
+    "probe; the production swap is prefix-score shortlist via "
+    "TakeOrdered then exact re-rank (the q92b ADC pattern) — this "
+    "audit is the measurement that justifies it.",
+)
+def q85i_matryoshka_prefix_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        to_double_array("embedding").alias("pvec"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 5).select(
+        "vec_id", to_double_array("embedding").alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        dot(F.col("cvec"), F.col("pvec")).alias("full_s"),
+        dot(
+            F.slice(F.col("cvec"), 1, 16), F.slice(F.col("pvec"), 1, 16)
+        ).alias("pre_s"),
+    )
+    wf = W.partitionBy("probe_id").orderBy(
+        F.col("full_s").desc(), F.col("vec_id").asc()
+    )
+    wp = W.partitionBy("probe_id").orderBy(
+        F.col("pre_s").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    return ranked.groupBy("probe_id").agg(
+        F.sum(
+            F.when((F.col("rf") <= 10) & (F.col("rp") <= 10), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlap10"),
+        F.max(F.when(F.col("rf") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("full_top1"),
+        F.max(F.when(F.col("rp") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("prefix_top1"),
+        F.max(F.when(F.col("rp") <= 10, F.col("rf")))
+        .cast("bigint")
+        .alias("worst_true_rank_in_prefix10"),
+    )
+
+
+@register(
+    "q85j_scatter_gather_topk",
+    oracle="""
+        SELECT
+            e.vec_id,
+            e.label,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6)
+                AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="SCATTER-GATHER TOP-K MERGEABILITY PROOF — the topology every "
+    "sharded vector-serving tier relies on: the corpus is split into "
+    "8 shards (vec_id % 8, standing in for 8 index servers), each "
+    "shard computes its LOCAL top-10 for the probe, and the gather "
+    "node re-ranks only the 80 shard candidates.  Because dot-score "
+    "ordering is total and k-prefix-mergeable, the gathered top-10 "
+    "is provably IDENTICAL to the direct corpus-wide top-10 — and "
+    "the oracle IS q85's direct form, so the hash match is the "
+    "proof, not an assertion.  Per-shard ranking is a window "
+    "PARTITIONED by shard (8 bounded partitions); the gather input "
+    "is 8k rows regardless of corpus size — the 100 TB shape, where "
+    "each executor ships k rows and the driver-side merge is "
+    "constant-size.  Scores are the q85 sequential-order double "
+    "dots; ties break on vec_id in both tiers.",
+)
+def q85j_scatter_gather_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    score = dot(to_double_array("embedding"), F.col("qvec"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            score.alias("score"),
+            (F.col("vec_id") % 8).alias("shard"),
+        )
+    )
+    wsh = W.partitionBy("shard").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    local_topk = scored.select(
+        "vec_id", "label", "score", F.row_number().over(wsh).alias("rn")
+    ).filter(F.col("rn") <= 10)
+    return (
+        local_topk.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )

@@ -60,6 +60,7 @@ _EAGER_NAMES = {
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
     "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions
+    "q37e_write_audit_publish",  # stages/audits/publishes parquet at construction
     "q20e_stat_freq_quantile",  # freqItems/approxQuantile are driver actions
 }
 

@@ -145,6 +145,24 @@ SCALE_SENSITIVE = [
     # qc59's flow matrix is EMPTY at sf0.01 (zero planted exact dups);
     # the 8 sf0.1 planted copies are the real who-copies-from-whom pin.
     "qc59_cross_source_flow",
+    # rank structure and prefix-shortlist depth shift with corpus size
+    # (2000 vs 500 vectors); the sf0.1 run is the real truncation audit.
+    "q85i_matryoshka_prefix_retrieval",
+    # the top-21 priority sample is drawn from a 10x deeper pool at
+    # sf0.1 — re-pin the derandomized draw + HT threshold at bench scale.
+    "qc60_weighted_priority_sample",
+    # ml40's integer-headroom claim (sum s_micro^2 < 2^63, below the
+    # q20f hugeint->double line) only bites at sf0.1 row counts.
+    "ml40_brier_decomposition",
+    # file counts and the skip fraction shift with table size (30 vs
+    # 300 simulated files); the layout contrast is real at bench scale.
+    "qd55_zonemap_skipping_audit",
+    # group sizes grow with customer count — the minimal safe rung
+    # (and the k5 flip) is scale-coupled.
+    "qd56_generalization_ladder",
+    # dropped-doc statistics only exist where sf0.1 plants exact dups
+    # (sf0.01 drops nothing — every dropped_mean is NULL there).
+    "qc62_survivorship_quality_shift",
 ]
 
 TABLES = (

@@ -204,3 +204,34 @@ def test_winnowing_guarantee_detects_planted_run(spark):
     out = text_ops.q79b_winnowing(spark, path).collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (1, 2) in pairs, out
+
+
+def test_generalization_ladder_monotone(spark):
+    """qd56's lattice property: widening the band can only MERGE groups,
+    so min_group_size is non-decreasing and risky-group count is
+    non-increasing up the ladder (the Incognito pruning invariant)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["qd56_generalization_ladder"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_width = sorted(rows, key=lambda r: r["width"])
+    for a, b in zip(by_width, by_width[1:]):
+        assert b["min_group_size"] >= a["min_group_size"], (a, b)
+        assert b["n_risky_groups"] <= a["n_risky_groups"], (a, b)
+        assert b["n_groups"] <= a["n_groups"], (a, b)
+
+
+def test_brier_decomposition_identity(spark):
+    """ml40: within_bin_variance = brier - (rel - res + unc) must be
+    >= 0 (it's a variance) and small relative to brier; rel/res/unc are
+    all non-negative by construction."""
+    import __spark_entry__ as entry
+
+    row = entry.queries()["ml40_brier_decomposition"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["reliability"] >= 0
+    assert row["resolution"] >= 0
+    assert 0 <= row["uncertainty"] <= 0.25 + 1e-9
+    assert row["within_bin_variance"] >= -1e-6, row
