@@ -565,3 +565,40 @@ def test_point_in_time_features_has_no_cartesian(spark):
     plan = explain_formatted(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scatter_gather_topk_two_tier_shape(spark):
+    """q85j: per-shard ranking is a PARTITIONED window (8 bounded
+    shards) and the gather tier is TakeOrdered over the 8k shard
+    candidates — never a global sort of the corpus."""
+    df = all_queries()["q85j_scatter_gather_topk"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partitionBy" not in plan  # no API leak; window is planned
+    # the window must be partitioned on shard, not empty
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"Arguments: .*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in m.group(1) or "vec_id" in m.group(1), m.group(0)
+
+
+def test_join_fanout_preflight_never_joins_data(spark):
+    """qd54 estimates join explosion WITHOUT running the join: the plan
+    must contain no SortMergeJoin of two data-sized sides — only the
+    per-key aggregate and a broadcast of the 1-row total."""
+    df = all_queries()["qd54_join_fanout_preflight"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_priority_sample_is_takeordered_not_window(spark):
+    """qc60's k-largest priorities must plan as TakeOrdered (map-side
+    k rows per partition), never a global Sort or an unpartitioned
+    Window over the orders table."""
+    df = all_queries()["qc60_weighted_priority_sample"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
