@@ -680,3 +680,64 @@ def ks_drift(
         F.max("__tc").cast("long").alias("n_cur"),
         F.round(F.max(F.abs(F.col("__cr") - F.col("__cc"))), 6).alias("ks_stat"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int = 20,
+    salt: str = "ps",
+) -> DataFrame:
+    """Weighted priority sample WITHOUT replacement (Duffield-Lund-
+    Thorup), deterministic: each row draws priority q = w/u from a
+    derandomized uniform u = (md5-16bit(salt:id) + 1)/65536, the k
+    largest q win, and `ht_estimate` = max(w, tau) (tau = the (k+1)-th
+    priority) makes any kept-subset sum unbiased for the population
+    subset total.  Plan shape: map-side priorities + TakeOrdered(k+1)
+    + a broadcast 1-row threshold — no window, no shuffle (the qc60
+    registered query is this operator on orders)."""
+    u16 = (
+        f"CAST(conv(substr(md5('{salt}:' || CAST({id_col} AS STRING)),"
+        " 1, 4), 16, 10) AS BIGINT)"
+    )
+    pr = df.withColumn(
+        "__q", F.expr(f"{weight_col} / (({u16} + 1) / 65536.0D)")
+    )
+    topk1 = pr.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
+    tau = topk1.agg(F.min("__q").alias("__tau"))
+    return (
+        topk1.crossJoin(F.broadcast(tau))
+        .filter(F.col("__q") > F.col("__tau"))
+        .withColumn(
+            "ht_estimate",
+            F.when(
+                F.col(weight_col) >= F.col("__tau"), F.col(weight_col)
+            ).otherwise(F.col("__tau")),
+        )
+        .drop("__q", "__tau")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str | Column,
+    k: int = 5,
+    l: int = 3,
+) -> DataFrame:
+    """Per-quasi-identifier-group privacy report: group size,
+    l-diversity (distinct sensitive values), and k/l risk flags — the
+    release gate of qd53, generalized to any QI column set.  One
+    grouped aggregate; the group count is the QI domain size."""
+    s = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    return df.groupBy(*qi_cols).agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.countDistinct(s).cast("bigint").alias("l_diversity"),
+        (F.count("*") < k).alias("k_risky"),
+        (F.countDistinct(s) < l).alias("l_risky"),
+    )

@@ -193,3 +193,41 @@ def test_salted_join_equals_plain_join_property(spark):
     )
     want = sorted(map(tuple, big.join(small, big.k == small.sk).collect()))
     assert got == want and len(got) > 0
+
+
+def test_priority_sample_generic(spark):
+    """k rows out, deterministic across runs, HT estimates >= weights,
+    and the HT sum is within a loose unbiasedness band of the total."""
+    from spark_ml_optimization_spark import api
+
+    df = spark.range(1, 2001).select(
+        F.col("id"), (F.col("id") % 97 + 1.0).alias("w")
+    )
+    s1 = api.priority_sample(df, "w", "id", k=25).orderBy("id").collect()
+    s2 = api.priority_sample(df, "w", "id", k=25).orderBy("id").collect()
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]  # deterministic
+    assert len(s1) == 25
+    assert all(r["ht_estimate"] >= r["w"] for r in s1)
+    total = df.agg(F.sum("w")).collect()[0][0]
+    ht_sum = sum(r["ht_estimate"] for r in s1)
+    assert 0.3 * total < ht_sum < 3.0 * total  # loose HT sanity band
+
+
+def test_k_anonymity_report_generic(spark):
+    from spark_ml_optimization_spark import api
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 1, 30), ("b", 2, 10),
+         ("b", 2, 10), ("c", 3, 10)],
+        "qi1 string, qi2 long, sens long",
+    )
+    rep = {
+        (r["qi1"], r["qi2"]): r
+        for r in api.k_anonymity_report(
+            df, ["qi1", "qi2"], "sens", k=3, l=2
+        ).collect()
+    }
+    assert rep[("a", 1)]["group_size"] == 3
+    assert not rep[("a", 1)]["k_risky"] and not rep[("a", 1)]["l_risky"]
+    assert rep[("b", 2)]["k_risky"] and rep[("b", 2)]["l_risky"]
+    assert rep[("c", 3)]["group_size"] == 1
