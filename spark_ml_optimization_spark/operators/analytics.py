@@ -2311,3 +2311,144 @@ def qa43_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_churned_out"
         ),
     )
+
+
+@register(
+    "qa45_duplicate_lineitem_screen",
+    oracle="""
+        WITH l AS (
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem
+        )
+        SELECT a.l_orderkey,
+               a.l_partkey,
+               a.l_linenumber AS line_1,
+               b.l_linenumber AS line_2,
+               a.cents AS cents_1,
+               b.cents AS cents_2,
+               a.cents = b.cents AS same_amount,
+               b.qty - a.qty AS qty_delta
+        FROM l a JOIN l b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey = b.l_partkey
+         AND a.l_linenumber < b.l_linenumber
+    """,
+    doc="DUPLICATE LINE-ITEM SCREEN — the accounts-payable audit every "
+    "controller runs: the same part billed MORE THAN ONCE on one "
+    "order is either a double-entry, a retry bug, or a split line "
+    "that inflates the invoice; each pair surfaces both line "
+    "numbers, both exact-cents amounts, the same_amount flag (the "
+    "smoking gun: identical amount = near-certain double entry; "
+    "different amounts = a price-changed resubmission) and the "
+    "quantity delta.  Amounts compare in exact cents (never float "
+    "equality); pairs are canonical (line_1 < line_2, each once).  "
+    "Scale: the self-join is an EQUI-join blocked on (order, part) — "
+    "candidate pairs only form inside one order's lines, the "
+    "multiplicity qd54's preflight would report as tiny and flat; "
+    "at 100 TB it shuffles on the composite key like any fact join.",
+)
+def qa45_duplicate_lineitem_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    a = l.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_linenumber").alias("line_1"),
+        F.col("cents").alias("cents_1"),
+        F.col("qty").alias("q1"),
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_partkey").alias("pk2"),
+        F.col("l_linenumber").alias("line_2"),
+        F.col("cents").alias("cents_2"),
+        F.col("qty").alias("q2"),
+    )
+    return a.join(
+        b,
+        (F.col("ok") == F.col("ok2"))
+        & (F.col("pk") == F.col("pk2"))
+        & (F.col("line_1") < F.col("line_2")),
+    ).select(
+        F.col("ok").alias("l_orderkey"),
+        F.col("pk").alias("l_partkey"),
+        "line_1",
+        "line_2",
+        "cents_1",
+        "cents_2",
+        (F.col("cents_1") == F.col("cents_2")).alias("same_amount"),
+        (F.col("q2") - F.col("q1")).alias("qty_delta"),
+    )
+
+
+@register(
+    "qa46_pareto_frontier",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        )
+        SELECT a.p_brand, a.p_partkey, a.cents, a.size
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_brand = a.p_brand
+              AND b.cents <= a.cents AND b.size <= a.size
+              AND (b.cents < a.cents OR b.size < a.size)
+        )
+    """,
+    doc="SKYLINE / PARETO-FRONTIER operator (Borzsony-Kossmann-Stocker "
+    "2001) — the multi-criteria shortlist no single ORDER BY can "
+    "produce: per brand, keep every part NOT DOMINATED on (price "
+    "low, size low); a part survives iff no same-brand part is <= on "
+    "both dimensions and < on at least one.  The Spark plan is the "
+    "O(n log n) sort-based skyline, NOT the quadratic NOT-EXISTS the "
+    "oracle uses: sorted by price within brand, a part survives iff "
+    "the running MIN size over STRICTLY CHEAPER rows (RANGE frame "
+    "ending at -1 — tie rows excluded by value, not position) "
+    "doesn't reach its size, and no equal-price twin is strictly "
+    "smaller (min over the (brand, price) group) — equal-(price, "
+    "size) twins all survive (no strict edge), the tie the RANGE/"
+    "ROWS distinction exists for.  Exact cents and integer sizes.  "
+    "Scale: one partitioned window pass per criterion vs the "
+    "oracle's O(n^2) — the skyline of a 10^9-row catalog costs one "
+    "sort-shuffle; the brute force never finishes.",
+)
+def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        W.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("p_brand", "cents")
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        "size",
+        F.min("size").over(w_cheaper).alias("min_cheaper"),
+        F.min("size").over(w_same).alias("min_same_price"),
+    )
+    return flagged.filter(
+        (F.col("min_cheaper").isNull() | (F.col("min_cheaper") > F.col("size")))
+        & (F.col("size") == F.col("min_same_price"))
+    ).select("p_brand", "p_partkey", "cents", "size")

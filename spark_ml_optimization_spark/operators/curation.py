@@ -3701,3 +3701,85 @@ def qc62_survivorship_quality_shift(
         )
         .alias("dropped_mean_chars"),
     )
+
+
+@register(
+    "qc64_target_mix_reweighting",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM cells
+        ),
+        weighted AS (
+            SELECT c.lang, c.n, t.nn, t.k,
+                   (CAST(t.nn AS DOUBLE) / t.k) / c.n AS w
+            FROM cells c CROSS JOIN tot t
+        ),
+        ess AS (
+            SELECT sum(n * w) * sum(n * w) / sum(n * w * w) AS ess
+            FROM weighted
+        )
+        SELECT w.lang,
+               w.n AS n_docs,
+               round(CAST(w.n AS DOUBLE) / w.nn, 6) AS current_share,
+               round(1.0 / w.k, 6) AS target_share,
+               round(w.w, 6) AS weight,
+               round(e.ess, 2) AS effective_sample_size,
+               round(e.ess / w.nn, 6) AS ess_fraction
+        FROM weighted w CROSS JOIN ess e
+    """,
+    doc="TARGET-MIX IMPORTANCE REWEIGHTING + EFFECTIVE SAMPLE SIZE — "
+    "the honest version of 'just upweight the rare languages': "
+    "per-cell weights w = target_share/current_share hit a UNIFORM "
+    "language mix in expectation, and the Kish effective sample size "
+    "ESS = (sum w)^2 / sum w^2 reports what that reweighting COSTS — "
+    "an ESS fraction near 1 means nearly-free rebalancing, one near "
+    "the rarest cell's share means the corpus now behaves like a far "
+    "smaller one (the statistical fact mixture tuning discussions "
+    "routinely skip; Kish 1965, standard importance-sampling "
+    "diagnostics).  Per-doc sums collapse to cell-count algebra "
+    "(every doc in a cell shares w), so ESS is computed from the "
+    "CELL table — exact integer counts, a handful of double ops, "
+    "6dp wire.  Scale: one grouped count + broadcast scalars; the "
+    "weight table is |cells| rows and joins back map-side wherever "
+    "the pipeline applies it.",
+)
+def qc64_target_mix_reweighting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    weighted = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "nn",
+        "k",
+        ((F.col("nn").cast("double") / F.col("k")) / F.col("n")).alias("w"),
+    )
+    ess = weighted.agg(
+        (
+            F.sum(F.col("n") * F.col("w"))
+            * F.sum(F.col("n") * F.col("w"))
+            / F.sum(F.col("n") * F.col("w") * F.col("w"))
+        ).alias("ess")
+    )
+    return weighted.crossJoin(F.broadcast(ess)).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("nn"), 6).alias(
+            "current_share"
+        ),
+        F.round(1.0 / F.col("k"), 6).alias("target_share"),
+        F.round("w", 6).alias("weight"),
+        F.round("ess", 2).alias("effective_sample_size"),
+        F.round(F.col("ess") / F.col("nn"), 6).alias("ess_fraction"),
+    )

@@ -1777,10 +1777,12 @@ def q66e_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM paired GROUP BY lag
         )
         SELECT lag, n,
-               round((CAST(n * sxy - sx * sy AS DOUBLE))
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-                   AS xcorr
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE round((CAST(n * sxy - sx * sy AS DOUBLE))
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               END AS xcorr
         FROM sums
     """,
     doc="LEAD-LAG CROSS-CORRELATION between two event streams (do "
@@ -1840,14 +1842,16 @@ def q68n_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
-    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(vx.cast("double") * vy.cast("double"))
+    # Zero-variance guard: a CONSTANT series makes the denominator 0
+    # and bare double 0/0 is NaN in Spark but engine-conf-dependent in
+    # DuckDB — emit NULL explicitly in BOTH engines (qc46 convention).
     return sums.select(
-        "lag", "n", F.round(num / den, 6).alias("xcorr")
+        "lag",
+        "n",
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6))
+        .alias("xcorr"),
     )

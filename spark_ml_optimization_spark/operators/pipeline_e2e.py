@@ -1769,3 +1769,141 @@ def qp14_ab_experiment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gap, 6).alias("rate_gap"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "qp16_dataset_card",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(text) AS digest,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS BIGINT) AS toks
+            FROM documents
+        ),
+        core AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(toks) AS BIGINT) AS total_ws_tokens,
+                   CAST(count(DISTINCT digest) AS BIGINT) AS n_unique
+            FROM base
+        ),
+        top_lang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY lang
+            ORDER BY count(*) DESC, lang ASC LIMIT 1
+        )
+        SELECT * FROM (
+            SELECT 'n_docs' AS metric,
+                   CAST(n_docs AS DOUBLE) AS num,
+                   CAST(NULL AS VARCHAR) AS txt FROM core
+            UNION ALL
+            SELECT 'n_langs', CAST(n_langs AS DOUBLE), NULL FROM core
+            UNION ALL
+            SELECT 'n_sources', CAST(n_sources AS DOUBLE), NULL FROM core
+            UNION ALL
+            SELECT 'total_chars', CAST(total_chars AS DOUBLE), NULL
+            FROM core
+            UNION ALL
+            SELECT 'total_ws_tokens', CAST(total_ws_tokens AS DOUBLE),
+                   NULL FROM core
+            UNION ALL
+            SELECT 'mean_chars',
+                   round(CAST(total_chars AS DOUBLE) / n_docs, 2), NULL
+            FROM core
+            UNION ALL
+            SELECT 'exact_dup_rate',
+                   round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6),
+                   NULL
+            FROM core
+            UNION ALL
+            SELECT 'top_lang',
+                   round(CAST(t.n AS DOUBLE) / c.n_docs, 6), t.lang
+            FROM top_lang t CROSS JOIN core c
+        )
+    """,
+    doc="DATASET CARD generator (Gebru et al. 'Datasheets for "
+    "Datasets') — the one-table corpus summary that ships WITH a "
+    "training set: volume (docs, chars, whitespace tokens), "
+    "diversity (languages, sources, dominant language + share), and "
+    "hygiene (exact-duplicate rate) in long form (metric, num, txt). "
+    " Every number is exact-integer-derived with divisions rounded "
+    "at the wire; the dominant language is a deterministic "
+    "(count desc, lang asc) argmax.  Scale: ONE corpus pass builds "
+    "the base projection (digest + token count map-side), one "
+    "aggregate and one 5-row argmax finish it — the card costs a "
+    "scan, and at 100 TB the distinct counts swap to "
+    "approx_count_distinct (qd01 convention) without changing the "
+    "card's shape.",
+)
+def qp16_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
+        .cast("bigint")
+        .alias("toks"),
+    ).localCheckpoint(eager=False)
+    core = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("toks").cast("bigint").alias("total_ws_tokens"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+    )
+    snull = F.lit(None).cast("string")
+
+    def row(metric: str, num, txt=None):
+        return core.select(
+            F.lit(metric).alias("metric"),
+            num.cast("double").alias("num"),
+            (txt if txt is not None else snull).alias("txt"),
+        )
+
+    rows = (
+        row("n_docs", F.col("n_docs"))
+        .unionByName(row("n_langs", F.col("n_langs")))
+        .unionByName(row("n_sources", F.col("n_sources")))
+        .unionByName(row("total_chars", F.col("total_chars")))
+        .unionByName(row("total_ws_tokens", F.col("total_ws_tokens")))
+        .unionByName(
+            row(
+                "mean_chars",
+                F.round(
+                    F.col("total_chars").cast("double") / F.col("n_docs"), 2
+                ),
+            )
+        )
+        .unionByName(
+            row(
+                "exact_dup_rate",
+                F.round(
+                    (F.col("n_docs") - F.col("n_unique")).cast("double")
+                    / F.col("n_docs"),
+                    6,
+                ),
+            )
+        )
+        .unionByName(
+            top_lang.crossJoin(F.broadcast(core)).select(
+                F.lit("top_lang").alias("metric"),
+                F.round(
+                    F.col("n").cast("double") / F.col("n_docs"), 6
+                ).alias("num"),
+                F.col("lang").alias("txt"),
+            )
+        )
+    )
+    return rows

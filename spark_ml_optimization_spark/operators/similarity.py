@@ -1915,3 +1915,109 @@ def q85j_scatter_gather_topk(
         .limit(10)
         .select("vec_id", "label", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "q86b_knn_loo_classification",
+    oracle="""
+        WITH probes AS (
+            SELECT vec_id AS pid, label AS true_label,
+                   CAST(embedding AS DOUBLE[]) AS pvec
+            FROM embeddings WHERE vec_id < 50
+        ),
+        scored AS (
+            SELECT p.pid, p.true_label, e.label,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY list_dot_product(
+                                    CAST(e.embedding AS DOUBLE[]),
+                                    p.pvec) DESC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e JOIN probes p ON e.vec_id <> p.pid
+        ),
+        votes AS (
+            SELECT pid, true_label, label,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM scored WHERE rn <= 5
+            GROUP BY pid, true_label, label
+        ),
+        winner AS (
+            SELECT pid, true_label, label AS pred,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY v DESC, label ASC) AS r
+            FROM votes
+        )
+        SELECT true_label AS label,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(CAST(sum(CASE WHEN pred = true_label THEN 1
+                              ELSE 0 END) AS DOUBLE) / count(*), 6)
+                   AS accuracy
+        FROM winner WHERE r = 1
+        GROUP BY true_label
+    """,
+    doc="LEAVE-ONE-OUT k-NN CLASSIFICATION EVAL — the zero-training "
+    "baseline every embedding model is judged against (and the "
+    "standard embedding-quality probe: if 5-NN majority vote can't "
+    "recover the label, the space isn't clustered by class): 50 "
+    "probe vectors each search the corpus MINUS THEMSELVES (the "
+    "leave-one-out discipline that prevents the trivial self-match "
+    "from inflating accuracy), the 5 nearest neighbors vote, ties "
+    "break to the smallest label, and per-class accuracy is exact "
+    "integers over one division.  Dot scores ride the q85 "
+    "sequential-order determinism contract; every window is "
+    "PARTITIONED by probe (bounded probe set).  Scale: probe side "
+    "broadcasts; per-probe ranking is the q85j scatter-gather shape "
+    "when sharded — accuracy eval costs one retrieval pass, not a "
+    "training job.",
+)
+def q86b_knn_loo_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("true_label"),
+        to_double_array("embedding").alias("pvec"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "true_label",
+            "label",
+            "vec_id",
+            dot(to_double_array("embedding"), F.col("pvec")).alias("s"),
+        )
+    )
+    wr = W.partitionBy("pid").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    votes = (
+        scored.select(
+            "pid", "true_label", "label", F.row_number().over(wr).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .groupBy("pid", "true_label", "label")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    ww = W.partitionBy("pid").orderBy(F.col("v").desc(), F.col("label").asc())
+    winner = votes.select(
+        "pid",
+        "true_label",
+        F.col("label").alias("pred"),
+        F.row_number().over(ww).alias("r"),
+    ).filter(F.col("r") == 1)
+    return winner.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )

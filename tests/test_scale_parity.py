@@ -163,6 +163,18 @@ SCALE_SENSITIVE = [
     # dropped-doc statistics only exist where sf0.1 plants exact dups
     # (sf0.01 drops nothing — every dropped_mean is NULL there).
     "qc62_survivorship_quality_shift",
+    # neighbor structure (and therefore votes/accuracy) shifts with
+    # corpus size; re-pin the LOO eval where the corpus is 10x denser.
+    "q86b_knn_loo_classification",
+    # pair density is corpus-coupled (48 pairs at sf0.01, 57 at sf0.1
+    # with different orders) — re-pin the blocked self-join at scale.
+    "qa45_duplicate_lineitem_screen",
+    # frontier membership is density-coupled (ties and strictly-cheaper
+    # minima shift with catalog size); re-pin the sort-based skyline
+    # against the quadratic oracle at scale.
+    "qa46_pareto_frontier",
+    # dup rate flips from 0 to nonzero only at sf0.1 (planted dups).
+    "qp16_dataset_card",
 ]
 
 TABLES = (
