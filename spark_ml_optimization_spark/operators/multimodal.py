@@ -923,3 +923,116 @@ def mm10_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("keyframe_idx"),
         F.col("fsum").cast("bigint").alias("keyframe_sum"),
     )
+
+
+def _phash_scale_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Full-resolution aHash (mm05's kernel) AND the same signature over
+    the 2:1 mean-pooled byte sequence ((a+b)//2 integer pooling, odd
+    tail byte dropped, 64 groups of 2) — per doc, the Hamming distance
+    between the two signatures measures scale robustness."""
+    import numpy as np
+
+    def sig_of(arr: "np.ndarray", group: int) -> int:
+        L = int(arr.size)
+        total = int(arr.sum())
+        sig = 0
+        for g in range(64):
+            seg = arr[g * group : (g + 1) * group]
+            bit = (
+                1
+                if seg.size and int(seg.sum()) * L > total * int(seg.size)
+                else 0
+            )
+            sig = (sig << 1) | bit
+        return sig
+
+    for pdf in it:
+        out = np.zeros(len(pdf), dtype=np.int32)
+        for i, payload in enumerate(pdf["payload"]):
+            raw = bytes(payload)[:256]
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            m = arr.size - (arr.size % 2)
+            pooled = (arr[0:m:2] + arr[1:m:2]) // 2
+            full = sig_of(arr, 4)
+            half = sig_of(pooled, 2)
+            out[i] = bin(full ^ half).count("1")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "hamming": out})
+
+
+@register(
+    "mm11_phash_scale_invariance",
+    oracle=f"""
+        WITH {_PHASH_ORACLE_CTES},
+        pooled AS (
+            SELECT doc_id, i AS pos,
+                   (ascii(substr(text, 2 * i - 1, 1))
+                    + ascii(substr(text, 2 * i, 1))) // 2 AS v
+            FROM documents
+            CROSS JOIN UNNEST(generate_series(
+                1, least(len(text), 256) // 2)) u(i)
+            WHERE len(text) >= 2
+        ),
+        groups2 AS (
+            SELECT doc_id, (pos - 1) // 2 AS g, sum(v) AS sum_g,
+                   count(*) AS cnt_g
+            FROM pooled GROUP BY doc_id, (pos - 1) // 2
+        ),
+        tot2 AS (
+            SELECT doc_id, sum(sum_g) AS total, sum(cnt_g) AS n2
+            FROM groups2 GROUP BY doc_id
+        ),
+        bits2 AS (
+            SELECT g.doc_id, g.g,
+                   CAST(g.sum_g * t.n2 > t.total * g.cnt_g AS INT) AS bit
+            FROM groups2 g JOIN tot2 t USING (doc_id)
+        ),
+        sig2 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN bit = 1
+                                 THEN CAST(1 AS HUGEINT) << (63 - g)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT)
+                       AS s
+            FROM bits2 GROUP BY doc_id
+        ),
+        ph2 AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN s - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE s END AS BIGINT) AS phash
+            FROM sig2
+        )
+        SELECT a.doc_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+               bit_count(xor(a.phash, b.phash)) <= 16 AS robust
+        FROM ph a JOIN ph2 b USING (doc_id)
+    """,
+    doc="PERCEPTUAL-HASH SCALE-INVARIANCE AUDIT — the property that "
+    "makes mm05's near-dup join work across re-encodes: a thumbnail "
+    "must hash NEAR its original or cross-resolution duplicates are "
+    "invisible.  Per media payload the Arrow kernel computes mm05's "
+    "64-bit aHash at full resolution AND over the 2:1 mean-pooled "
+    "byte sequence ((a+b)//2 integer pooling — mm06's block-mean "
+    "downscale in one dimension), and reports the per-doc Hamming "
+    "distance + a robust (<=16 bits) flag — the distribution that "
+    "sets mm05's Hamming threshold for cross-resolution corpora.  "
+    "The ORACLE re-derives BOTH signatures relationally from "
+    "character codes (integer pooling, cross-multiplied mean "
+    "comparisons, HUGEINT bit-folds to two's-complement int64) — "
+    "kernel pooling arithmetic is hash-verified bit for bit.  "
+    "Scale: one map-side kernel pass, 4 bytes of output per doc; no "
+    "join, no shuffle beyond the final comparison.",
+)
+def mm11_phash_scale_invariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    b = _with_binary(spark, sf_dir)
+    return (
+        b.select("doc_id", "payload")
+        .filter(F.length("payload") >= 2)
+        .mapInPandas(
+            _phash_scale_batch, schema="doc_id long, hamming int"
+        )
+        .select(
+            "doc_id", "hamming", (F.col("hamming") <= 16).alias("robust")
+        )
+    )

@@ -98,6 +98,15 @@ ADV_FAMILIES = [
     "qc48_domain_frequency_cap",  # sources above AND below the 15-doc cap
     "qc47_epoch_shuffle_order",   # single-doc sources (min_pos == max_pos)
     "q53f_url_functions",         # empty-text docs still mint parseable URLs
+    # round-7 wave V-AE luck-sensitive additions:
+    "mm11_phash_scale_invariance",  # <2-byte payloads excluded BOTH sides
+    "qc62_survivorship_quality_shift",  # zero-dropped sources -> NULL guard
+    "qp16_dataset_card",          # empty/whitespace docs (0-token counts)
+    "qc59_cross_source_flow",     # planted exact dups -> non-empty matrix
+    "qd52_poisson_fit_audit",     # basket sizes past the k=7 ladder -> NULL
+    "q68n_leadlag_xcorr",         # sparse planted days (zero-filled spine)
+    "qc60_weighted_priority_sample",  # n close to k (tau = corpus minimum)
+    "qd53_k_anonymity_audit",     # singleton QI groups on the tiny fixture
     "qd34_holt_trend_backtest",   # single-day event types -> NULL-wape guard
     "q84f_kcore_peel",            # k above the synthetic graph's max degree -> empty-core rounds
     # round-7 second-wave luck-sensitive additions:
