@@ -1855,3 +1855,153 @@ def q68n_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num / den, 6))
         .alias("xcorr"),
     )
+
+
+@register(
+    "q69b_dau_wau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT
+                   CAST(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                   user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        wau AS (
+            SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        )
+        SELECT a.day, a.dau, w.wau,
+               round(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau a JOIN wau w ON a.day = w.day
+        WHERE a.day >= 6
+    """,
+    doc="DAU/WAU STICKINESS — the engagement ratio every product "
+    "review opens with: per day, distinct daily actives over distinct "
+    "trailing-7-day actives (a user counted ONCE per window however "
+    "often they fire — why this is NOT a windowed sum of DAU, the "
+    "mistake that inflates WAU by revisits).  Warm-up days (< 6) are "
+    "excluded so every ratio covers a full week.  Exact distinct "
+    "counts, one division at 6dp.  Scale: the (day, user) distinct "
+    "rollup is the only data-sized stage; the trailing window is a "
+    "CALENDAR-spine range join (7x fan-out of day keys, never of "
+    "events), and at 100 TB the per-day distinct swaps to mergeable "
+    "HLL registers (q28c) with the same spine shape.",
+)
+def q69b_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(F.col("d.day") - 6, F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .filter(F.col("day") >= 6)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "qd60_flatline_detector",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   CAST(floor(value) AS BIGINT) AS cv,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, cv, rn,
+                   CASE WHEN lag(cv) OVER (PARTITION BY user_id
+                                           ORDER BY rn) = cv
+                        THEN 0 ELSE 1 END AS is_new
+            FROM seq
+        ),
+        runs AS (
+            SELECT user_id, cv,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY rn)
+                       AS run_id
+            FROM flagged
+        )
+        SELECT user_id, cv AS stuck_value,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM runs
+        GROUP BY user_id, run_id, cv
+        HAVING count(*) >= 3
+    """,
+    doc="FLATLINE (stuck-sensor) DETECTOR — the telemetry-quality "
+    "screen qd27's rapid-repeat cousin doesn't cover: a metric that "
+    "reports the IDENTICAL value 3+ consecutive times per user is a "
+    "frozen gauge, a cached reading, or a default being logged as "
+    "data.  The gauge reads in integer units (floor(value) — real "
+    "sensors quantize; float equality never decides a run boundary); "
+    "runs are gap-and-island over a per-user "
+    "lag flag (q62's island recipe on VALUE changes instead of time "
+    "gaps), ordered by (ts, event_id) for total determinism.  Scale: "
+    "two per-user window passes + one grouped count — partitioned by "
+    "user like every sessionization in the repo; no global state.",
+)
+def qd60_flatline_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value")).cast("bigint").alias("cv"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    wrn = W.partitionBy("user_id").orderBy("rn")
+    flagged = seq.select(
+        "user_id",
+        "cv",
+        "rn",
+        F.when(F.lag("cv").over(wrn) == F.col("cv"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "cv",
+        F.sum("is_new")
+        .over(wrn.rowsBetween(W.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "cv")
+        .agg(F.count("*").cast("bigint").alias("run_len"))
+        .filter(F.col("run_len") >= 3)
+        .select(
+            "user_id", F.col("cv").alias("stuck_value"), "run_len"
+        )
+    )

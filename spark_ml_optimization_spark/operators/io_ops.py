@@ -1172,3 +1172,82 @@ def src28_managed_table_lifecycle(
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@register(
+    "src29_date_dimension",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS lo,
+                   CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(0,
+                       datediff('day', lo, hi))) AS BIGINT) AS d,
+                   lo
+            FROM bounds
+        )
+        SELECT d AS day_seq,
+               CAST(CAST(lo + CAST(d AS INT) AS DATE) AS VARCHAR)
+                   AS cal_date,
+               CAST(EXTRACT(year FROM lo + CAST(d AS INT))
+                    AS BIGINT) AS yr,
+               CAST(EXTRACT(month FROM lo + CAST(d AS INT))
+                    AS BIGINT) AS mth,
+               CAST(EXTRACT(day FROM lo + CAST(d AS INT))
+                    AS BIGINT) AS dom,
+               CAST((EXTRACT(month FROM lo + CAST(d AS INT)) + 2)
+                    // 3 AS BIGINT) AS qtr,
+               CAST(datediff('day', DATE '1990-01-01',
+                             lo + CAST(d AS INT)) % 7 AS BIGINT)
+                   AS dow0_monday,
+               (datediff('day', DATE '1990-01-01',
+                         lo + CAST(d AS INT)) % 7) >= 5
+                   AS is_weekend,
+               CAST(lo + CAST(d AS INT) AS DATE)
+                   = last_day(lo + CAST(d AS INT))
+                   AS is_month_end
+        FROM spine
+    """,
+    doc="GENERATED DATE DIMENSION — the calendar table every star "
+    "schema joins against, derived (not loaded) from the fact "
+    "table's own date bounds: one row per day with year/month/day/"
+    "quarter, a Monday-zero weekday computed ARITHMETICALLY "
+    "(days-since-a-known-Monday % 7 — 1990-01-01 was a Monday, "
+    "safely BEFORE every fact date so the modulo never sees a "
+    "negative dividend, whose sign is itself a dialect trap; the "
+    "qd51/q52c dialect sidestep, never dayofweek()), weekend and "
+    "month-end flags (last_day agrees across engines; both are ANSI "
+    "leap-year aware).  Quarter is integer (month+2)//3 — arithmetic "
+    "again, not a dialect-sensitive quarter().  Scale: the spine is "
+    "generated from a 1-row bounds aggregate — a calendar is "
+    "thousands of rows at ANY data scale, the canonical broadcast "
+    "dimension.",
+)
+def src29_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("hi"), F.col("lo")))
+        ).alias("d0"),
+        "lo",
+    ).select(F.col("d0").cast("bigint").alias("d"), "lo")
+    cal = F.date_add(F.col("lo"), F.col("d").cast("int"))
+    monday_delta = F.datediff(cal, F.lit("1990-01-01").cast("date"))
+    dow = F.pmod(monday_delta, F.lit(7)).cast("bigint")
+    return spine.select(
+        F.col("d").alias("day_seq"),
+        cal.cast("string").alias("cal_date"),
+        F.year(cal).cast("bigint").alias("yr"),
+        F.month(cal).cast("bigint").alias("mth"),
+        F.dayofmonth(cal).cast("bigint").alias("dom"),
+        F.floor((F.month(cal) + 2) / 3).cast("bigint").alias("qtr"),
+        dow.alias("dow0_monday"),
+        (dow >= 5).alias("is_weekend"),
+        (cal == F.last_day(cal)).alias("is_month_end"),
+    )

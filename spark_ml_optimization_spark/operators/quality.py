@@ -4499,3 +4499,83 @@ def qd58_seasonal_anomaly_screen(
         z.alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "qd61_key_discovery",
+    oracle="""
+        WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        cands AS (
+            SELECT 'o_orderkey' AS candidate,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate',
+                   CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_cents',
+                   CAST(count(DISTINCT CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_x_orderdate',
+                   CAST(count(DISTINCT (CAST(o_custkey AS VARCHAR) || ':'
+                        || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)))
+                        AS BIGINT)
+            FROM orders
+        )
+        SELECT c.candidate, t.n, c.n_distinct,
+               c.n_distinct = t.n AS is_key,
+               round(CAST(c.n_distinct AS DOUBLE) / t.n, 6)
+                   AS uniqueness_ratio
+        FROM cands c CROSS JOIN tot t
+    """,
+    doc="CANDIDATE-KEY DISCOVERY — the profiling step schema inference "
+    "and CDC tooling both depend on: for each candidate column (and "
+    "one composite), its distinct count vs the row count decides "
+    "whether it can serve as a primary key (is_key) and how close it "
+    "comes (uniqueness_ratio — a 0.999 ratio is the classic "
+    "almost-key that breaks a MERGE at 3 a.m.).  The composite "
+    "candidate is a delimiter-joined string (the portable composite-"
+    "distinct form; a ':' can't appear in either part).  Exact "
+    "distinct counts, one division at the wire.  Scale: all "
+    "candidates share ONE scan via grouped distinct aggregates; at "
+    "100 TB the exact distincts swap to approx_count_distinct with "
+    "an exactness pass only for ratio-=-1 survivors (the qd01 "
+    "two-phase convention).",
+)
+def qd61_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.agg(F.count("*").cast("bigint").alias("n"))
+    composite = F.concat(
+        F.col("o_custkey").cast("string"),
+        F.lit(":"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    cands = None
+    for name, expr in [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderdate", F.col("o_orderdate")),
+        (
+            "o_totalprice_cents",
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        ),
+        ("custkey_x_orderdate", composite),
+    ]:
+        row = o.agg(
+            F.countDistinct(expr).cast("bigint").alias("n_distinct")
+        ).select(F.lit(name).alias("candidate"), "n_distinct")
+        cands = row if cands is None else cands.unionByName(row)
+    return cands.crossJoin(F.broadcast(tot)).select(
+        "candidate",
+        "n",
+        "n_distinct",
+        (F.col("n_distinct") == F.col("n")).alias("is_key"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n"), 6
+        ).alias("uniqueness_ratio"),
+    )

@@ -2139,3 +2139,88 @@ def q85k_mrl_two_stage_retrieval(
         .cast("bigint")
         .alias("top1_recovered"),
     )
+
+
+@register(
+    "q88b_embedding_isotropy",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, u.j,
+                   CAST(round(CAST(embedding[u.j] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS qv
+            FROM embeddings
+            CROSS JOIN UNNEST(generate_series(1, 64)) u(j)
+        ),
+        dims AS (
+            SELECT j,
+                   CAST(sum(qv) AS BIGINT) AS sd,
+                   CAST(sum(qv * qv) AS BIGINT) AS ssd,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM ex GROUP BY j
+        ),
+        g AS (
+            SELECT max(cnt) AS n,
+                   CAST(sum(ssd) AS DOUBLE) AS ssd_tot,
+                   sum((CAST(sd AS DOUBLE) / 1000000.0)
+                       * (CAST(sd AS DOUBLE) / 1000000.0)) AS s2
+            FROM dims
+        )
+        SELECT CAST(n AS BIGINT) AS n_vecs,
+               round(ssd_tot / 1e12 / n, 6) AS avg_sq_norm,
+               round(s2 / (n * n), 6) AS mean_vector_sq_norm,
+               round((s2 - ssd_tot / 1e12) / (n * (n - 1)), 6)
+                   AS avg_pairwise_dot,
+               round((s2 / (n * n)) / (ssd_tot / 1e12 / n), 6)
+                   AS anisotropy
+        FROM g
+    """,
+    doc="EMBEDDING-SPACE ISOTROPY AUDIT (Ethayarajh 2019; Mu & "
+    "Viswanath's all-but-the-top) — the space-level health check "
+    "behind every cosine-retrieval decision: the average PAIRWISE dot "
+    "over all n^2-n vector pairs collapses to the aggregate identity "
+    "(||sum v||^2 - sum ||v||^2) / (n(n-1)) — computed from per-"
+    "dimension sums WITHOUT forming a single pair.  A high mean-"
+    "vector norm (anisotropy -> 1) means every cosine is inflated by "
+    "a common bias direction and thresholds like q85b's stop "
+    "discriminating; near 0 means the space actually spreads.  "
+    "Determinism: per-row components micro-quantize to integers "
+    "(q88's convention) so per-dim sums are EXACT; the only ordered "
+    "double sum is 64 per-dim terms, rounded at 6dp.  Scale: the "
+    "whole audit is ONE explode + a 64-row rollup — O(n*d) map-side "
+    "work and 64 rows of state for a statistic naively costing "
+    "O(n^2 d); the identity IS the 100 TB plan.",
+)
+def q88b_embedding_isotropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(to_double_array("embedding")).alias("j", "v")
+    ).select(
+        "j", F.round(F.col("v") * 1000000).cast("bigint").alias("qv")
+    )
+    dims = ex.groupBy("j").agg(
+        F.sum("qv").cast("bigint").alias("sd"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("ssd"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    g = dims.agg(
+        F.max("cnt").alias("n"),
+        F.sum("ssd").cast("double").alias("ssd_tot"),
+        F.sum(
+            (F.col("sd").cast("double") / 1000000.0)
+            * (F.col("sd").cast("double") / 1000000.0)
+        ).alias("s2"),
+    )
+    n = F.col("n")
+    return g.select(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(F.col("ssd_tot") / 1e12 / n, 6).alias("avg_sq_norm"),
+        F.round(F.col("s2") / (n * n), 6).alias("mean_vector_sq_norm"),
+        F.round(
+            (F.col("s2") - F.col("ssd_tot") / 1e12) / (n * (n - 1)), 6
+        ).alias("avg_pairwise_dot"),
+        F.round(
+            (F.col("s2") / (n * n)) / (F.col("ssd_tot") / 1e12 / n), 6
+        ).alias("anisotropy"),
+    )

@@ -178,6 +178,12 @@ SCALE_SENSITIVE = [
     # measured two-stage recall is corpus-coupled (shortlist depth 50
     # covers a different fraction of a 10x corpus).
     "q85k_mrl_two_stage_retrieval",
+    # the isotropy identity's integer headroom (sum qv^2) and the
+    # anisotropy value itself are corpus-coupled.
+    "q88b_embedding_isotropy",
+    # flatline runs are planted-density-coupled (2 at sf0.01, 9 at
+    # sf0.1 across different users).
+    "qd60_flatline_detector",
 ]
 
 TABLES = (
