@@ -888,7 +888,10 @@ def q37d_write_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Scale: staging is one slice write; the audit is one aggregate "
     "over staged files (count + checksum, the qd30 manifest shape); "
     "publish is a metadata-cheap rewrite of audited files — never "
-    "touching consumers mid-write is the whole point.",
+    "touching consumers mid-write is the whole point.  The two "
+    ".collect() calls are 1-ROW audit aggregates (the q20e bounded-"
+    "driver-side class): the publish/abort DECISION is driver control "
+    "flow by definition — no data rows ever reach the driver.",
 )
 def q37e_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -525,7 +525,7 @@ def fuzz_env(spark):
 
 #: 200 differential seeds, run in batches so one pytest node failure
 #: names its seed range; bump N_DIFF freely — runtime is ~0.2 s/query.
-N_DIFF = 250
+N_DIFF = 350
 BATCH = 25
 
 
@@ -598,7 +598,7 @@ def test_known_divergence_rollup_empty_input(fuzz_env):
 #: optimizer fully on vs with AQE disabled and a batch of excludable
 #: rewrite rules turned off — catches Spark-side rewrite bugs without
 #: any external oracle (and independently of DuckDB's dialect).
-N_OPT = 40
+N_OPT = 60
 _EXCLUDED_RULES = ",".join(
     [
         "org.apache.spark.sql.catalyst.optimizer.ConstantFolding",
@@ -609,7 +609,7 @@ _EXCLUDED_RULES = ",".join(
 )
 
 
-@pytest.mark.parametrize("batch_start", [0, 20])
+@pytest.mark.parametrize("batch_start", [0, 20, 40])
 def test_fuzz_optimizer_differential(fuzz_env, batch_start):
     spark, _ = fuzz_env
     aqe_key, excl_key = (
