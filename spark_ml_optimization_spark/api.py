@@ -694,28 +694,39 @@ def priority_sample(
     derandomized uniform u = (md5-16bit(salt:id) + 1)/65536, the k
     largest q win, and `ht_estimate` = max(w, tau) (tau = the (k+1)-th
     priority) makes any kept-subset sum unbiased for the population
-    subset total.  Plan shape: map-side priorities + TakeOrdered(k+1)
-    + a broadcast 1-row threshold — no window, no shuffle (the qc60
-    registered query is this operator on orders)."""
+    subset total.  When the input holds n <= k rows there is NO (k+1)-th
+    priority: DLT defines the sample as ALL rows with ht = w exactly —
+    the m <= k branch below (m = |topk1| = min(n, k+1), a 1-row
+    aggregate, so the gate costs nothing).  Output adds `priority` (the
+    raw q) and `ht_estimate`.  Plan shape: map-side priorities +
+    TakeOrdered(k+1) + a broadcast 1-row threshold — no window, no
+    shuffle (the qc60 registered query is this operator on orders)."""
     u16 = (
         f"CAST(conv(substr(md5('{salt}:' || CAST({id_col} AS STRING)),"
         " 1, 4), 16, 10) AS BIGINT)"
     )
     pr = df.withColumn(
-        "__q", F.expr(f"{weight_col} / (({u16} + 1) / 65536.0D)")
+        "priority", F.expr(f"{weight_col} / (({u16} + 1) / 65536.0D)")
     )
-    topk1 = pr.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
-    tau = topk1.agg(F.min("__q").alias("__tau"))
+    topk1 = pr.orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    ).limit(k + 1)
+    tau = topk1.agg(
+        F.min("priority").alias("__tau"), F.count("*").alias("__m")
+    )
+    small = F.col("__m") <= k
     return (
         topk1.crossJoin(F.broadcast(tau))
-        .filter(F.col("__q") > F.col("__tau"))
+        .filter(small | (F.col("priority") > F.col("__tau")))
         .withColumn(
             "ht_estimate",
-            F.when(
-                F.col(weight_col) >= F.col("__tau"), F.col(weight_col)
-            ).otherwise(F.col("__tau")),
+            F.when(small, F.col(weight_col)).otherwise(
+                F.when(
+                    F.col(weight_col) >= F.col("__tau"), F.col(weight_col)
+                ).otherwise(F.col("__tau"))
+            ),
         )
-        .drop("__q", "__tau")
+        .drop("__tau", "__m")
     )
 
 

@@ -3484,35 +3484,21 @@ def _ps_u16_duck(key: str) -> str:
 def qc60_weighted_priority_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    u16 = (
-        "CAST(conv(substr(md5('ps:' || CAST(o_orderkey AS STRING)), 1, 4),"
-        " 16, 10) AS BIGINT)"
+    # Thin binding over the generic operator (repo convention: qd14 ->
+    # api.ks_drift, qc05 -> api.stratified_sample).  The 65536.0D
+    # double-literal trap and the n<=k DLT edge live in ONE place —
+    # api.priority_sample — so fixes reach both surfaces.
+    from .. import api
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("w")
     )
-    # 65536.0D: the D suffix forces a DOUBLE literal — a bare 65536.0 is
-    # a DECIMAL in Spark SQL and decimal division quantizes u away from
-    # the oracle's exact power-of-two double division.
-    pr = o.selectExpr(
+    s = api.priority_sample(o, "w", "o_orderkey", k=20, salt="ps")
+    return s.select(
         "o_orderkey",
-        "o_totalprice AS w",
-        f"o_totalprice / (({u16} + 1) / 65536.0D) AS q",
-    )
-    top21 = pr.orderBy(F.col("q").desc(), F.col("o_orderkey").asc()).limit(21)
-    tau = top21.agg(F.min("q").alias("tau"))
-    return (
-        top21.crossJoin(F.broadcast(tau))
-        .filter(F.col("q") > F.col("tau"))
-        .select(
-            "o_orderkey",
-            F.col("w").alias("weight"),
-            F.round("q", 4).alias("priority"),
-            F.round(
-                F.when(F.col("w") >= F.col("tau"), F.col("w")).otherwise(
-                    F.col("tau")
-                ),
-                2,
-            ).alias("ht_estimate"),
-        )
+        F.col("w").alias("weight"),
+        F.round("priority", 4).alias("priority"),
+        F.round("ht_estimate", 2).alias("ht_estimate"),
     )
 
 

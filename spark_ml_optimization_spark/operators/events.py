@@ -1908,14 +1908,20 @@ def q69b_dau_wau_stickiness(
     ).distinct()
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    # The trailing window as an EQUI-join: fan the ~30-row day spine out
+    # 7x into (window_day, covered_day) pairs and hash-join on the
+    # covered day — a pure BETWEEN join has no equi-key and would plan
+    # as a nested loop over the data-sized (day, user) table.
+    spine7 = days.select(
+        F.col("day").alias("wday"),
+        F.explode(F.sequence(F.col("day") - 6, F.col("day"))).alias(
+            "covered"
+        ),
+    )
     wau = (
-        days.alias("d")
-        .join(
-            du.alias("u"),
-            F.col("u.day").between(F.col("d.day") - 6, F.col("d.day")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau"))
+        du.join(F.broadcast(spine7), du["day"] == spine7["covered"])
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
     return (
         dau.join(wau, "day")

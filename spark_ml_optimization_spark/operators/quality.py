@@ -4096,13 +4096,22 @@ def qd52_poisson_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ever grows unbounded (the qd01 swap convention).",
 )
 def qd53_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Thin binding over api.k_anonymity_report (single home for the
+    # privacy-flag semantics); only the wire column names are local.
+    from .. import api
+
     c = load_table(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
-    return c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("bigint").alias("group_size"),
-        F.countDistinct(band).cast("bigint").alias("l_diversity"),
-        (F.count("*") < 5).alias("k5_risky"),
-        (F.countDistinct(band) < 3).alias("l3_risky"),
+    rep = api.k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], band, k=5, l=3
+    )
+    return rep.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        F.col("k_risky").alias("k5_risky"),
+        F.col("l_risky").alias("l3_risky"),
     )
 
 
@@ -4549,28 +4558,31 @@ def qd58_seasonal_anomaly_screen(
 )
 def qd61_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    tot = o.agg(F.count("*").cast("bigint").alias("n"))
     composite = F.concat(
         F.col("o_custkey").cast("string"),
         F.lit(":"),
         F.col("o_orderdate").cast("date").cast("string"),
     )
-    cands = None
-    for name, expr in [
-        ("o_orderkey", F.col("o_orderkey")),
-        ("o_custkey", F.col("o_custkey")),
-        ("o_orderdate", F.col("o_orderdate")),
-        (
-            "o_totalprice_cents",
-            F.round(F.col("o_totalprice") * 100).cast("bigint"),
-        ),
-        ("custkey_x_orderdate", composite),
-    ]:
-        row = o.agg(
-            F.countDistinct(expr).cast("bigint").alias("n_distinct")
-        ).select(F.lit(name).alias("candidate"), "n_distinct")
-        cands = row if cands is None else cands.unionByName(row)
-    return cands.crossJoin(F.broadcast(tot)).select(
+    # ONE scan: every candidate's distinct count plus the row count in
+    # a single aggregate, unpivoted with stack() — the plan the doc
+    # promises (6 scans of a 100 TB fact vs 1 is the whole point).
+    prof = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("d1"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d2"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("d3"),
+        F.countDistinct(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("d4"),
+        F.countDistinct(composite).cast("bigint").alias("d5"),
+    )
+    cands = prof.selectExpr(
+        "n",
+        "stack(5, 'o_orderkey', d1, 'o_custkey', d2, 'o_orderdate', d3,"
+        " 'o_totalprice_cents', d4, 'custkey_x_orderdate', d5)"
+        " AS (candidate, n_distinct)",
+    )
+    return cands.select(
         "candidate",
         "n",
         "n_distinct",

@@ -208,9 +208,24 @@ def test_priority_sample_generic(spark):
     assert [r["id"] for r in s1] == [r["id"] for r in s2]  # deterministic
     assert len(s1) == 25
     assert all(r["ht_estimate"] >= r["w"] for r in s1)
+    assert all(r["priority"] >= r["w"] for r in s1)  # q = w/u, u <= 1
     total = df.agg(F.sum("w")).collect()[0][0]
     ht_sum = sum(r["ht_estimate"] for r in s1)
     assert 0.3 * total < ht_sum < 3.0 * total  # loose HT sanity band
+
+
+def test_priority_sample_small_input_keeps_all(spark):
+    """DLT edge: n <= k means NO (k+1)-th priority exists — the sample
+    is ALL rows with ht_estimate = w exactly (code-review finding:
+    the tau cut used to silently drop the minimum-priority row)."""
+    from spark_ml_optimization_spark import api
+
+    df = spark.range(1, 11).select(
+        F.col("id"), (F.col("id") * 1.5).alias("w")
+    )
+    out = api.priority_sample(df, "w", "id", k=20).collect()
+    assert len(out) == 10  # every row kept
+    assert all(r["ht_estimate"] == r["w"] for r in out)
 
 
 def test_k_anonymity_report_generic(spark):

@@ -602,3 +602,13 @@ def test_priority_sample_is_takeordered_not_window(spark):
     plan = explain_formatted(df)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_dau_wau_spine_join_is_hash_not_nested_loop(spark):
+    """q69b (code-review finding): the trailing-7-day window must be an
+    EQUI-join against the 7x-fanned day spine — a bare BETWEEN join has
+    no equi-key and plans as a nested loop over the (day, user) table."""
+    df = all_queries()["q69b_dau_wau_stickiness"].fn(spark, SF_SMOKE)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

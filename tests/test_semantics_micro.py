@@ -212,8 +212,10 @@ def test_generalization_ladder_monotone(spark):
     non-increasing up the ladder (the Incognito pruning invariant)."""
     import __spark_entry__ as entry
 
+    from .conftest import SF_SMOKE
+
     rows = entry.queries()["qd56_generalization_ladder"](
-        spark, "/root/testdata/sf0.001"
+        spark, SF_SMOKE
     ).collect()
     by_width = sorted(rows, key=lambda r: r["width"])
     for a, b in zip(by_width, by_width[1:]):
@@ -228,8 +230,10 @@ def test_brier_decomposition_identity(spark):
     all non-negative by construction."""
     import __spark_entry__ as entry
 
+    from .conftest import SF_SMOKE
+
     row = entry.queries()["ml40_brier_decomposition"](
-        spark, "/root/testdata/sf0.001"
+        spark, SF_SMOKE
     ).collect()[0]
     assert row["reliability"] >= 0
     assert row["resolution"] >= 0
