@@ -752,3 +752,40 @@ def k_anonymity_report(
         (F.count("*") < k).alias("k_risky"),
         (F.countDistinct(s) < l).alias("l_risky"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str | None,
+    minimize: Sequence[str],
+) -> DataFrame:
+    """SKYLINE: rows not dominated on the `minimize` dimensions (two
+    supported — the sort-based plan needs one running dimension), per
+    group (or globally with group_col=None over a constant key).  A row
+    survives iff no row in its group is <= on both dims and < on one:
+    the running MIN of dim2 over STRICTLY smaller dim1 (RANGE frame to
+    -1, ties excluded by value) must not reach it, and no equal-dim1
+    row is strictly smaller on dim2.  qa46 is this operator on part;
+    skyline(A U B) = skyline(skyline(A) U skyline(B)) is the
+    distributed-merge law for when one group outgrows a task."""
+    assert len(minimize) == 2, "sort-based skyline supports 2 dims"
+    d1, d2 = minimize
+    gcol = group_col
+    if gcol is None:
+        df = df.withColumn("__g", F.lit(1))
+        gcol = "__g"
+    w_cheaper = (
+        W.partitionBy(gcol).orderBy(d1).rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy(gcol, d1)
+    flagged = df.withColumn(
+        "__min_cheaper", F.min(d2).over(w_cheaper)
+    ).withColumn("__min_same", F.min(d2).over(w_same))
+    out = flagged.filter(
+        (
+            F.col("__min_cheaper").isNull()
+            | (F.col("__min_cheaper") > F.col(d2))
+        )
+        & (F.col(d2) == F.col("__min_same"))
+    ).drop("__min_cheaper", "__min_same")
+    return out.drop("__g") if group_col is None else out

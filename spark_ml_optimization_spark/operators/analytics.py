@@ -2426,7 +2426,9 @@ def qa45_duplicate_lineitem_screen(
     "sort-shuffle; the brute force never finishes.",
 )
 def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    # Thin binding over api.pareto_frontier (the sort-based skyline
+    # kernel lives in ONE place; this query is its oracle-proven twin).
+    from .. import api
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -2434,21 +2436,6 @@ def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w_cheaper = (
-        W.partitionBy("p_brand")
-        .orderBy("cents")
-        .rangeBetween(W.unboundedPreceding, -1)
+    return api.pareto_frontier(p, "p_brand", ["cents", "size"]).select(
+        "p_brand", "p_partkey", "cents", "size"
     )
-    w_same = W.partitionBy("p_brand", "cents")
-    flagged = p.select(
-        "p_brand",
-        "p_partkey",
-        "cents",
-        "size",
-        F.min("size").over(w_cheaper).alias("min_cheaper"),
-        F.min("size").over(w_same).alias("min_same_price"),
-    )
-    return flagged.filter(
-        (F.col("min_cheaper").isNull() | (F.col("min_cheaper") > F.col("size")))
-        & (F.col("size") == F.col("min_same_price"))
-    ).select("p_brand", "p_partkey", "cents", "size")

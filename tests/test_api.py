@@ -246,3 +246,32 @@ def test_k_anonymity_report_generic(spark):
     assert not rep[("a", 1)]["k_risky"] and not rep[("a", 1)]["l_risky"]
     assert rep[("b", 2)]["k_risky"] and rep[("b", 2)]["l_risky"]
     assert rep[("c", 3)]["group_size"] == 1
+
+
+def test_pareto_frontier_generic(spark):
+    """Hand-built case with dominated rows, an equal-price smaller-size
+    dominator, and an exact-duplicate pair (both survive: no strict
+    edge)."""
+    from spark_ml_optimization_spark import api
+
+    rows = [
+        ("g", 1, 10, "keep-cheapest"),
+        ("g", 2, 5, "keep-knee"),
+        ("g", 3, 5, "dominated-by-knee"),
+        ("g", 2, 7, "dominated-same-price"),
+        ("g", 4, 1, "keep-smallest"),
+        ("g", 4, 1, "keep-duplicate-twin"),
+        ("h", 9, 9, "keep-other-group"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, price long, size long, tag string")
+    got = {
+        r["tag"]
+        for r in api.pareto_frontier(df, "grp", ["price", "size"]).collect()
+    }
+    assert got == {
+        "keep-cheapest",
+        "keep-knee",
+        "keep-smallest",
+        "keep-duplicate-twin",
+        "keep-other-group",
+    }
