@@ -2439,3 +2439,159 @@ def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.pareto_frontier(p, "p_brand", ["cents", "size"]).select(
         "p_brand", "p_partkey", "cents", "size"
     )
+
+
+@register(
+    "qa47_abc_xyz_matrix",
+    oracle="""
+        WITH li AS (
+            SELECT p.p_brand,
+                   CAST(datediff('day', DATE '1995-01-01',
+                                 CAST(l.l_shipdate AS DATE)) // 7
+                        AS BIGINT) AS wk,
+                   CAST(round(l.l_quantity) AS BIGINT) AS qty,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        spine AS (
+            SELECT b.p_brand, w.wk
+            FROM (SELECT DISTINCT p_brand FROM li) b
+            CROSS JOIN (SELECT DISTINCT wk FROM li) w
+        ),
+        weekly AS (
+            SELECT s.p_brand, s.wk,
+                   CAST(coalesce(sum(l.qty), 0) AS BIGINT) AS q
+            FROM spine s
+            LEFT JOIN li l ON l.p_brand = s.p_brand AND l.wk = s.wk
+            GROUP BY s.p_brand, s.wk
+        ),
+        stats AS (
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS w,
+                   CAST(sum(q) AS BIGINT) AS s,
+                   CAST(sum(q * q) AS BIGINT) AS ss
+            FROM weekly GROUP BY p_brand
+        ),
+        rev AS (
+            SELECT p_brand, CAST(sum(cents) AS BIGINT) AS cents
+            FROM li GROUP BY p_brand
+        ),
+        ranked AS (
+            SELECT r.p_brand, r.cents,
+                   sum(r.cents) OVER (ORDER BY r.cents DESC, r.p_brand)
+                       AS cum_cents,
+                   sum(r.cents) OVER () AS tot_cents
+            FROM rev r
+        )
+        SELECT k.p_brand,
+               k.cents AS revenue_cents,
+               CASE WHEN k.cum_cents * 100 <= k.tot_cents * 80 THEN 'A'
+                    WHEN k.cum_cents * 100 <= k.tot_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               round(sqrt((t.w * t.ss - t.s * t.s) * 1.0
+                          / (t.w * (t.w - 1)))
+                     / (t.s * 1.0 / t.w), 6) AS cv,
+               CASE WHEN round(sqrt((t.w * t.ss - t.s * t.s) * 1.0
+                                    / (t.w * (t.w - 1)))
+                               / (t.s * 1.0 / t.w), 6) < 0.5 THEN 'X'
+                    WHEN round(sqrt((t.w * t.ss - t.s * t.s) * 1.0
+                                    / (t.w * (t.w - 1)))
+                               / (t.s * 1.0 / t.w), 6) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM ranked k JOIN stats t ON k.p_brand = t.p_brand
+    """,
+    doc="ABC-XYZ PLANNING MATRIX — the two-axis classification every "
+    "inventory/demand planner starts from: ABC by cumulative revenue "
+    "share (A = brands covering the first 80% of cents, B to 95%, C "
+    "the tail — INTEGER boundary gates cum*100 <= tot*80, the qa39 "
+    "convention, so no float ever decides a class) crossed with XYZ "
+    "by demand variability (coefficient of variation of ZERO-FILLED "
+    "weekly quantity — skipping empty weeks understates variance, "
+    "the classic mistake; X < 0.5 <= Y < 1.0 <= Z, classified on the "
+    "6dp-ROUNDED cv so the class can never straddle a ULP).  AX "
+    "items run on autopilot, CZ items are make-to-order.  Variance "
+    "numerators are exact integers (W*SS - S^2).  Scale: one "
+    "(brand, week) rollup, a bounded 25-brand x ~350-week zero-fill "
+    "spine, one 25-row revenue window (bounded dimension, the qa30 "
+    "class).",
+)
+def qa47_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.floor(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    brands = li.select("p_brand").distinct()
+    weeks = li.select("wk").distinct()
+    # broadcast the week spine: a 25 x ~350 dimension grid must plan as
+    # BroadcastNestedLoopJoin, never CartesianProduct (plan-swept).
+    spine = brands.crossJoin(F.broadcast(weeks))
+    weekly = (
+        spine.join(li.select("p_brand", "wk", "qty"), ["p_brand", "wk"], "left")
+        .groupBy("p_brand", "wk")
+        .agg(F.coalesce(F.sum("qty"), F.lit(0)).cast("bigint").alias("q"))
+    )
+    stats = weekly.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    rev = li.groupBy("p_brand").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    wcum = W.orderBy(F.col("cents").desc(), F.col("p_brand")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "p_brand",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("tot_cents"),
+    )
+    cv = F.round(
+        F.sqrt(
+            (F.col("w") * F.col("ss") - F.col("s") * F.col("s"))
+            * 1.0
+            / (F.col("w") * (F.col("w") - 1))
+        )
+        / (F.col("s") * 1.0 / F.col("w")),
+        6,
+    )
+    return ranked.join(stats, "p_brand").select(
+        "p_brand",
+        F.col("cents").alias("revenue_cents"),
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("tot_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("tot_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        cv.alias("cv"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )

@@ -82,6 +82,7 @@ _GLOBAL_WINDOW_OK = {
     "qd14_ks_drift",  # fixed quantile-grid bins
     "qd20_anomaly_episodes",  # day spine: one row per calendar day
     "qa30_share_of_parent",  # 25-row NATION dimension rollup (bounded)
+    "qa47_abc_xyz_matrix",  # 25-row BRAND dimension revenue ranking (bounded)
     "ml36_rank_correlation",  # 100-row post-LIMIT relation (bounded by construction)
     "ml37_cost_optimal_threshold",  # fixed 1024-bin score spine
 }

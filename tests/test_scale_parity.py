@@ -184,6 +184,9 @@ SCALE_SENSITIVE = [
     # flatline runs are planted-density-coupled (2 at sf0.01, 9 at
     # sf0.1 across different users).
     "qd60_flatline_detector",
+    # class boundaries (ABC shares, CV cutoffs) move with volume — the
+    # X/Y/Z split is only meaningful under sf0.1 weekly demand density.
+    "qa47_abc_xyz_matrix",
 ]
 
 TABLES = (
