@@ -1244,3 +1244,50 @@ def q54c_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position("t", "the").cast("bigint").alias("first_the_pos"),
         F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tok"),
     )
+
+
+@register(
+    "q55g_struct_field_surgery",
+    oracle="""
+        SELECT o_orderkey,
+               '{"status":"' || lower(o_orderstatus) || '","price_cents":'
+                   || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR)
+                   || '}' AS payload
+        FROM orders
+    """,
+    doc="NESTED-STRUCT FIELD SURGERY (withField / dropFields, Spark "
+    "3.1+) — the API that mutates one field inside a deep struct "
+    "without exploding and rebuilding the whole column (on a 300-"
+    "field event struct the rebuild is the bug factory; withField is "
+    "the O(1)-to-write, codegen'd path).  The struct gets an "
+    "OVERWRITE (status -> lower(status), in place, original "
+    "position), an APPEND (price_cents, new field at the end), and "
+    "two DROPS (the raw price and priority) — and the PROOF is "
+    "to_json of the result: the JSON text exposes exactly which "
+    "fields remain, their order (overwrite keeps position, append "
+    "goes last), and their values, so the oracle can assemble the "
+    "same string by hand and the hash match pins the full mutation "
+    "semantics.  Scale: map-side expression, whole-stage codegen, "
+    "no shuffle.",
+)
+def q55g_struct_field_surgery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    mutated = (
+        base.withField("status", F.lower(F.col("o_orderstatus")))
+        .withField(
+            "price_cents",
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        )
+        .dropFields("prio", "price")
+    )
+    return o.select(
+        "o_orderkey", F.to_json(mutated).alias("payload")
+    )
