@@ -396,3 +396,44 @@ def q19d_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM with_null w, null_guarded g
         """
     )
+
+
+@register(
+    "q18e_lateral_column_alias",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                   - CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                   AS whole_dollars_cents,
+               (CAST(round(o_totalprice * 100) AS BIGINT)
+                   - CAST(round(o_totalprice * 100) AS BIGINT) % 100)
+                   / 100 AS dollars
+        FROM orders
+        WHERE o_orderkey % 997 = 0
+    """,
+    doc="LATERAL COLUMN ALIAS chain (Spark 3.4+ SQL surface): a SELECT "
+    "item references an alias defined EARLIER IN THE SAME SELECT "
+    "(cents -> whole_dollars_cents -> dollars), the ergonomic that "
+    "kills the nested-subquery pyramid every derived-metrics query "
+    "used to need.  Spark resolves the chain by inlining; the oracle "
+    "writes the fully-inlined form, so the hash proves the inlining "
+    "is exact (same integer arithmetic at every link).  DuckDB "
+    "happens to support the same alias reuse natively — the ORACLE "
+    "still uses the inlined form so it stays ANSI-portable.  Scale: "
+    "map-side projection, codegen, pushdown intact.",
+)
+def q18e_lateral_column_alias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents - cents % 100 AS whole_dollars_cents,
+               whole_dollars_cents / 100 AS dollars
+        FROM orders
+        WHERE o_orderkey % 997 = 0
+        """
+    )
