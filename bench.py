@@ -217,6 +217,11 @@ def main() -> int:
     # a GC/scheduler landing zone clears.  Declared here and in the
     # budget record.
     _breachers = [n for n, t in timings.items() if t > 10.0]
+    # Pre-re-measure readings stay in the sidecar (round-8, advice #5):
+    # the raw in-suite number and the clean re-measure must both be
+    # auditable across rounds so drift between them is a measured fact,
+    # not a trust-me.
+    breach_raw = {n: timings[n] for n in _breachers}
     for name in _breachers:
         try:
             for sq in spark.streams.active:
@@ -235,6 +240,60 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Canary pass (round-8, verdict item #1): the suite-mean line kept
+    # getting re-calibrated upward because the HOST drifts between
+    # rounds (same code, identical plans: q01 0.43 -> 0.48 s r6 -> r7;
+    # whole suite 592 -> 746 s in 95 commit-free minutes).  A line that
+    # moves with the weather can't catch a slow systemic regression —
+    # so normalize instead: measure a fixed set of cheap, plan-pinned
+    # canary queries in a clean window at suite end and divide the
+    # suite mean by the canary ratio vs their pinned reference epoch.
+    # Host weather moves canaries and suite together (ratio absorbs
+    # it); a broad plan regression moves the suite but not the
+    # canaries (the normalized mean finally sees it).  Reference epoch
+    # = round-7 BENCH_DETAIL (the same record the 1.268 suite mean and
+    # the retired 1.5 raw line were read from), so the normalized line
+    # goes BACK to 1.3 — the round-5/6 calibration — with zero slack.
+    CANARY_REF = {
+        "q01_pricing_summary": 0.484,
+        "q06_distinct": 0.213,
+        "q70_exact_dedup": 0.220,
+    }
+    canary_measured: dict[str, float] = {}
+    try:
+        for sq in spark.streams.active:
+            sq.stop()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    for name in CANARY_REF:
+        if name not in queries:
+            continue
+        best = None
+        for _ in range(3):  # best-of-3: canaries are sub-second, noisy
+            t0 = time.perf_counter()
+            try:
+                queries[name].fn(spark, sf_dir).collect()
+            except Exception:
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            canary_measured[name] = round(best, 3)
+    if canary_measured:
+        # Ratio of sums, not mean of ratios: one noisy 0.2 s reading
+        # can't dominate the estimate.
+        canary_ratio = round(
+            sum(canary_measured.values())
+            / sum(CANARY_REF[n] for n in canary_measured),
+            3,
+        )
+    else:
+        canary_ratio = 1.0  # canary failure must not mask the raw gate
+    canary_ratio = max(canary_ratio, 0.25)  # an absurdly-fast fluke
+    # must not manufacture a breach either; floor declared in sidecar.
+
     # Full per-query map → sidecar file; printed line stays compact
     # (driver tail-capture safe, see module docstring).  BENCH_QUERIES
     # subset runs write a SEPARATE sidecar: BENCH_DETAIL.json is the
@@ -251,27 +310,27 @@ def main() -> int:
     # suite past 1.3 s/query, is visible in every bench record (and red
     # in tests/test_bench_gate.py, which reads this sidecar).
     per_query = round(sum(timings.values()) / max(len(timings), 1), 3)
+    normalized_per_query = round(per_query / canary_ratio, 3)
+    # The raw 1.2/1.3/1.5 suite-mean lines of rounds 5-7 are RETIRED
+    # (round-8 verdict item #1): the gate is now the canary-normalized
+    # mean, pinned back at the original 1.3 calibration.  Host weather
+    # moves canary_ratio and per_query together so normalized stays
+    # put; a broad plan regression inflates per_query without touching
+    # the identical-plan canaries and goes red here.  The absolute
+    # 10 s single-query line (with the clean re-measure pass above,
+    # which records its raw readings in breach_raw) is unchanged.
     budget = {
         "single_query_limit_s": 10.0,
-        # 1.2 -> 1.3 re-calibration (round 7): same-code queries measure
-        # 1.25-1.35x their round-6 wall-clock on this round's VM (q01
-        # 0.43->0.56 s, ml03 6.0->7.8 s, zero plan changes), which
-        # drifted the suite mean 1.05 -> 1.24 with ZERO single-query
-        # breaches.  The mean line exists to catch broad plan
-        # regressions, not host weather; plan regressions also trip the
-        # 10 s single line, the plan-sweep, and the plan pins.  Line
-        # moves to 1.3; the absolute single-query line is unchanged.
-        # Second re-calibration (round 7 close): the SAME code measured
-        # 592 s at 02:42 and 746 s at 04:17 (1.26x in 95 minutes, zero
-        # commits in between; streaming micro-batch waits inflate most
-        # under scheduler contention).  Line moves to 1.5; single-query
-        # regressions are now caught by the absolute 10 s line WITH the
-        # clean re-measure pass above, which a real plan regression
-        # survives and host weather does not.
-        "suite_per_query_limit_s": 1.5,
+        "normalized_per_query_limit_s": 1.3,
         "per_query_s": per_query,
+        "canary_ref": CANARY_REF,
+        "canary_measured": canary_measured,
+        "canary_ratio": canary_ratio,
+        "canary_ratio_floor": 0.25,
+        "normalized_per_query_s": normalized_per_query,
+        "breach_raw": breach_raw,
         "breaches": {n: t for n, t in timings.items() if t > 10.0},
-        "ok": per_query <= 1.5
+        "ok": normalized_per_query <= 1.3
         and not any(t > 10.0 for t in timings.values()),
     }
     detail = {

@@ -130,6 +130,9 @@ ADV_FAMILIES = [
     "qd47_outlier_consensus",     # percentile boundaries under heavy ties; tiny groups
     "qp13_point_in_time_features",  # single-order customers: first-month rows correctly dropped
     "qp14_ab_experiment_pipeline",  # tiny arms; zero-conversion arm keeps z finite via pooled rate
+    # round-8 luck-sensitive additions (mm07 summation-order finding):
+    "mm07_resolution_profile",    # integer-pair group mean over degenerate/empty docs
+    "qp7_media_pipeline",         # lcm-scaled integer mean across mixed pixel counts
 ]
 
 
