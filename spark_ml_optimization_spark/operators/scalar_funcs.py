@@ -1247,7 +1247,7 @@ def q54c_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q55g_struct_field_surgery",
+    "q55h_struct_field_surgery",
     oracle="""
         SELECT o_orderkey,
                '{"status":"' || lower(o_orderstatus) || '","price_cents":'
@@ -1271,7 +1271,7 @@ def q54c_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics.  Scale: map-side expression, whole-stage codegen, "
     "no shuffle.",
 )
-def q55g_struct_field_surgery(
+def q55h_struct_field_surgery(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

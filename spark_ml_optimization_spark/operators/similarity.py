@@ -1918,7 +1918,7 @@ def q85j_scatter_gather_topk(
 
 
 @register(
-    "q86b_knn_loo_classification",
+    "q86c_knn_loo_classification",
     oracle="""
         WITH probes AS (
             SELECT vec_id AS pid, label AS true_label,
@@ -1972,7 +1972,7 @@ def q85j_scatter_gather_topk(
     "when sharded — accuracy eval costs one retrieval pass, not a "
     "training job.",
 )
-def q86b_knn_loo_classification(
+def q86c_knn_loo_classification(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -2024,7 +2024,7 @@ def q86b_knn_loo_classification(
 
 
 @register(
-    "q85k_mrl_two_stage_retrieval",
+    "q85l_mrl_two_stage_retrieval",
     oracle="""
         WITH probes AS (
             SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pvec
@@ -2082,7 +2082,7 @@ def q86b_knn_loo_classification(
     "rows per probe; both windows are probe-partitioned, and sharding "
     "composes with q85j's scatter-gather.",
 )
-def q85k_mrl_two_stage_retrieval(
+def q85l_mrl_two_stage_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

@@ -165,7 +165,7 @@ SCALE_SENSITIVE = [
     "qc62_survivorship_quality_shift",
     # neighbor structure (and therefore votes/accuracy) shifts with
     # corpus size; re-pin the LOO eval where the corpus is 10x denser.
-    "q86b_knn_loo_classification",
+    "q86c_knn_loo_classification",
     # pair density is corpus-coupled (48 pairs at sf0.01, 57 at sf0.1
     # with different orders) — re-pin the blocked self-join at scale.
     "qa45_duplicate_lineitem_screen",
@@ -177,7 +177,7 @@ SCALE_SENSITIVE = [
     "qp16_dataset_card",
     # measured two-stage recall is corpus-coupled (shortlist depth 50
     # covers a different fraction of a 10x corpus).
-    "q85k_mrl_two_stage_retrieval",
+    "q85l_mrl_two_stage_retrieval",
     # the isotropy identity's integer headroom (sum qv^2) and the
     # anisotropy value itself are corpus-coupled.
     "q88b_embedding_isotropy",
