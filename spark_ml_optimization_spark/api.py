@@ -697,7 +697,14 @@ def priority_sample(
     subset total.  When the input holds n <= k rows there is NO (k+1)-th
     priority: DLT defines the sample as ALL rows with ht = w exactly —
     the m <= k branch below (m = |topk1| = min(n, k+1), a 1-row
-    aggregate, so the gate costs nothing).  Output adds `priority` (the
+    aggregate, so the gate costs nothing).  Ties AT tau are broken
+    deterministically (round-8 advice: a strict `priority > tau` cut
+    dropped EVERY row tied at the (k+1)-th priority, silently
+    shrinking the sample below k — plausible for arbitrary inputs
+    since u is only 16-bit): the sample is exactly the first k rows
+    of the (priority DESC, id ASC) order, i.e. everything in the
+    top-(k+1) set except its last row, so `the k largest q win` holds
+    literally even under collisions.  Output adds `priority` (the
     raw q) and `ht_estimate`.  Plan shape: map-side priorities +
     TakeOrdered(k+1) + a broadcast 1-row threshold — no window, no
     shuffle (the qc60 registered query is this operator on orders)."""
@@ -711,13 +718,23 @@ def priority_sample(
     topk1 = pr.orderBy(
         F.col("priority").desc(), F.col(id_col).asc()
     ).limit(k + 1)
+    # The (k+1)-th row — the ONE to drop when m == k+1 — is the last
+    # of the (priority DESC, id ASC) order: max_by over the inverted
+    # key (-priority, id) finds it inside the same 1-row aggregate.
     tau = topk1.agg(
-        F.min("priority").alias("__tau"), F.count("*").alias("__m")
+        F.min("priority").alias("__tau"),
+        F.count("*").alias("__m"),
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col("priority")).alias("np"), F.col(id_col).alias("i")
+            ),
+        ).alias("__dropid"),
     )
     small = F.col("__m") <= k
     return (
         topk1.crossJoin(F.broadcast(tau))
-        .filter(small | (F.col("priority") > F.col("__tau")))
+        .filter(small | (F.col(id_col) != F.col("__dropid")))
         .withColumn(
             "ht_estimate",
             F.when(small, F.col(weight_col)).otherwise(
@@ -726,7 +743,7 @@ def priority_sample(
                 ).otherwise(F.col("__tau"))
             ),
         )
-        .drop("__tau", "__m")
+        .drop("__tau", "__m", "__dropid")
     )
 
 

@@ -1980,8 +1980,8 @@ def qa39_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH weekly AS (
             SELECT l.l_partkey AS pk,
-                   CAST(datediff('day', DATE '1995-01-01',
-                                 CAST(o.o_orderdate AS DATE)) // 7
+                   CAST(floor(datediff('day', DATE '1995-01-01',
+                                       CAST(o.o_orderdate AS DATE)) / 7.0)
                         AS BIGINT) AS wk,
                    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                   * 100, 0) AS BIGINT)) AS cents
@@ -2189,8 +2189,9 @@ def qa42_mix_rate_decomposition(
     oracle="""
         WITH weekly AS (
             SELECT DISTINCT user_id,
-                   CAST(datediff('day', DATE '2024-01-01',
-                                 CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+                   CAST(floor(datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) / 7.0)
+                        AS BIGINT) AS wk
             FROM events
         ),
         flagged AS (
@@ -2446,8 +2447,8 @@ def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH li AS (
             SELECT p.p_brand,
-                   CAST(datediff('day', DATE '1995-01-01',
-                                 CAST(l.l_shipdate AS DATE)) // 7
+                   CAST(floor(datediff('day', DATE '1995-01-01',
+                                       CAST(l.l_shipdate AS DATE)) / 7.0)
                         AS BIGINT) AS wk,
                    CAST(round(l.l_quantity) AS BIGINT) AS qty,
                    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
@@ -2509,7 +2510,11 @@ def qa46_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weekly quantity — skipping empty weeks understates variance, "
     "the classic mistake; X < 0.5 <= Y < 1.0 <= Z, classified on the "
     "6dp-ROUNDED cv so the class can never straddle a ULP).  AX "
-    "items run on autopilot, CZ items are make-to-order.  Variance "
+    "items run on autopilot, CZ items are make-to-order.  Week "
+    "buckets FLOOR days/7 on BOTH engines (DuckDB integer // "
+    "truncates toward zero, so it is floor(x/7.0) in the oracle — "
+    "round-8 advice: the two only agreed because fixture dates never "
+    "precede the 1995-01-01 anchor).  Variance "
     "numerators are exact integers (W*SS - S^2).  Scale: one "
     "(brand, week) rollup, a bounded 25-brand x ~350-week zero-fill "
     "spine, one 25-row revenue window (bounded dimension, the qa30 "

@@ -3456,14 +3456,21 @@ def _ps_u16_duck(key: str) -> str:
         top21 AS (
             SELECT * FROM pr ORDER BY q DESC, o_orderkey ASC LIMIT 21
         ),
-        tau AS (SELECT min(q) AS tau FROM top21)
+        tau AS (SELECT min(q) AS tau, count(*) AS m FROM top21),
+        -- the (k+1)-th row of the (q DESC, id ASC) order = the one
+        -- row dropped when m = k+1 (deterministic tie break: ties AT
+        -- tau stay in the sample, only the last-ordered row leaves)
+        dropped AS (
+            SELECT o_orderkey AS drop_id FROM top21
+            ORDER BY q ASC, o_orderkey DESC LIMIT 1
+        )
         SELECT p.o_orderkey,
                p.w AS weight,
                round(p.q, 4) AS priority,
                round(CASE WHEN p.w >= t.tau THEN p.w ELSE t.tau END, 2)
                    AS ht_estimate
-        FROM top21 p CROSS JOIN tau t
-        WHERE p.q > t.tau
+        FROM top21 p CROSS JOIN tau t CROSS JOIN dropped d
+        WHERE t.m <= 20 OR p.o_orderkey <> d.drop_id
     """,
     doc="WEIGHTED PRIORITY SAMPLING (Duffield-Lund-Thorup) — the "
     "sample-without-replacement that makes subset sums estimable: each "
@@ -3476,8 +3483,10 @@ def _ps_u16_duck(key: str) -> str:
     "population subset total, the property that lets a 20-row sample "
     "answer revenue questions about the full table.  u is a power-of-"
     "two division (exact), q is ONE IEEE division (identical across "
-    "engines), the boundary is a strict q > tau cut (tie-degenerate "
-    "by hash construction).  Scale: priorities are map-side; the only "
+    "engines), and the boundary is rank-based — the sample is exactly "
+    "the first k rows of the (q DESC, id ASC) order, so ties AT tau "
+    "never shrink it below k (round-8 advice; the old strict q > tau "
+    "cut dropped every tied row).  Scale: priorities are map-side; the only "
     "reduction is TakeOrdered(21) + a broadcast 1-row threshold — no "
     "window, no shuffle of the data.",
 )
@@ -3625,10 +3634,13 @@ def qc61_pseudonymization_invariance(
                     AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN fate = 'dropped' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dropped,
-               round(CAST(sum(CASE WHEN fate = 'kept' THEN n_chars
-                              ELSE 0 END) AS DOUBLE)
-                     / sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END), 4)
-                   AS kept_mean_chars,
+               CASE WHEN sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0
+                             END) = 0 THEN NULL
+                    ELSE round(CAST(sum(CASE WHEN fate = 'kept'
+                                       THEN n_chars ELSE 0 END) AS DOUBLE)
+                               / sum(CASE WHEN fate = 'kept' THEN 1
+                                     ELSE 0 END), 4)
+               END AS kept_mean_chars,
                CASE WHEN sum(CASE WHEN fate = 'dropped' THEN 1 ELSE 0
                              END) = 0 THEN NULL
                     ELSE round(CAST(sum(CASE WHEN fate = 'dropped'
@@ -3647,9 +3659,10 @@ def qc61_pseudonymization_invariance(
     "the good content) the dedup is eating quality, if they skew "
     "short it's cleaning boilerplate; either way the delta belongs "
     "in the pipeline report, not in the dark.  Integer sums, one "
-    "guarded division per fate (NULL when a source dropped nothing "
-    "— explicit CASE in BOTH engines, the qc46 zero-guard "
-    "convention).  Scale: one digest rollup + one digest-keyed "
+    "guarded division per fate (NULL when a fate is EMPTY — dropped "
+    "nothing, or kept nothing because every doc was first seen under "
+    "another source — explicit CASE in BOTH engines, the qc46 "
+    "zero-guard convention).  Scale: one digest rollup + one digest-keyed "
     "equi-join + one grouped aggregate — the q70 shape.",
 )
 def qc62_survivorship_quality_shift(
@@ -3678,9 +3691,13 @@ def qc62_survivorship_quality_shift(
     return tagged.groupBy("source").agg(
         F.sum(kept).cast("bigint").alias("n_kept"),
         F.sum(dropped).cast("bigint").alias("n_dropped"),
-        F.round(
-            F.sum(kept_chars).cast("double") / F.sum(kept), 4
-        ).alias("kept_mean_chars"),
+        # Both fates carry the same explicit zero-guard (round-8
+        # advice): a source whose every doc was first seen under
+        # another source keeps nothing, and the doc contract says one
+        # GUARDED division per fate — not one guarded, one lucky.
+        F.when(F.sum(kept) == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum(kept_chars).cast("double") / F.sum(kept), 4))
+        .alias("kept_mean_chars"),
         F.when(F.sum(dropped) == 0, F.lit(None).cast("double"))
         .otherwise(
             F.round(F.sum(dropped_chars).cast("double") / F.sum(dropped), 4)

@@ -23,6 +23,36 @@ from pyspark.sql import types as T
 from ..registry import register
 from ..sources import load_table
 
+
+def sweep_stale_scratch(prefix: str, max_age_s: float = 3600.0) -> None:
+    """Remove tmpdir scratch dirs named `<prefix><uuid>` left by PRIOR
+    invocations of path-writing queries (src28's lifecycle tables,
+    q37e's WAP dirs) — round-8 advice: repeated runs accumulated
+    orphans because the result DataFrame reads the dir lazily AFTER
+    the query function returns, so the owning run can never delete its
+    own dir.  Each run instead sweeps predecessors, age-gated so a
+    CONCURRENT session's in-flight dir (same prefix, fresh mtime) is
+    never touched.  Best-effort by design: a failed sweep must not
+    fail the query."""
+    import shutil
+    import time
+
+    root = tempfile.gettempdir()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    cutoff = time.time() - max_age_s
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        p = os.path.join(root, name)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
 _SCRATCH: dict[str, str] = {}
 
 
@@ -1147,10 +1177,19 @@ def src28_managed_table_lifecycle(
         F.year("o_orderdate").cast("bigint").alias("yr"),
     )
     o.createOrReplaceTempView("src28_src")
-    tbl = "src28_lifecycle"
-    path = os.path.join(
-        tempfile.gettempdir(), f"src28_{uuid.uuid4().hex[:10]}"
-    )
+    # uuid-suffixed table name + predecessor sweep (round-8 advice):
+    # a FIXED catalog name raced between concurrent sessions sharing a
+    # warehouse, and per-run uuid dirs accumulated as orphans.  Each
+    # run now owns a unique table, drops prior src28 registrations
+    # from this session's catalog, and sweeps stale dirs age-gated.
+    # (Catalog registrations are session-scoped here — in-memory
+    # catalog, no shared metastore — so per-run names cost nothing and
+    # CANNOT be swept without racing a concurrent run's read; only the
+    # on-disk dirs persist, and the sweep handles those.)
+    run_id = uuid.uuid4().hex[:10]
+    tbl = f"src28_lifecycle_{run_id}"
+    path = os.path.join(tempfile.gettempdir(), f"src28_{run_id}")
+    sweep_stale_scratch("src28_")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     cols = (
         "o_orderkey, o_orderstatus, o_totalprice, yr"

@@ -904,6 +904,12 @@ def q37e_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    from .io_ops import sweep_stale_scratch
+
+    # Result reads the published dir lazily after return, so this run
+    # can't delete its own dir — sweep predecessors instead (age-gated
+    # against concurrent sessions; round-8 advice on orphan wap_* dirs).
+    sweep_stale_scratch("wap_")
     base = os.path.join(tempfile.gettempdir(), f"wap_{uuid.uuid4().hex[:10]}")
     staging, published = os.path.join(base, "staging"), os.path.join(
         base, "published"

@@ -228,6 +228,30 @@ def test_priority_sample_small_input_keeps_all(spark):
     assert all(r["ht_estimate"] == r["w"] for r in out)
 
 
+def test_priority_sample_all_ties_still_returns_k(spark):
+    """Round-8 advice pin: when EVERY priority ties at tau (weights
+    engineered as w = C * u so q = C for all rows), the old strict
+    `priority > tau` cut returned ZERO rows; the rank-based tie break
+    must return exactly k — the k smallest ids, per the documented
+    (priority DESC, id ASC) order."""
+    import hashlib
+
+    from spark_ml_optimization_spark import api
+
+    def u16(i):
+        h = hashlib.md5(f"ps:{i}".encode()).hexdigest()[:4]
+        return (int(h, 16) + 1) / 65536.0
+
+    C = 100.0
+    rows = [(i, C * u16(i)) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = api.priority_sample(df, "w", "id", k=7).orderBy("id").collect()
+    assert len(out) == 7, [r["id"] for r in out]
+    assert [r["id"] for r in out] == list(range(1, 8))
+    # tau equals every priority, so ht = max(w, tau) = tau for all
+    assert all(abs(r["priority"] - C) < 1e-9 for r in out)
+
+
 def test_k_anonymity_report_generic(spark):
     from spark_ml_optimization_spark import api
 
