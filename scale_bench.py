@@ -71,6 +71,11 @@ FIXTURE_ARM = [
     "qp5_dedup_funnel",
     "qc39_incremental_neardup_admission",
     "q84b_triangle_count",
+    # round-8 additions (verdict item #8): the round-7 heavies
+    "q79b_winnowing",
+    "q72f_banding_tradeoff",
+    "qc56_containment_dedup",
+    "qp10_eval_set_pipeline",
 ]
 FIXTURE_SFS = [("0.001", 1), ("0.01", 10), ("0.1", 100)]
 
@@ -84,6 +89,16 @@ REPLICA_ARM = [
     "q84b_triangle_count",
 ]
 REPLICA_FACTORS = [1, 2, 5]
+
+#: round-8: queries whose x5 trend looked sub-linear but short get one
+#: more decade (x10) so the fitted exponent has a real lever arm —
+#: q84b included as the evidence for the chunked wedge join (verdict
+#: item #3: bounded per-key intermediate must show e <= ~1.1 measured).
+X10_QUERIES = [
+    "q10_star_join_revenue",
+    "q92_ann_ivf",
+    "q84b_triangle_count",
+]
 
 
 def build_replica(spark, factor: int) -> str:
@@ -165,8 +180,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "1") != "0":
         dirs = {f: build_replica(spark, f) for f in REPLICA_FACTORS}
         for name in REPLICA_ARM:
+            factors = REPLICA_FACTORS + (
+                [10] if name in X10_QUERIES else []
+            )
             times, scales = [], []
-            for f in REPLICA_FACTORS:
+            for f in factors:
+                if f not in dirs:
+                    dirs[f] = build_replica(spark, f)
                 t = timed(qs[name].fn, spark, dirs[f])
                 times.append(round(t, 3))
                 scales.append(float(f))

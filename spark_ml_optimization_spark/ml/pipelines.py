@@ -2643,3 +2643,142 @@ def ml40_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("within_bin_variance"),
     )
+
+
+def _lda_features(spark: SparkSession, sf_dir: str):
+    """Shared ml35/ml35b front: tokenize documents, CountVectorizer with
+    a bounded 4096-term vocabulary (minDF=2 drops hapax noise), returning
+    (features DataFrame, fitted CountVectorizerModel).  The vocabulary is
+    BOUNDED by construction, so broadcasting it for term lookup is safe
+    at any corpus scale — the same bounded-domain argument as qc34's
+    merge table.  Partitioning is HASH-by-doc_id, not spread()'s
+    round-robin: online LDA's mini-batch sampling draws from partition
+    contents, so the layout must be a pure function of the data for
+    the seeded fit to be reproducible run-to-run."""
+    from pyspark.ml.feature import CountVectorizer, Tokenizer
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(8, F.col("doc_id"))
+    )
+    tok = Tokenizer(inputCol="text", outputCol="toks").transform(d)
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", vocabSize=1 << 12, minDF=2.0
+    ).fit(tok)
+    feats = cv.transform(tok).select("doc_id", "lang", "features")
+    return feats, cv
+
+
+@register(
+    "ml35_lda_topics",
+    oracle=None,
+    doc="LDA TOPIC MODELING (pyspark.ml.clustering.LDA, online "
+    "variational optimizer, k=6, seed pinned) — the corpus-curation "
+    "lens the ml family lacked: per-document topic mixtures are the "
+    "standard soft clustering for mixture reweighting (qc20) and "
+    "redundancy analysis, and this fits it on the documents table "
+    "over a bounded CountVectorizer vocabulary.  Output: per (lang, "
+    "dominant topic) document counts with mean dominant weight and "
+    "mean mixture entropy — a stable small schema for the rows-only "
+    "gate (iterative variational fit: no exact cross-engine oracle "
+    "exists, the q90/ml06 class; pinned property tests in "
+    "tests/test_ml_shapes.py assert k-mixture shape, simplex rows, "
+    "and lang/topic coherence instead).  Scale: the fit is MLlib's "
+    "distributed online LDA (mini-batch EM over executors); transform "
+    "is map-side; the output aggregate is (lang x k)-bounded.",
+)
+def ml35_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.functions import vector_to_array
+
+    feats, _ = _lda_features(spark, sf_dir)
+    feats = feats.persist()
+    try:
+        model = _fit_retry(
+            LDA(k=6, seed=42, maxIter=20, optimizer="online"), feats
+        )
+        arr = vector_to_array("topicDistribution")
+        scored = model.transform(feats).select(
+            "lang",
+            arr.alias("mix"),
+        )
+        # dominant topic = argmax of the mixture (HOF, map-side);
+        # entropy over the mixture = the doc's topical spread.
+        idx = F.expr(
+            "array_position(mix, array_max(mix))"
+        ).cast("int") - F.lit(1)
+        ent = F.aggregate(
+            "mix",
+            F.lit(0.0),
+            lambda acc, p: acc
+            - F.when(p > 1e-12, p * F.log(p)).otherwise(F.lit(0.0)),
+        )
+        return (
+            scored.select(
+                "lang",
+                idx.alias("topic"),
+                F.array_max("mix").alias("w"),
+                ent.alias("h"),
+            )
+            .groupBy("lang", "topic")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.round(F.avg("w"), 4).alias("avg_dominant_weight"),
+                F.round(F.avg("h"), 4).alias("avg_mixture_entropy"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        feats.unpersist()
+
+
+@register(
+    "ml35b_lda_top_terms",
+    oracle=None,
+    doc="LDA per-topic top-terms table — describeTopics(7) from the "
+    "ml35 fit resolved against the CountVectorizer vocabulary "
+    "(bounded 4096 terms, broadcast join on term index): one row per "
+    "(topic, rank) with the term string and 4-dp weight.  This is the "
+    "human-auditable face of the topic model (what IS topic 3?) and "
+    "the table a curation report embeds.  Rows-only (same iterative- "
+    "fit class as ml35); the property tests pin k topics x 7 ranks "
+    "exactly, rank-monotone weights, and vocabulary membership.  "
+    "Scale: describeTopics is k x 7 rows — driver-bounded by "
+    "construction, like q20e's sketch aggregates.",
+)
+def ml35b_lda_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import LDA
+
+    feats, cv = _lda_features(spark, sf_dir)
+    feats = feats.persist()
+    try:
+        model = _fit_retry(
+            LDA(k=6, seed=42, maxIter=20, optimizer="online"), feats
+        )
+        vocab = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cv.vocabulary)],
+            "term_idx int, term string",
+        )
+        topics = (
+            model.describeTopics(7)
+            .select(
+                "topic",
+                F.posexplode(
+                    F.arrays_zip("termIndices", "termWeights")
+                ).alias("rank", "tw"),
+            )
+            .select(
+                F.col("topic").cast("int").alias("topic"),
+                (F.col("rank") + 1).cast("int").alias("term_rank"),
+                F.col("tw.termIndices").cast("int").alias("term_idx"),
+                F.round(F.col("tw.termWeights"), 4).alias("weight"),
+            )
+        )
+        return (
+            topics.join(F.broadcast(vocab), "term_idx")
+            .select("topic", "term_rank", "term", "weight")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        feats.unpersist()

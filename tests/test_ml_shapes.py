@@ -200,3 +200,76 @@ def test_binned_gini_lower_bounds_exact(spark):
     assert binned["max_rows_per_key"] == exact["max_rows_per_key"]
     assert binned["gini_binned"] <= exact["gini"] + 1e-6
     assert exact["gini"] - binned["gini_binned"] < 0.25
+
+
+def test_lda_topics_shape_and_coherence(spark):
+    """ml35 property pins (round-8 verdict item #5): dominant topics
+    come from the k=6 index range, dominant weights and mixture
+    entropies live in their mathematical ranges (w in [1/k, 1],
+    h in [0, ln k]), doc counts reconcile with the corpus, and the
+    model actually SEPARATES the corpus — the coherence sanity that
+    at least two distinct dominant topics exist and the weightiest
+    language concentrates (its modal topic holds a majority of its
+    docs; the fixture's per-lang vocabularies are distinct by
+    construction, so a fit that can't find that structure is broken)."""
+    import math
+
+    from spark_ml_optimization_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["ml35_lda_topics"].fn(spark, sf).collect()
+    assert rows
+    k = 6
+    assert all(0 <= r["topic"] < k for r in rows)
+    assert all(1.0 / k - 1e-9 <= r["avg_dominant_weight"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["avg_mixture_entropy"] <= math.log(k) + 1e-9 for r in rows)
+    assert len({r["topic"] for r in rows}) >= 2  # corpus is separated
+    # per-lang doc counts reconcile with the raw table
+    from spark_ml_optimization_spark.sources import load_table
+
+    expected = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got: dict = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_docs"]
+    assert got == expected
+    # coherence: the largest language's modal topic concentrates well
+    # above the uniform 1/k share (the fixture's per-lang vocabularies
+    # are distinct, so a fit finding no structure is broken; the bar
+    # is 40%, not a majority, because variational fits trade exactness
+    # for scale and the property must hold for any healthy fit)
+    big = max(expected, key=expected.get)
+    big_rows = [r for r in rows if r["lang"] == big]
+    assert max(r["n_docs"] for r in big_rows) >= 0.4 * expected[big]
+
+
+def test_lda_top_terms_contract(spark):
+    """ml35b property pins: exactly k x 7 rows (6 topics, 7 ranks),
+    ranks 1..7 per topic, weights positive and non-increasing in rank,
+    and every term is a real vocabulary token (non-empty string)."""
+    from collections import defaultdict
+
+    from spark_ml_optimization_spark.registry import all_queries
+
+    rows = (
+        all_queries()["ml35b_lda_top_terms"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 6 * 7
+    per_topic = defaultdict(list)
+    for r in rows:
+        assert r["term"] and isinstance(r["term"], str)
+        assert r["weight"] > 0
+        per_topic[r["topic"]].append((r["term_rank"], r["weight"]))
+    assert set(per_topic) == set(range(6))
+    for t, pairs in per_topic.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, 8))
+        ws = [p[1] for p in pairs]
+        assert all(a >= b - 1e-9 for a, b in zip(ws, ws[1:])), (t, ws)
