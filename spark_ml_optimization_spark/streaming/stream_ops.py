@@ -2230,3 +2230,131 @@ def st29_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "st30_offset_replay_sink",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               count(DISTINCT event_id) AS n_distinct_ids
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="OFFSET-REPLAY-SAFE STREAMING SINK — the Kafka-producer "
+    "exactly-once contract exercised without a broker (round-8 "
+    "verdict item #7, completing src18/src20's custom-source pair on "
+    "the sink side): a foreachBatch sink that is IDEMPOTENT BY BATCH "
+    "ID (each batch overwrites its own out/batch=<id> dir and "
+    "re-marks it in a manifest — the moral equivalent of a "
+    "transactional producer keyed by (batch, partition)), driven "
+    "through a GENUINE replay: after run 1 commits, the newest "
+    "checkpoint commits/<n> marker is DELETED while its offsets/<n> "
+    "entry stays — exactly the crash window between sink commit and "
+    "source-log commit — so the restarted query re-executes batch n "
+    "and re-delivers it to the sink.  An append-mode sink would "
+    "double that batch's counts and break the hash; the idempotent "
+    "overwrite makes the re-delivery invisible, and the final "
+    "read-back of every batch dir hash-matches the full-fixture "
+    "oracle (count + id_sum + distinct ids — duplication and loss "
+    "both break it).  st11 proves the SOURCE log never re-reads a "
+    "file; this proves the SINK survives the log losing a commit.  "
+    "Scale: per-batch dirs are the partitioned-manifest layout a "
+    "100 TB/day producer uses; the replay cost is one batch, never "
+    "the stream.",
+)
+def st30_offset_replay_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    configure(spark)
+    base = os.path.join(tempfile.gettempdir(), f"st30_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(base, "src")
+    ckpt_dir = os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(src_dir)
+    os.makedirs(out_dir)
+
+    batch = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).select("event_id", "event_type")
+    batch.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src_dir, "part1")
+    )
+    part2_staging = os.path.join(base, "part2_staging")
+    batch.filter(F.col("event_id") % 2 == 1).write.parquet(part2_staging)
+    schema = batch.schema
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+
+    def idempotent_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Phase 1: (re)write THIS batch's dir — overwrite makes a
+        # replayed delivery byte-identical, never additive.  Phase 2:
+        # record the batch id in the manifest (a set: re-marking a
+        # replayed id is a no-op), the driver-side commit point.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        ids = set()
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                ids = set(json.load(fh)["batch_ids"])
+        ids.add(int(batch_id))
+        with open(manifest_path, "w") as fh:
+            json.dump({"batch_ids": sorted(ids)}, fh)
+
+    def run_once(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(idempotent_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(ckpt_dir)  # run 1: part1, >=1 committed batches
+    # Simulate the producer crash window: sink committed batch n, but
+    # the source log lost commits/<n> (offsets/<n> survives) — the
+    # restarted engine MUST re-execute batch n into the sink.  The
+    # surgery happens on a CLONED checkpoint (checkpoints are portable
+    # directories): Spark 4 caches each checkpoint path's metadata log
+    # in-session and reads an external deletion under the same path as
+    # a concurrent writer (CONCURRENT_STREAM_LOG_UPDATE) — exactly the
+    # cross-run protection a real crash would not trip, because a
+    # crashed driver's cache dies with it.  A fresh path IS the fresh
+    # driver.
+    import shutil
+
+    ckpt2_dir = os.path.join(base, "ckpt_after_crash")
+    shutil.copytree(ckpt_dir, ckpt2_dir)
+    commits_dir = os.path.join(ckpt2_dir, "commits")
+    nums = sorted(
+        int(name) for name in os.listdir(commits_dir) if name.isdigit()
+    )
+    # remove the marker AND its ChecksumFileSystem .crc sidecar — a
+    # stale crc alone makes the re-commit's atomic create fail as a
+    # phantom concurrent writer
+    for name in (str(nums[-1]), f".{nums[-1]}.crc"):
+        p = os.path.join(commits_dir, name)
+        if os.path.exists(p):
+            os.remove(p)
+    os.rename(part2_staging, os.path.join(src_dir, "part2"))
+    run_once(ckpt2_dir)  # run 2: replays batch n, then processes part2
+
+    with open(manifest_path) as fh:
+        committed = json.load(fh)["batch_ids"]  # bounded sink metadata
+    dirs = [os.path.join(out_dir, f"batch={b}") for b in committed]
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.count_distinct("event_id").alias("n_distinct_ids"),
+        )
+    )

@@ -149,3 +149,55 @@ def test_stream_stream_full_join_emits_both_sides(spark):
     # Sentinel leak channels: negative event ids on either side.
     assert all(r["purchase_id"] is None or r["purchase_id"] >= 0 for r in rows)
     assert all(r["click_id"] is None or r["click_id"] >= 0 for r in rows)
+
+
+def test_offset_replay_delivers_batch_twice_and_sink_absorbs_it(spark, tmp_path):
+    """Pins st30's MECHANISM, not just its end result: losing
+    commits/<n> (offsets/<n> intact) makes the restarted engine
+    re-execute batch n into the sink — the foreachBatch fn observes
+    the SAME batch id twice — and the overwrite-by-batch-id sink
+    leaves byte-identical output, so the duplicate delivery is
+    invisible.  An append sink would hold 2x the replayed batch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(out)
+    spark.range(10).coalesce(1).write.parquet(os.path.join(src, "p1"))
+    delivered = []
+
+    def sink(df, bid):
+        delivered.append(int(bid))
+        df.write.mode("overwrite").parquet(os.path.join(out, f"b={bid}"))
+
+    def run(ck_dir):
+        q = (
+            spark.readStream.schema("id long")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck_dir)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(ck)
+    ck2 = str(tmp_path / "ck2")
+    shutil.copytree(ck, ck2)
+    for name in ("0", ".0.crc"):
+        p = os.path.join(ck2, "commits", name)
+        if os.path.exists(p):
+            os.remove(p)
+    spark.range(10, 20).coalesce(1).write.parquet(os.path.join(src, "p2"))
+    run(ck2)
+    assert delivered == [0, 0, 1], delivered  # batch 0 REPLAYED
+    got = sorted(
+        r["id"] for r in spark.read.parquet(os.path.join(out, "b=0"), os.path.join(out, "b=1")).collect()
+    )
+    assert got == list(range(20)), got  # idempotent: no 2x, no loss
