@@ -100,6 +100,18 @@ X10_QUERIES = [
     "q84b_triangle_count",
 ]
 
+#: round-8 WEAK-SCALING arm (the cluster claim, measured): data and
+#: cores grow together (x1@3 ... x10@32, ~3.2 cores per volume unit),
+#: each point in a FRESH single-purpose JVM (subprocess, constant
+#: heap).  Flat wall-clock across the ladder = per-core cost is flat =
+#: "executors scale with data" is a measurement, not a remedy-by-
+#: assertion.  Used for queries whose fixed-resource replica curve is
+#: GC-bound super-linear (q84b: work counted exactly linear, but 12M
+#: per-row array_intersect hash sets on ONE heap inflate the tail).
+WEAK_SCALE = {
+    "q84b_triangle_count": [(1, 3), (2, 6), (5, 16), (10, 32)],
+}
+
 
 def build_replica(spark, factor: int) -> str:
     out = os.path.join(SCRATCH, f"x{factor}")
@@ -199,6 +211,57 @@ def main() -> None:
                 "times_sec": times,
                 "exponent": round(e, 3) if e is not None else None,
                 "flag": bool(e is not None and e > 1.25 and max(times) > 2.0),
+            }
+
+        import subprocess
+        import sys as _sys
+
+        for name, ladder in WEAK_SCALE.items():
+            times, scales, cores_used = [], [], []
+            for f, cores in ladder:
+                if f not in dirs:
+                    dirs[f] = build_replica(spark, f)
+                runner = (
+                    "import sys, time\n"
+                    f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+                    "from spark_ml_optimization_spark.session import get_spark\n"
+                    "from spark_ml_optimization_spark.registry import all_queries\n"
+                    "spark = get_spark('weakscale')\n"
+                    f"fn = all_queries()[{name!r}].fn\n"
+                    "best = float('inf')\n"
+                    "for _ in range(3):\n"
+                    "    t0 = time.time()\n"
+                    f"    fn(spark, {dirs[f]!r}).collect()\n"
+                    "    best = min(best, time.time() - t0)\n"
+                    "print('WEAK', round(best, 3))\n"
+                )
+                env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores)}
+                proc = subprocess.run(
+                    [_sys.executable, "-c", runner],
+                    env=env, capture_output=True, text=True, timeout=900,
+                )
+                line = [
+                    ln for ln in proc.stdout.splitlines() if ln.startswith("WEAK ")
+                ]
+                if not line:
+                    print(f"[weakscale] {name} x{f}@{cores}c FAILED:"
+                          f" {proc.stderr[-300:]}", flush=True)
+                    continue
+                t = float(line[-1].split()[1])
+                times.append(t)
+                scales.append(float(f))
+                cores_used.append(cores)
+                print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s", flush=True)
+            e = fit_exponent(scales, times)  # flat ladder -> e ~ 0
+            results[f"{name}@weakscale"] = {
+                "arm": "weakscale (cores proportional to volume, fresh JVM per point)",
+                "scales": scales,
+                "cores": cores_used,
+                "times_sec": times,
+                "exponent": round(e, 3) if e is not None else None,
+                # weak scaling is FLAT when healthy; >1.6x spread between
+                # the extremes means per-core cost grows with scale
+                "flag": bool(times and max(times) > 1.6 * max(min(times), 1e-3)),
             }
         shutil.rmtree(SCRATCH, ignore_errors=True)
 

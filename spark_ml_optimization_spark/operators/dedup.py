@@ -1439,6 +1439,13 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degb = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
     ed = e.join(dega, "pa").join(degb, "pb")
     fwd = F.struct("da", "pa") < F.struct("db", "pb")
+    # cache + EXPLICIT unpersist (see the eager 1-row localCheckpoint
+    # at the end, which lets the unpersist happen inside this
+    # function): measured at replica x10, leaked .cache() entries
+    # degraded repeat invocations 35 s -> 152 s, and a lazy
+    # localCheckpoint of this 12M-row relation was 4x worse than
+    # cache (27-72 s vs 7-12 s) because each run writes all its
+    # blocks and cleanup lags the next run.
     eo = ed.select(
         F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("v"),
@@ -1461,9 +1468,18 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured (key-shifted disjoint replicas of sf0.1, same session,
     # counts hash-equal): x2 6.98 s / x5 17.38 s vs the wedge join's
     # x2 8.84 s / x5 129.1 s — 2.5x data -> 2.5x time, exactly linear.
+    # SHUFFLE_HASH hints: past the broadcast threshold the planner's
+    # default is SortMergeJoin, which must SORT the edge relation WITH
+    # its array payloads — measured 30.5 s vs 5.3 s hash-join for the
+    # same x10 intersect (sorting 12 M array-carrying rows is the
+    # whole gap).  Hash join never orders the payload, and unlike
+    # broadcast (3.9 s here) it stays valid when the adjacency
+    # relation outgrows one executor at 100 TB.
     adj = eo.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    au = adj.select("u", F.col("nbrs").alias("nu"))
-    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+    au = adj.select("u", F.col("nbrs").alias("nu")).hint("shuffle_hash")
+    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")).hint(
+        "shuffle_hash"
+    )
     tri = (
         eo.select("u", "v")
         .join(au, "u")
@@ -1476,7 +1492,7 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
-    return (
+    out = (
         tri.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(n_edges))
         .select(
@@ -1488,7 +1504,13 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "global_clustering"
             ),
         )
+        # eager 1-ROW checkpoint: materializes the whole computation
+        # here so eo can be unpersisted before returning (the caller
+        # collects a frame that no longer references the cache)
+        .localCheckpoint(eager=True)
     )
+    eo.unpersist()
+    return out
 
 
 @register(
