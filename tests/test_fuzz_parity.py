@@ -13,8 +13,10 @@ wall-clock, no Math.random — every CI run fuzzes the identical corpus):
    aggregates (+HAVING), FK joins (inner/left), set operations,
    IN / NOT IN subqueries (three-valued logic with planted NULLs),
    DISTINCT over CASE projections, windows, ROLLUP, correlated
-   EXISTS, explicit-NULLS-placement ordered LIMIT pages, and
-   FILTER-clause aggregates.
+   EXISTS, explicit-NULLS-placement ordered LIMIT pages, FILTER-clause
+   aggregates, and (round-8 wave 2) bounded ROWS window frames +
+   ntile/first_value, correlated LATERAL top-k, multi-way USING
+   joins, and recursive-CTE zero-filled spines.
 2. **Ternary Logic Partitioning** (TLP, Rigger & Su 2020): for a random
    predicate p, `count(*)` must equal `count p` + `count NOT p` +
    `count p IS NULL` — evaluated per-engine (self-consistency catches
@@ -476,6 +478,113 @@ class Gen:
             f"HAVING count(*) > 0"
         )
 
+    # -- round-8 wave-2 templates (verdict item #6) ----------------------
+
+    def q_window_frames(self) -> str:
+        """Bounded ROWS frames + ntile + first/last_value over a TOTAL
+        order — the frame-boundary subset both engines implement
+        identically only when the order is total (tiebreak on the
+        unique key) and the frame is ROWS (RANGE peers would differ on
+        ties by construction)."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        uniq = ", ".join(UNIQ_COLS[t])
+        uniq_sel = ", ".join(f"{c} AS u{i}" for i, c in enumerate(UNIQ_COLS[t]))
+        part = self._group_key(t)
+        col = self.r.choice(ints)
+        k = self.r.randint(2, 9)
+        pre = self.r.randint(1, 4)
+        post = self.r.randint(0, 3)
+        order = f"ORDER BY ({col} % {k}), {uniq}"
+        frame = f"ROWS BETWEEN {pre} PRECEDING AND {post} FOLLOWING"
+        nt = self.r.randint(2, 6)
+        return (
+            f"SELECT {uniq_sel}, "
+            f"CAST(sum({col} % {k}) OVER (PARTITION BY {part} {order} "
+            f"{frame}) AS BIGINT) AS wsum, "
+            f"CAST(count(*) OVER (PARTITION BY {part} {order} "
+            f"{frame}) AS BIGINT) AS wcnt, "
+            f"ntile({nt}) OVER (PARTITION BY {part} {order}) AS tile, "
+            f"first_value({col} % {k}) OVER (PARTITION BY {part} {order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)}"
+        )
+
+    def q_lateral_topk(self) -> str:
+        """Correlated LATERAL per-row top-k along an FK edge — the
+        decorrelation path (Spark rewrites to window/join) vs DuckDB's
+        native lateral execution; deterministic because the inner
+        LIMIT rides a total order (unique key tiebreak)."""
+        lt, lc, rt, rc = self.r.choice(
+            [e for e in FK_EDGES if e[2] in ("orders", "customer", "part",
+                                             "supplier", "nation")]
+        )
+        # outer side filtered small-ish so the lateral fan-out is sane
+        ints, strs, cents, ts = META[rt]
+        icol = self.r.choice(ints)
+        k = self.r.randint(2, 9)
+        lim = self.r.randint(1, 3)
+        inner_uniq = ", ".join(f"b.{c}" for c in UNIQ_COLS[rt])
+        return (
+            f"SELECT a.{lc} AS k, s.rv, s.uid "
+            f"FROM {PREFIX}{lt} a, LATERAL ("
+            f"SELECT (b.{icol} % {k}) AS rv, b.{UNIQ_COLS[rt][0]} AS uid "
+            f"FROM {PREFIX}{rt} b WHERE b.{rc} = a.{lc} "
+            f"AND ({self.predicate(rt, 'b.', depth=2)}) "
+            f"ORDER BY rv DESC, {inner_uniq} LIMIT {lim}) s "
+            f"WHERE {self.predicate(lt, 'a.')}"
+        )
+
+    def q_using_multiway(self) -> str:
+        """Multi-way JOIN ... USING over FK keys renamed to a shared
+        name — USING's coalesced-output and dedup-column semantics are
+        a classic dialect trap; restricted to inner/left where both
+        engines agree."""
+        chain = self.r.choice(
+            [
+                [("lineitem", "l_orderkey"), ("orders", "o_orderkey")],
+                [("orders", "o_custkey"), ("customer", "c_custkey")],
+                [("lineitem", "l_partkey"), ("part", "p_partkey")],
+                [("customer", "c_nationkey"), ("nation", "n_nationkey"),],
+            ]
+        )
+        (lt, lk), (rt, rk) = chain[0], chain[1]
+        jt = self.r.choice(["JOIN", "LEFT JOIN"])
+        li, ls = META[lt][0], META[lt][1]
+        ri = META[rt][0]
+        lcol = self.r.choice(li)
+        rcol = self.r.choice(ri)
+        k = self.r.randint(2, 11)
+        return (
+            f"SELECT k % {self.r.randint(2, 7)} AS kb, count(*) AS cnt, "
+            f"CAST(sum(x % {k}) AS BIGINT) AS sx, "
+            f"CAST(sum(coalesce(y, -1) % {k}) AS BIGINT) AS sy "
+            f"FROM (SELECT {lk} AS k, {lcol} AS x FROM {PREFIX}{lt} "
+            f"WHERE {self.predicate(lt)}) a "
+            f"{jt} (SELECT {rk} AS k, {rcol} AS y FROM {PREFIX}{rt} "
+            f"WHERE {self.predicate(rt)}) b USING (k) "
+            f"GROUP BY 1"
+        )
+
+    def q_recursive_spine(self) -> str:
+        """WITH RECURSIVE integer spine LEFT-joined to bucketed data —
+        the zero-filled-spine shape (q38/qa47) fuzzed: the recursion
+        bound, the bucket modulus, and the filter all vary; empty
+        buckets MUST surface as explicit zero rows in both engines."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints, strs, cents, ts = META[t]
+        col = self.r.choice(ints)
+        n = self.r.randint(3, 12)
+        return (
+            f"WITH RECURSIVE spine(i) AS ("
+            f"SELECT 0 UNION ALL SELECT i + 1 FROM spine WHERE i < {n - 1}"
+            f"), bucketed AS ("
+            f"SELECT ({col} % {n}) AS i, count(*) AS n_rows "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} GROUP BY 1"
+            f") SELECT s.i AS i, coalesce(b.n_rows, 0) AS n_rows "
+            f"FROM spine s LEFT JOIN bucketed b ON b.i = s.i"
+        )
+
     def query(self) -> str:
         pick = self.r.choices(
             [
@@ -492,8 +601,12 @@ class Gen:
                 self.q_agg_filter,
                 self.q_scalar_subquery,
                 self.q_grouping_sets,
+                self.q_window_frames,
+                self.q_lateral_topk,
+                self.q_using_multiway,
+                self.q_recursive_spine,
             ],
-            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
         )[0]
         return pick()
 
@@ -525,7 +638,7 @@ def fuzz_env(spark):
 
 #: 200 differential seeds, run in batches so one pytest node failure
 #: names its seed range; bump N_DIFF freely — runtime is ~0.2 s/query.
-N_DIFF = 350
+N_DIFF = 600
 BATCH = 25
 
 
@@ -623,7 +736,20 @@ def test_fuzz_optimizer_differential(fuzz_env, batch_start):
         try:
             spark.conf.set(aqe_key, "false")
             spark.conf.set(excl_key, _EXCLUDED_RULES)
-            alt = spark.sql(sql).toPandas()
+            try:
+                alt = spark.sql(sql).toPandas()
+            except Exception as ex:
+                # Known ENGINE artifact, not a divergence (round-8 wave-2
+                # find, pinned in test_known_issue_unfolded_frame_bounds):
+                # WindowExec requires frame bounds to be FOLDED literals;
+                # with ConstantFolding excluded, `ROWS BETWEEN k PRECEDING
+                # AND m FOLLOWING` reaches execution as UnaryMinus(k) and
+                # dies with INTERNAL_ERROR "Unhandled bound in windows
+                # expressions".  The rule exclusion is this harness's
+                # unrealistic config, so skip exactly this signature.
+                if "Unhandled bound in windows expressions" in str(ex):
+                    continue
+                raise
         finally:
             spark.conf.set(aqe_key, prev_aqe)
             spark.conf.unset(excl_key)
@@ -633,3 +759,38 @@ def test_fuzz_optimizer_differential(fuzz_env, batch_start):
             raise AssertionError(
                 f"OPTIMIZER DIVERGENCE at seed {seed}\nSQL: {sql}\n{e}"
             )
+
+
+def test_known_issue_unfolded_frame_bounds(fuzz_env):
+    """Round-8 wave-2 fuzzer find, pinned: Spark 4.1's WindowExec
+    requires ROWS-frame bounds to arrive as folded LITERALS — with
+    ConstantFolding excluded from the optimizer, `ROWS BETWEEN 3
+    PRECEDING AND 2 FOLLOWING` reaches execution as UnaryMinus(3) and
+    fails with INTERNAL_ERROR 'Unhandled bound in windows expressions:
+    -3' (an engine robustness gap, not a semantics divergence — with
+    the stock optimizer the same query runs and matches DuckDB, which
+    the differential corpus covers).  This pin documents the signature
+    the optimizer-differential skip matches, so if a Spark upgrade
+    fixes it this test goes red and both the pin and the skip retire."""
+    spark, _ = fuzz_env
+    sql = (
+        "SELECT l_orderkey AS u0, l_linenumber AS u1, "
+        "CAST(sum(l_partkey % 5) OVER (ORDER BY l_orderkey, l_linenumber "
+        "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS wsum "
+        "FROM fz_lineitem WHERE l_orderkey < 100"
+    )
+    spark.sql(sql).collect()  # stock optimizer: fine
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.ConstantFolding",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="Unhandled bound"):
+            spark.sql(sql).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
