@@ -44,36 +44,51 @@ def test_no_single_query_over_budget():
     )
 
 
-def test_suite_normalized_mean_under_budget():
+def test_suite_mean_under_budget_either_arm():
+    """Two-arm gate at the ORIGINAL 1.3 line: pass if the raw mean OR
+    the weather-normalized mean is inside it.  Under steady weather the
+    headline ratio is ~1 and the arms coincide, so a genuine suite-wide
+    regression fails both; weather in either direction (calm host ->
+    canaries overcorrect upward, loaded host -> they overcorrect
+    downward) can only excuse a failure, never manufacture one."""
     detail = _load()
     budget = detail["budget"]
     if "normalized_per_query_s" not in budget:
-        pytest.skip("bench record predates the canary-normalized gate")
+        pytest.skip("bench record predates the weather-normalized gate")
+    raw = budget["per_query_s"]
     normalized = budget["normalized_per_query_s"]
-    assert normalized <= budget["normalized_per_query_limit_s"], (
-        f"canary-normalized suite mean {normalized} s/query exceeds the "
-        f"{budget['normalized_per_query_limit_s']} line (raw "
-        f"{budget['per_query_s']} s/query at canary_ratio "
-        f"{budget['canary_ratio']}) — a ratio near 1 with a high raw mean "
-        "means a real suite-wide regression, not host weather"
+    limit = budget["per_query_limit_s"]
+    assert raw <= limit or normalized <= limit, (
+        f"suite mean fails BOTH arms: raw {raw} s/query and "
+        f"weather-normalized {normalized} s/query (ratio "
+        f"{budget['headline_ratio']}) both exceed the {limit} line — that is "
+        "a real suite-wide regression, not host weather"
     )
 
 
-def test_canary_gate_shape():
-    """The normalized gate is only meaningful if the canaries actually
-    ran: all three measured, ratio above the floor (a floored ratio
-    means the measurement was nonsense), and the normalized number is
-    arithmetically per_query / ratio."""
+def test_weather_gate_shape():
+    """The normalized gate is only meaningful if the weather basket
+    actually measured: the headline ratio sits above its floor (a
+    floored ratio means the measurement was nonsense), the normalized
+    number is arithmetically per_query / ratio, and the effective
+    single-query line is 10 s scaled by max(1, ratio)."""
     detail = _load()
     budget = detail["budget"]
-    if "normalized_per_query_s" not in budget:
-        pytest.skip("bench record predates the canary-normalized gate")
-    assert set(budget["canary_measured"]) == set(budget["canary_ref"]), (
-        "canary pass incomplete: " + str(budget["canary_measured"])
-    )
-    assert budget["canary_ratio"] > budget["canary_ratio_floor"]
-    expected = budget["per_query_s"] / budget["canary_ratio"]
+    if "headline_ratio" not in budget:
+        pytest.skip("bench record predates the weather-normalized gate")
+    ratio = budget["headline_ratio"]
+    assert ratio > budget["headline_ratio_floor"]
+    expected = budget["per_query_s"] / ratio
     assert abs(budget["normalized_per_query_s"] - expected) < 0.002
+    assert (
+        abs(budget["single_query_limit_effective_s"] - 10.0 * max(1.0, ratio))
+        < 0.02
+    )
+    # every headline-basket member must have been timed this run
+    missing = [
+        n for n in budget["headline_ref"] if n not in detail["queries"]
+    ]
+    assert not missing, f"headline basket incomplete: {missing}"
 
 
 def test_bench_recorded_no_failures():
