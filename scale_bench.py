@@ -150,6 +150,31 @@ def timed(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+#: This is a SHARED VM: an external tenant cycles ~20-30 min load
+#: spikes (observed loadavg 30 with ZERO local processes over 3%).
+#: Exponent fits compare points within one arm, so a spike landing on
+#: one point corrupts the whole curve (measured: q84b weak-scale arm
+#: read 6.3 / 23.4 / 90.2 / 43.3 s across one spike — pure weather).
+#: Each point therefore (a) waits for calm, bounded by a GLOBAL wait
+#: budget so a permanently-loaded host still completes, and (b)
+#: records the 1-min loadavg beside its timing so contaminated points
+#: are auditable instead of silently trusted.
+CALM_LOAD1 = 8.0
+_WAIT_BUDGET_S = [1500.0]  # global, mutable
+
+
+def wait_for_calm() -> float:
+    """Sleep until 1-min loadavg < CALM_LOAD1 or the global wait budget
+    runs out; returns the loadavg observed at exit."""
+    load1 = os.getloadavg()[0]
+    while load1 >= CALM_LOAD1 and _WAIT_BUDGET_S[0] > 0:
+        step = min(30.0, _WAIT_BUDGET_S[0])
+        time.sleep(step)
+        _WAIT_BUDGET_S[0] -= step
+        load1 = os.getloadavg()[0]
+    return load1
+
+
 def fit_exponent(scales: list[float], times: list[float]) -> float | None:
     """Raw log-log LS slope of t vs s.  Fixed per-query overhead (JIT is
     gone after best-of-2; what remains is scheduler/planning constants)
@@ -174,17 +199,21 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     for name in FIXTURE_ARM:
-        times, scales = [], []
+        times, scales, loads = [], [], []
         for sf, rel in FIXTURE_SFS:
+            load1 = wait_for_calm()
             t = timed(qs[name].fn, spark, os.path.join(SF_BASE, f"sf{sf}"))
             times.append(round(t, 3))
             scales.append(float(rel))
-            print(f"[fixture] {name} sf{sf}: {t:.2f}s", flush=True)
+            loads.append(round(max(load1, os.getloadavg()[0]), 1))
+            print(f"[fixture] {name} sf{sf}: {t:.2f}s (load {loads[-1]})",
+                  flush=True)
         e = fit_exponent(scales, times)
         results[name] = {
             "arm": "fixture",
             "scales": scales,
             "times_sec": times,
+            "load1": loads,
             "exponent": round(e, 3) if e is not None else None,
             "flag": bool(e is not None and e > 1.25 and max(times) > 2.0),
         }
@@ -195,20 +224,24 @@ def main() -> None:
             factors = REPLICA_FACTORS + (
                 [10] if name in X10_QUERIES else []
             )
-            times, scales = [], []
+            times, scales, loads = [], [], []
             for f in factors:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
+                load1 = wait_for_calm()
                 t = timed(qs[name].fn, spark, dirs[f])
                 times.append(round(t, 3))
                 scales.append(float(f))
-                print(f"[replica] {name} x{f}: {t:.2f}s", flush=True)
+                loads.append(round(max(load1, os.getloadavg()[0]), 1))
+                print(f"[replica] {name} x{f}: {t:.2f}s (load {loads[-1]})",
+                      flush=True)
             e = fit_exponent(scales, times)
             key = f"{name}@replica"
             results[key] = {
                 "arm": "replica",
                 "scales": scales,
                 "times_sec": times,
+                "load1": loads,
                 "exponent": round(e, 3) if e is not None else None,
                 "flag": bool(e is not None and e > 1.25 and max(times) > 2.0),
             }
@@ -217,10 +250,11 @@ def main() -> None:
         import sys as _sys
 
         for name, ladder in WEAK_SCALE.items():
-            times, scales, cores_used = [], [], []
+            times, scales, cores_used, loads = [], [], [], []
             for f, cores in ladder:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
+                load1 = wait_for_calm()
                 runner = (
                     "import sys, time\n"
                     f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
@@ -251,13 +285,16 @@ def main() -> None:
                 times.append(t)
                 scales.append(float(f))
                 cores_used.append(cores)
-                print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s", flush=True)
+                loads.append(round(max(load1, os.getloadavg()[0]), 1))
+                print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s"
+                      f" (load {loads[-1]})", flush=True)
             e = fit_exponent(scales, times)  # flat ladder -> e ~ 0
             results[f"{name}@weakscale"] = {
                 "arm": "weakscale (cores proportional to volume, fresh JVM per point)",
                 "scales": scales,
                 "cores": cores_used,
                 "times_sec": times,
+                "load1": loads,
                 "exponent": round(e, 3) if e is not None else None,
                 # weak scaling is FLAT when healthy; >1.6x spread between
                 # the extremes means per-core cost grows with scale
