@@ -175,6 +175,25 @@ def wait_for_calm() -> float:
     return load1
 
 
+def measure_point(measure) -> tuple[float, float]:
+    """Weather-supervised measurement: wait for calm, run `measure()`
+    (returns seconds), and if the spike ARRIVED mid-measurement (exit
+    loadavg past the calm line — the gate only sees the start) retry
+    once after the next calm window, keeping the LOWER reading and the
+    HIGHER observed load (the audit trail shows worst weather seen).
+    One retry only: a point that is slow in two separate calm windows
+    is slow."""
+    load_start = wait_for_calm()
+    t = measure()
+    load_seen = max(load_start, os.getloadavg()[0])
+    if load_seen >= CALM_LOAD1 + 2.0 and _WAIT_BUDGET_S[0] > 0:
+        load2 = wait_for_calm()
+        t2 = measure()
+        load_seen = max(load_seen, load2, os.getloadavg()[0])
+        t = min(t, t2)
+    return t, round(load_seen, 1)
+
+
 def fit_exponent(scales: list[float], times: list[float]) -> float | None:
     """Raw log-log LS slope of t vs s.  Fixed per-query overhead (JIT is
     gone after best-of-2; what remains is scheduler/planning constants)
@@ -201,11 +220,14 @@ def main() -> None:
     for name in FIXTURE_ARM:
         times, scales, loads = [], [], []
         for sf, rel in FIXTURE_SFS:
-            load1 = wait_for_calm()
-            t = timed(qs[name].fn, spark, os.path.join(SF_BASE, f"sf{sf}"))
+            t, load_seen = measure_point(
+                lambda sf=sf: timed(
+                    qs[name].fn, spark, os.path.join(SF_BASE, f"sf{sf}")
+                )
+            )
             times.append(round(t, 3))
             scales.append(float(rel))
-            loads.append(round(max(load1, os.getloadavg()[0]), 1))
+            loads.append(load_seen)
             print(f"[fixture] {name} sf{sf}: {t:.2f}s (load {loads[-1]})",
                   flush=True)
         e = fit_exponent(scales, times)
@@ -228,11 +250,12 @@ def main() -> None:
             for f in factors:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
-                load1 = wait_for_calm()
-                t = timed(qs[name].fn, spark, dirs[f])
+                t, load_seen = measure_point(
+                    lambda f=f: timed(qs[name].fn, spark, dirs[f])
+                )
                 times.append(round(t, 3))
                 scales.append(float(f))
-                loads.append(round(max(load1, os.getloadavg()[0]), 1))
+                loads.append(load_seen)
                 print(f"[replica] {name} x{f}: {t:.2f}s (load {loads[-1]})",
                       flush=True)
             e = fit_exponent(scales, times)
@@ -254,7 +277,6 @@ def main() -> None:
             for f, cores in ladder:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
-                load1 = wait_for_calm()
                 runner = (
                     "import sys, time\n"
                     f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
@@ -270,22 +292,29 @@ def main() -> None:
                     "print('WEAK', round(best, 3))\n"
                 )
                 env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores)}
-                proc = subprocess.run(
-                    [_sys.executable, "-c", runner],
-                    env=env, capture_output=True, text=True, timeout=900,
-                )
-                line = [
-                    ln for ln in proc.stdout.splitlines() if ln.startswith("WEAK ")
-                ]
-                if not line:
-                    print(f"[weakscale] {name} x{f}@{cores}c FAILED:"
-                          f" {proc.stderr[-300:]}", flush=True)
+
+                def _run_weak_point():
+                    proc = subprocess.run(
+                        [_sys.executable, "-c", runner],
+                        env=env, capture_output=True, text=True, timeout=900,
+                    )
+                    line = [
+                        ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("WEAK ")
+                    ]
+                    if not line:
+                        print(f"[weakscale] {name} x{f}@{cores}c FAILED:"
+                              f" {proc.stderr[-300:]}", flush=True)
+                        return float("inf")
+                    return float(line[-1].split()[1])
+
+                t, load_seen = measure_point(_run_weak_point)
+                if t == float("inf"):
                     continue
-                t = float(line[-1].split()[1])
                 times.append(t)
                 scales.append(float(f))
                 cores_used.append(cores)
-                loads.append(round(max(load1, os.getloadavg()[0]), 1))
+                loads.append(load_seen)
                 print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s"
                       f" (load {loads[-1]})", flush=True)
             e = fit_exponent(scales, times)  # flat ladder -> e ~ 0

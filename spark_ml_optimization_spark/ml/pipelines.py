@@ -2782,3 +2782,217 @@ def ml35b_lda_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist()
+
+
+@register(
+    "ml41_gbt_classifier",
+    oracle=None,
+    doc="GBTClassifier — the boosted-tree CLASSIFICATION twin ml10's "
+    "regressor left uncovered (round-8 verdict 'what's missing' #5): "
+    "binary label = embedding label parity, 10 boosting rounds, depth "
+    "3, seed pinned; output = train/test areaUnderROC + tree count.  "
+    "Rows-only (iterative ensemble fit, the ml10/q90 class); the "
+    "property tests pin AUC ranges and the train>=chance sanity.  "
+    "Scale: MLlib's distributed histogram-based tree induction — one "
+    "pass per depth level per round over partitioned instances.",
+)
+def ml41_gbt_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    e = _labeled_embeddings(spark, sf_dir).select(
+        (F.col("label").cast("long") % 2).cast("double").alias("label"),
+        "features",
+    )
+    train, test = e.randomSplit([0.8, 0.2], seed=42)
+    model = _fit_retry(
+        GBTClassifier(maxIter=10, maxDepth=3, seed=42), train
+    )
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    rows = [
+        (
+            round(float(ev.evaluate(model.transform(train))), 4),
+            round(float(ev.evaluate(model.transform(test))), 4),
+            model.getNumTrees,
+        )
+    ]
+    return spark.createDataFrame(
+        rows, schema="auc_train double, auc_test double, n_trees int"
+    )
+
+
+@register(
+    "ml42_mlp_classifier",
+    oracle=None,
+    doc="MultilayerPerceptronClassifier — the one neural estimator in "
+    "pyspark.ml (round-8 'what's missing' #5): 64-d embedding -> one "
+    "16-unit hidden layer -> 10 softmax classes on the embedding "
+    "labels, seed pinned, L-BFGS; output = per-class test precision "
+    "for the 3 largest classes + overall accuracy.  Rows-only "
+    "(iterative distributed gradient fit).  Scale: MLlib distributes "
+    "the gradient over instance partitions per L-BFGS iteration; "
+    "layer sizes are the memory knob, instances never leave their "
+    "partitions.",
+)
+def ml42_mlp_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    e = _labeled_embeddings(spark, sf_dir)
+    train, test = e.randomSplit([0.8, 0.2], seed=42)
+    mlp = MultilayerPerceptronClassifier(
+        layers=[64, 16, 10], maxIter=40, seed=42, blockSize=64
+    )
+    model = _fit_retry(mlp, train)
+    pred = model.transform(test)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        pred
+    )
+    per_class = (
+        pred.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy(F.desc("n"), "label")
+        .limit(3)
+        .collect()
+    )  # 3-row driver-side summary of an already-aggregated result
+    rows = [
+        (
+            float(r["label"]),
+            int(r["n"]),
+            int(r["n_correct"]),
+            round(acc, 4),
+        )
+        for r in per_class
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="label double, n_test bigint, n_correct bigint,"
+        " overall_accuracy double",
+    )
+
+
+@register(
+    "ml43_aft_survival",
+    oracle=None,
+    doc="AFTSurvivalRegression — parametric survival analysis (round-8 "
+    "'what's missing' #5): time-to-event = days from order date to "
+    "the fixture's max date (all observed events censored at the "
+    "horizon: censor=0 for the 10% longest-lived, 1 otherwise — a "
+    "deterministic censoring rule, no RNG), features = order priority "
+    "index + totalprice scale.  Output = the fitted Weibull "
+    "coefficients (rounded) + quantile predictions at p50/p90 for one "
+    "probe row — the shape a churn/retention model reports.  "
+    "Rows-only (iterative AFT likelihood fit).  Scale: MLlib "
+    "distributes the likelihood gradient per partition; the output "
+    "is coefficient-sized.",
+)
+def ml43_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    base = (
+        o.crossJoin(F.broadcast(horizon))
+        .select(
+            (F.datediff(F.col("h"), F.col("o_orderdate")) + 1)
+            .cast("double")
+            .alias("label"),
+            "o_orderpriority",
+            (F.col("o_totalprice") / 100000.0).alias("price_scale"),
+        )
+    )
+    # deterministic censoring: the 10% longest-lived are censored (0)
+    p90 = base.agg(
+        F.percentile_approx("label", 0.9, 10000).alias("p90")
+    )
+    feats = (
+        base.crossJoin(F.broadcast(p90))
+        .withColumn(
+            "censor",
+            F.when(F.col("label") > F.col("p90"), 0.0).otherwise(1.0),
+        )
+        .drop("p90")
+    )
+    idx = StringIndexer(
+        inputCol="o_orderpriority",
+        outputCol="prio_idx",
+        stringOrderType="alphabetAsc",
+    )
+    asm = VectorAssembler(
+        inputCols=["prio_idx", "price_scale"], outputCol="features"
+    )
+    ready = asm.transform(idx.fit(feats).transform(feats)).select(
+        "label", "censor", "features"
+    )
+    aft = AFTSurvivalRegression(
+        censorCol="censor", quantileProbabilities=[0.5, 0.9]
+    )
+    model = _fit_retry(aft, ready)
+    probe = ready.limit(1)
+    q = model.transform(
+        probe.withColumnRenamed("label", "obs_label")
+    ).collect()[0]
+    rows = [
+        (
+            round(float(model.intercept), 4),
+            round(float(model.coefficients[0]), 4),
+            round(float(model.coefficients[1]), 4),
+            round(float(model.scale), 4),
+            round(float(q["prediction"]), 2),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="intercept double, coef_prio double, coef_price double,"
+        " weibull_scale double, probe_median_pred double",
+    )
+
+
+@register(
+    "ml44_fm_classifier",
+    oracle=None,
+    doc="FMClassifier — factorization-machine classification (round-8 "
+    "'what's missing' #5), the pairwise-interaction learner between "
+    "linear models and trees: binary label = embedding label parity "
+    "over the 64-d embeddings, factor size 4, seed pinned; output = "
+    "train/test AUC + factor dimensions.  Rows-only (iterative "
+    "gradient fit).  Scale: the FM gradient is a per-instance "
+    "map + aggregate per iteration — same distribution shape as "
+    "logistic regression with a k-by-d factor matrix broadcast.",
+)
+def ml44_fm_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import FMClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    e = _labeled_embeddings(spark, sf_dir).select(
+        (F.col("label").cast("long") % 2).cast("double").alias("label"),
+        "features",
+    )
+    train, test = e.randomSplit([0.8, 0.2], seed=42)
+    model = _fit_retry(
+        FMClassifier(factorSize=4, maxIter=30, seed=42, stepSize=0.1), train
+    )
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    rows = [
+        (
+            round(float(ev.evaluate(model.transform(train))), 4),
+            round(float(ev.evaluate(model.transform(test))), 4),
+            int(model.factors.numRows),
+            int(model.factors.numCols),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="auc_train double, auc_test double, factor_rows int,"
+        " factor_cols int",
+    )

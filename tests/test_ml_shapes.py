@@ -273,3 +273,51 @@ def test_lda_top_terms_contract(spark):
         assert [p[0] for p in pairs] == list(range(1, 8))
         ws = [p[1] for p in pairs]
         assert all(a >= b - 1e-9 for a, b in zip(ws, ws[1:])), (t, ws)
+
+
+def test_ml41_gbt_classifier_contract(spark):
+    """Boosted-tree classifier pins: AUC in [0,1], train AUC above
+    chance (the parity label is learnable from the embedding's label
+    structure at least weakly — and 10 seeded trees must fit SOMETHING
+    on train), and the tree count is exactly maxIter."""
+    row = all_queries()["ml41_gbt_classifier"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= row["auc_test"] <= 1.0
+    assert row["auc_train"] > 0.5
+    assert row["n_trees"] == 10
+
+
+def test_ml42_mlp_classifier_contract(spark):
+    """MLP pins: 3 largest-class rows, counts reconcile (correct <= n),
+    overall accuracy in [0,1] and above the 1/10 uniform floor."""
+    rows = all_queries()["ml42_mlp_classifier"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert 0.0 <= r["overall_accuracy"] <= 1.0
+    assert rows[0]["overall_accuracy"] > 0.1
+
+
+def test_ml43_aft_survival_contract(spark):
+    """AFT pins: Weibull scale positive, the median prediction positive
+    and finite, and the coefficient schema stable."""
+    row = all_queries()["ml43_aft_survival"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["weibull_scale"] > 0
+    assert row["probe_median_pred"] > 0
+    for k in ("intercept", "coef_prio", "coef_price"):
+        assert row[k] == row[k]  # not NaN
+
+
+def test_ml44_fm_classifier_contract(spark):
+    """FM pins: AUC range, factor matrix shaped (n_features=64, k=4)."""
+    row = all_queries()["ml44_fm_classifier"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= row["auc_test"] <= 1.0
+    assert row["auc_train"] > 0.45
+    assert (row["factor_rows"], row["factor_cols"]) == (64, 4)
