@@ -43,6 +43,16 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Pre-session loadavg: sampled BEFORE this process starts any Spark
+    # work, so a high reading here is unambiguous EXTERNAL load (the
+    # shared-VM tenant), usable to corroborate a high weather ratio —
+    # unlike any sample taken mid-suite, which includes our own
+    # local[32] load.  (round-9, advice #1)
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = [-1.0, -1.0, -1.0]
+
     spark = get_spark("bench")
     queries = registry.all_queries()
     subset = os.environ.get("BENCH_QUERIES")
@@ -138,7 +148,30 @@ def main() -> int:
     except Exception:
         pass
     head_first = [n for n in HEADLINE if n in names]
-    names = head_first + [n for n in names if n not in set(head_first)]
+    # Seed-shuffled remainder (round-9, verdict item #2): the suite ran
+    # alphabetically, so a mid-run host-contention episode landed on a
+    # CONTIGUOUS query family and masqueraded as a family regression
+    # (r08: 13 phantom >2x readings, all inside q62-q67 / st01-st07 —
+    # a full judge re-measure pass to exonerate).  Headline stays first
+    # (GC-fresh cross-round anchors); the remainder runs in a seeded
+    # shuffle so any episode spreads across unrelated families and the
+    # adaptive retry / min-of-2 absorbs it.  Seed defaults to the count
+    # of committed BENCH_r*.json records + 1 (a per-round constant, so
+    # each round gets a DIFFERENT order while one round's runs agree);
+    # overridable via BENCH_SEED, always recorded in the sidecar.
+    import random
+
+    try:
+        _repo = os.path.dirname(os.path.abspath(__file__))
+        _round_guess = 1 + len(
+            [f for f in os.listdir(_repo) if re.fullmatch(r"BENCH_r\d+\.json", f)]
+        )
+    except OSError:
+        _round_guess = 0
+    order_seed = int(os.environ.get("BENCH_SEED", _round_guess))
+    rest = [n for n in names if n not in set(head_first)]
+    random.Random(order_seed).shuffle(rest)
+    names = head_first + rest
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -294,6 +327,70 @@ def main() -> int:
     headline_ratio = max(headline_ratio, 0.25)  # an absurd fluke must
     # not manufacture a breach; floor declared in the sidecar.
 
+    # Ratio alarm + corroborated cap (round-9: verdict item #3 /
+    # advice #1).  The basket is measured inside the run it gates, so a
+    # uniform NON-plan regression (session config, configure() overhead,
+    # a codegen/AQE toggle) inflates the ratio exactly like weather —
+    # the ratio alone cannot tell them apart.  Three declared defenses:
+    #   1. ALARM (>1.4): re-measure the whole basket standalone
+    #      best-of-3 (streams stopped, caches dropped, full GC — the
+    #      judge's round-8 adjudication protocol, mechanized).  The min
+    #      of in-suite vs standalone is substituted per query (the
+    #      breach-re-measure precedent; raw values kept in the sidecar)
+    #      and the ratio recomputed: a transient contention episode
+    #      collapses, a persistent slowdown — weather OR code — stays.
+    #   2. CAP: the ratio the gate may EXCUSE with is bounded: 2.0
+    #      uncorroborated, 4.0 when the PRE-session loadavg already
+    #      showed an external tenant (sampled before this process did
+    #      any work, so it cannot be self-load).  A genuine >2x
+    #      systemic code slowdown therefore fails the gate regardless
+    #      of what the in-run basket claims.
+    #   3. The raw breach list keeps gating at the capped effective
+    #      single-query line, never the raw ratio.
+    ratio_alarm = None
+    if headline_ratio > 1.4 and _hl_common:
+        _standalone: dict[str, float] = {}
+        for name in _hl_common:
+            try:
+                for sq in spark.streams.active:
+                    sq.stop()
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    queries[name].fn(spark, sf_dir).collect()
+                except Exception:
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if best is not None:
+                _standalone[name] = round(best, 3)
+        _insuite = {n: timings[n] for n in _hl_common}
+        for n, t in _standalone.items():
+            timings[n] = min(timings[n], t)
+        _new_ratio = max(
+            round(
+                sum(timings[n] for n in _hl_common)
+                / sum(HEADLINE_REF[n] for n in _hl_common),
+                3,
+            ),
+            0.25,
+        )
+        ratio_alarm = {
+            "triggered_at": headline_ratio,
+            "headline_insuite": _insuite,
+            "headline_standalone": _standalone,
+            "ratio_after_standalone": _new_ratio,
+        }
+        headline_ratio = _new_ratio
+    external_load = loadavg_start[0] > 4.0
+    ratio_cap = 4.0 if external_load else 2.0
+    gate_ratio = min(headline_ratio, ratio_cap)
+
     # End-of-suite scan canaries stay as a pure DIAGNOSTIC (they date
     # the end-of-run weather for the audit trail; not used in the
     # gate for the overcorrection reason above).
@@ -353,7 +450,7 @@ def main() -> int:
     # suite past 1.3 s/query, is visible in every bench record (and red
     # in tests/test_bench_gate.py, which reads this sidecar).
     per_query = round(sum(timings.values()) / max(len(timings), 1), 3)
-    normalized_per_query = round(per_query / headline_ratio, 3)
+    normalized_per_query = round(per_query / gate_ratio, 3)
     # The raw 1.2/1.3/1.5 suite-mean lines of rounds 5-7 are RETIRED
     # (round-8 verdict item #1): both arms of the gate sit at the
     # ORIGINAL 1.3 calibration and the suite passes if EITHER the raw
@@ -368,7 +465,11 @@ def main() -> int:
     # contention this round — 12.1 s in-suite, 21-27 s cold on BOTH
     # r7 and r8 code, interleaved).  A real plan regression (the old
     # 34 s hub-quadratic q84b) clears any plausible ratio.
-    single_limit_eff = round(10.0 * max(1.0, headline_ratio), 2)
+    single_limit_eff = round(10.0 * max(1.0, gate_ratio), 2)
+    try:
+        loadavg_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_end = [-1.0, -1.0, -1.0]
     budget = {
         "single_query_limit_s": 10.0,
         "single_query_limit_effective_s": single_limit_eff,
@@ -377,6 +478,14 @@ def main() -> int:
         "headline_ref": HEADLINE_REF,
         "headline_ratio": headline_ratio,
         "headline_ratio_floor": 0.25,
+        "ratio_alarm_line": 1.4,
+        "ratio_alarm": ratio_alarm,
+        "ratio_cap": ratio_cap,
+        "gate_ratio": gate_ratio,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "external_load_corroborated": external_load,
+        "order_seed": order_seed,
         "scan_canary_ref": CANARY_REF,
         "scan_canary_measured": canary_measured,
         "scan_canary_ratio": canary_ratio,
@@ -385,8 +494,16 @@ def main() -> int:
         "breaches": {
             n: t for n, t in timings.items() if t > single_limit_eff
         },
+        # ok requires: either suite-mean arm inside the 1.3 line (the
+        # normalized arm now divides by the CAPPED gate_ratio), no
+        # query over the capped effective single line, and — the alarm
+        # invariant — a ratio past 1.4 must carry its standalone
+        # re-measure block (mechanically always true in this code; the
+        # clause keeps a future edit that drops the alarm red in
+        # tests/test_bench_gate.py).
         "ok": (per_query <= 1.3 or normalized_per_query <= 1.3)
-        and not any(t > single_limit_eff for t in timings.values()),
+        and not any(t > single_limit_eff for t in timings.values())
+        and (headline_ratio <= 1.4 or ratio_alarm is not None),
     }
     detail = {
         "metric": "declared-suite wall clock (collect), best-of-%d (headline best-of-%d,"

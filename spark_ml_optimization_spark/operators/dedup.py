@@ -1485,7 +1485,10 @@ def q84b_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(au, "u")
         .join(av, "v")
         .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
-        .agg(F.sum("k").cast("long").alias("n_triangles"))
+        # coalesce: a triangle-free graph whose every oriented target
+        # is a sink (e.g. a star) leaves the adjacency joins empty, so
+        # sum(k) is NULL — the oracle's join-path count is 0 there.
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     stats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),

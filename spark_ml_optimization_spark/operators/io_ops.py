@@ -24,16 +24,21 @@ from ..registry import register
 from ..sources import load_table
 
 
-def sweep_stale_scratch(prefix: str, max_age_s: float = 3600.0) -> None:
+def sweep_stale_scratch(prefix: str, max_age_s: float = 86400.0) -> None:
     """Remove tmpdir scratch dirs named `<prefix><uuid>` left by PRIOR
     invocations of path-writing queries (src28's lifecycle tables,
     q37e's WAP dirs) — round-8 advice: repeated runs accumulated
     orphans because the result DataFrame reads the dir lazily AFTER
     the query function returns, so the owning run can never delete its
     own dir.  Each run instead sweeps predecessors, age-gated so a
-    CONCURRENT session's in-flight dir (same prefix, fresh mtime) is
-    never touched.  Best-effort by design: a failed sweep must not
-    fail the query."""
+    CONCURRENT session's dirs are never touched.  The gate is 24 h
+    (round-9 advice #5): the original 1 h protected in-flight WRITES
+    but not pending lazy READS — a returned DataFrame may re-scan its
+    scratch dir much later (a cached plan re-collected, a long-lived
+    interactive session), and every session class on this box (driver
+    round, pytest run, bench) lives well under 24 h, so age alone now
+    covers both hazards.  Best-effort by design: a failed sweep must
+    not fail the query."""
     import shutil
     import time
 

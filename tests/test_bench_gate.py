@@ -2,16 +2,23 @@
 
 Reads the most recent bench sidecar (BENCH_DETAIL.json, written by
 bench.py at every driver/round bench) and asserts the established
-"intrinsic tail only" property: no single query over 10 s
-standalone-equivalent, and the CANARY-NORMALIZED suite mean under
-1.3 s/query (round 8: the raw mean line was retired because host
-weather kept forcing re-calibrations; bench.py divides the suite mean
-by the same-run ratio of three cheap identical-plan canaries vs their
-pinned reference epoch, so weather cancels and only plan regressions
-move the normalized number).  This makes a plan regression (an
-accidental cartesian, a lost broadcast, a global sort) red in the
-test suite as soon as a bench has recorded it — without re-running
-the 6-minute bench inside pytest.
+"intrinsic tail only" property: no single query over the 10 s
+standalone-equivalent line, and the suite mean under 1.3 s/query on at
+least one of two arms — the raw mean, or the WEATHER-NORMALIZED mean
+(round 8: bench.py divides the suite mean by the same-run ratio of the
+17-query HEADLINE basket vs its pinned round-7 record, measured under
+the identical in-suite protocol; cheap scan canaries were tried first
+and rejected — they overcorrect ~3x because scans track CPU contention
+while the suite's weather response is dominated by micro-batch waits,
+fit iterations and GC — so canaries remain diagnostic-only in the
+sidecar).  Round 9 hardened the normalized arm: the excusable ratio is
+CAPPED (2.0, or 4.0 when the pre-session loadavg corroborates an
+external tenant), and a ratio past the 1.4 alarm line must carry a
+standalone best-of-3 re-measure block of the whole basket before the
+gate may pass.  This makes a plan regression (an accidental cartesian,
+a lost broadcast, a global sort) red in the test suite as soon as a
+bench has recorded it — without re-running the 6-minute bench inside
+pytest.
 
 Skips when no sidecar exists (fresh clone) or when it predates the
 budget field (pre-round-5 record).
@@ -70,18 +77,28 @@ def test_weather_gate_shape():
     """The normalized gate is only meaningful if the weather basket
     actually measured: the headline ratio sits above its floor (a
     floored ratio means the measurement was nonsense), the normalized
-    number is arithmetically per_query / ratio, and the effective
-    single-query line is 10 s scaled by max(1, ratio)."""
+    number is arithmetically per_query / gate_ratio, and the effective
+    single-query line is 10 s scaled by max(1, gate_ratio) — where
+    gate_ratio is the measured ratio CAPPED at the declared bound
+    (round 9)."""
     detail = _load()
     budget = detail["budget"]
     if "headline_ratio" not in budget:
         pytest.skip("bench record predates the weather-normalized gate")
     ratio = budget["headline_ratio"]
     assert ratio > budget["headline_ratio_floor"]
-    expected = budget["per_query_s"] / ratio
+    # pre-round-9 sidecars normalized by the raw (uncapped) ratio
+    gate_ratio = budget.get("gate_ratio", ratio)
+    if "gate_ratio" in budget:
+        assert gate_ratio == min(ratio, budget["ratio_cap"])
+        assert budget["ratio_cap"] in (2.0, 4.0)
+    expected = budget["per_query_s"] / gate_ratio
     assert abs(budget["normalized_per_query_s"] - expected) < 0.002
     assert (
-        abs(budget["single_query_limit_effective_s"] - 10.0 * max(1.0, ratio))
+        abs(
+            budget["single_query_limit_effective_s"]
+            - 10.0 * max(1.0, gate_ratio)
+        )
         < 0.02
     )
     # every headline-basket member must have been timed this run
@@ -89,6 +106,70 @@ def test_weather_gate_shape():
         n for n in budget["headline_ref"] if n not in detail["queries"]
     ]
     assert not missing, f"headline basket incomplete: {missing}"
+
+
+def _alarm_invariant_ok(budget: dict) -> bool:
+    """The round-9 alarm invariant bench.py's ok clause encodes: a
+    headline ratio past the 1.4 alarm line may only pass the gate when
+    the sidecar carries the standalone best-of-3 re-measure block that
+    corroborated it (ratio_alarm with both the in-suite and standalone
+    basket readings)."""
+    ratio = budget.get("headline_ratio", 1.0)
+    if ratio <= budget.get("ratio_alarm_line", 1.4):
+        return True
+    alarm = budget.get("ratio_alarm")
+    return bool(
+        alarm
+        and "headline_standalone" in alarm
+        and "headline_insuite" in alarm
+    )
+
+
+def test_ratio_alarm_invariant_on_recorded_sidecar():
+    detail = _load()
+    budget = detail["budget"]
+    if "headline_ratio" not in budget:
+        pytest.skip("bench record predates the weather-normalized gate")
+    if "ratio_alarm_line" not in budget:
+        pytest.skip("bench record predates the round-9 ratio alarm")
+    if budget["ok"]:
+        assert _alarm_invariant_ok(budget), (
+            "gate passed with an uncorroborated headline ratio "
+            f"{budget['headline_ratio']} > 1.4 and no standalone "
+            "re-measure block — the alarm path was skipped"
+        )
+
+
+def test_ratio_alarm_invariant_synthetic():
+    """Alarm path on synthetic sidecars (round-9 verdict item #3): a
+    >1.4 ratio without the standalone re-measure block must be
+    rejected; the same ratio WITH the block, and any ratio under the
+    line, must be accepted."""
+    assert not _alarm_invariant_ok(
+        {"headline_ratio": 1.8, "ratio_alarm_line": 1.4, "ratio_alarm": None}
+    )
+    assert not _alarm_invariant_ok(
+        {
+            "headline_ratio": 1.8,
+            "ratio_alarm_line": 1.4,
+            "ratio_alarm": {"triggered_at": 1.8},  # block without readings
+        }
+    )
+    assert _alarm_invariant_ok(
+        {
+            "headline_ratio": 1.8,
+            "ratio_alarm_line": 1.4,
+            "ratio_alarm": {
+                "triggered_at": 2.1,
+                "headline_insuite": {"q01_pricing_summary": 1.1},
+                "headline_standalone": {"q01_pricing_summary": 0.9},
+                "ratio_after_standalone": 1.8,
+            },
+        }
+    )
+    assert _alarm_invariant_ok(
+        {"headline_ratio": 1.12, "ratio_alarm_line": 1.4, "ratio_alarm": None}
+    )
 
 
 def test_bench_recorded_no_failures():

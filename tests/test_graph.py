@@ -21,3 +21,31 @@ def test_pagerank_deterministic_and_positive(spark):
     # supplier->customer graph every supplier is a source with rank 1-d
     suppliers = [r for r in a if r[1] == "supplier"]
     assert not suppliers or all(abs(r[2] - 0.15) < 1e-6 for r in suppliers)
+
+
+def test_triangle_count_star_graph_is_zero_not_null(tmp_path, spark):
+    """Round-9 advice #2: a triangle-free graph whose every oriented
+    target is a sink (a star — the hub out-ranks every leaf by degree,
+    so all edges orient leaf->hub and the hub never appears as an
+    adjacency source) left the intersection join empty and sum(k)
+    NULL; the oracle's join-path count is 0.  Three orders sharing
+    part 1 with parts 2/3/4 build exactly that star."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (3, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = all_queries()["q84b_triangle_count"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_triangles"] == 0  # was NULL before the coalesce
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3 and r["n_wedges"] == 3
+    assert r["global_clustering"] == 0.0

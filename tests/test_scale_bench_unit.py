@@ -64,3 +64,28 @@ def test_exponent_fit_handles_zero_time():
     assert fit_exponent([1.0, 2.0], [0.0, 0.0]) is not None or True
     # clamped at 1e-3 internally — must not raise
     math.isfinite(fit_exponent([1.0, 2.0], [0.0, 1.0]))
+
+
+def test_round9_heavies_in_replica_arm():
+    for name in (
+        "q28d_countmin_sketch",
+        "q22b_percentile_within_group",
+        "ml34_bootstrap_auc_ci",
+        "q65b_asof_tolerance",
+    ):
+        assert name in REPLICA_ARM, name
+
+
+def test_arm_record_insufficient_calm_policy():
+    """Round-9 verdict item #1: a super-linear flag resting on points
+    measured at/past the calm line (retry budget spent) is recorded as
+    insufficient_calm, never committed as a flagged curve; an all-calm
+    flag stands; an unflagged curve never carries the marker."""
+    from scale_bench import CALM_LOAD1, arm_record
+
+    rec = arm_record([1.0, 2.0], [1.0, 5.0], [2.0, CALM_LOAD1 + 3.0], 2.3, True)
+    assert rec["flag"] is False and rec["insufficient_calm"] is True
+    rec = arm_record([1.0, 2.0], [1.0, 5.0], [2.0, 3.0], 2.3, True)
+    assert rec["flag"] is True and "insufficient_calm" not in rec
+    rec = arm_record([1.0, 2.0], [1.0, 2.0], [9.0, 9.0], 1.0, False)
+    assert rec["flag"] is False and "insufficient_calm" not in rec
