@@ -2996,3 +2996,159 @@ def ml44_fm_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="auc_train double, auc_test double, factor_rows int,"
         " factor_cols int",
     )
+
+
+@register(
+    "ml45_prefixspan_sequences",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i
+            FROM events
+        ),
+        nu AS (
+            SELECT CAST(ceil(0.1 * count(DISTINCT user_id)) AS BIGINT) AS t
+            FROM events
+        ),
+        occ AS (
+            SELECT user_id, event_type,
+                   min(i) AS fi, max(i) AS li
+            FROM ev GROUP BY 1, 2
+        ),
+        s1 AS (
+            SELECT event_type AS pattern, 1 AS plen,
+                   count(*) AS n_seqs
+            FROM occ GROUP BY 1
+        ),
+        s2 AS (
+            SELECT a.event_type || '>' || b.event_type AS pattern,
+                   2 AS plen, count(*) AS n_seqs
+            FROM occ a JOIN occ b
+              ON a.user_id = b.user_id AND a.fi < b.li
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT a.event_type || '>' || b.event_type || '>'
+                       || c.event_type AS pattern,
+                   3 AS plen, count(DISTINCT a.user_id) AS n_seqs
+            FROM occ a
+            JOIN ev b ON a.user_id = b.user_id AND a.fi < b.i
+            JOIN occ c ON b.user_id = c.user_id AND b.i < c.li
+            GROUP BY 1
+        ),
+        pats AS (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3
+        )
+        SELECT pattern, plen, CAST(n_seqs AS BIGINT) AS n_seqs
+        FROM pats, nu WHERE n_seqs >= nu.t
+    """,
+    doc="PrefixSpan sequential-pattern mining (round-9 verdict item "
+    "#4; pyspark.ml.fpm.PrefixSpan, the PrefixSpan algorithm of Pei "
+    "et al. 2001 as distributed in Spark) over per-user ordered event "
+    "journeys — the q67c path construction (collect_list(struct(ts, "
+    "event_id, type)) -> array_sort, singleton itemsets) feeding "
+    "frequent ordered SUBSEQUENCES up to length 3.  HASH-VERIFIED "
+    "against a relational subsequence-counting oracle: a user "
+    "contains a>b iff first_pos(a) < last_pos(b), and a>b>c iff some "
+    "b-occurrence sits strictly between first_pos(a) and last_pos(c) "
+    "— an exact EXISTS rewrite that never enumerates O(n^3) index "
+    "triples (per-pattern work is |alphabet|^2 x events).  Threshold "
+    "semantics pinned OUTSIDE the miner: PrefixSpan runs at "
+    "minSupport 0.05 and BOTH engines filter at the explicit "
+    "ceil(0.1 * n_users) count, so the library's internal >=-vs-> "
+    "boundary convention can never flip a row.  Scale: PrefixSpan "
+    "distributes by projected-database partitioning (prefix-grouped), "
+    "the input is one bounded row per user off a single user-keyed "
+    "shuffle, and pattern length is capped at 3 so the candidate "
+    "lattice stays alphabet-bounded.",
+)
+def ml45_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import PrefixSpan
+
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: F.array(s["event_type"]),
+        ).alias("sequence")
+    )
+    n_users = seqs.count()
+    threshold = -(-n_users // 10)  # ceil(0.1 * n) with integer math
+    ps = PrefixSpan(
+        minSupport=0.05,
+        maxPatternLength=3,
+        maxLocalProjDBSize=32_000_000,
+        sequenceCol="sequence",
+    )
+    return (
+        ps.findFrequentSequentialPatterns(seqs)
+        .filter(F.col("freq") >= threshold)
+        .select(
+            F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+            F.size("sequence").alias("plen"),
+            F.col("freq").cast("long").alias("n_seqs"),
+        )
+    )
+
+
+@register(
+    "ml46_imputer_stage",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE floor(c_acctbal / 1000.0) END AS feat
+            FROM customer
+        ),
+        stats AS (
+            SELECT avg(feat) AS mean_v, median(feat) AS med_v FROM base
+        )
+        SELECT c_custkey,
+               round(coalesce(feat, mean_v), 4) AS feat_mean,
+               CAST(coalesce(feat, med_v) AS DOUBLE) AS feat_median,
+               CAST(feat IS NULL AS INT) AS was_imputed
+        FROM base, stats
+    """,
+    doc="MLlib Imputer stage (round-9 verdict item #5), HASH-VERIFIED "
+    "like ml26's Bucketizer: NULLs planted deterministically "
+    "(c_custkey % 7) in a derived numeric feature, then BOTH "
+    "strategies — mean and median — imputed per row and matched "
+    "against the SQL avg()/median() twin.  The median strategy is "
+    "cross-engine-exact BY CONSTRUCTION: Spark's Imputer computes the "
+    "median via approxQuantile(relativeError=0.001), whose rank error "
+    "(~±1.3 at n=1285) must stay on one value, so the feature is "
+    "floor(acctbal/1000) — 11 plateaus of ~100+ rows each, with the "
+    "median rank measured 58 ranks interior to its plateau at sf0.01; "
+    "DuckDB's interpolated median lands on the identical plateau "
+    "value.  (Raw near-unique doubles would NOT verify: the ±εn rank "
+    "window spans several distinct values there — same reason "
+    "QuantileDiscretizer stays rows-only, see ml26.)  Scale: Imputer "
+    "fit is one aggregate over the column (mean) or one "
+    "approxQuantile GK sketch pass (median); transform is a per-row "
+    "coalesce against a broadcast surrogate — no shuffle at all.",
+)
+def ml46_imputer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import Imputer
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.floor(F.col("c_acctbal") / 1000.0))
+        .cast("double")
+        .alias("feat"),
+    )
+    im_mean = Imputer(
+        strategy="mean", inputCols=["feat"], outputCols=["feat_mean"]
+    ).fit(c)
+    im_med = Imputer(
+        strategy="median", inputCols=["feat"], outputCols=["feat_median"]
+    ).fit(c)
+    return im_med.transform(im_mean.transform(c)).select(
+        "c_custkey",
+        F.round("feat_mean", 4).alias("feat_mean"),
+        F.col("feat_median").cast("double").alias("feat_median"),
+        F.col("feat").isNull().cast("int").alias("was_imputed"),
+    )

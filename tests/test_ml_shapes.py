@@ -321,3 +321,40 @@ def test_ml44_fm_classifier_contract(spark):
     assert 0.0 <= row["auc_test"] <= 1.0
     assert row["auc_train"] > 0.45
     assert (row["factor_rows"], row["factor_cols"]) == (64, 4)
+
+
+def test_prefixspan_support_monotonicity_and_singletons(spark):
+    """ml45's Apriori law for sequences: every subsequence of a pattern
+    is at least as frequent, so each emitted length-k pattern's prefix
+    (drop last) and suffix (drop first) must both be present with
+    freq >= the child's — the thresholded output is downward-closed.
+    1-sequence counts additionally pinned to the exact per-type
+    distinct-user counts (the ml14 1-itemset rule)."""
+    out = {
+        r["pattern"]: r["n_seqs"]
+        for r in all_queries()["ml45_prefixspan_sequences"].fn(
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert out, "no frequent sequences returned"
+    multi = {p: f for p, f in out.items() if ">" in p}
+    assert multi, "no length>=2 sequences — monotonicity law untestable"
+    for pat, freq in multi.items():
+        parts = pat.split(">")
+        for parent in (">".join(parts[:-1]), ">".join(parts[1:])):
+            assert parent in out, (pat, parent)
+            assert out[parent] >= freq, (pat, parent, out[parent], freq)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id").distinct().count()
+    )
+    threshold = -(-n_users // 10)
+    singles = {p: f for p, f in out.items() if ">" not in p}
+    assert singles == {t: n for t, n in exact.items() if n >= threshold}

@@ -60,6 +60,8 @@ _EAGER_NAMES = {
     "ml21_isotonic_regression",  # MLlib PAV fit + join at construction
     "ml35_lda_topics",  # online LDA fit at construction (eager 1-row result)
     "ml35b_lda_top_terms",  # same fit; describeTopics at construction
+    "ml45_prefixspan_sequences",  # PrefixSpan mining job at construction
+    "ml46_imputer_stage",  # two Imputer fits (agg + approxQuantile) at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
     "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions
     "q37e_write_audit_publish",  # stages/audits/publishes parquet at construction

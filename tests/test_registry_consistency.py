@@ -68,7 +68,7 @@ def test_registry_size_pinned():
     )
 
     expected = (
-        522
+        524
         + (1 if avro_connector_available() else 0)
         + (1 if transform_with_state_available() else 0)
     )
@@ -94,3 +94,19 @@ def test_coverage_md_is_generated_and_consistent():
     )
     problems = validate()
     assert not problems, problems
+
+
+def test_survey_status_block_matches_registry():
+    """SURVEY.md's §2 status counts are generator-emitted (round-9
+    verdict item #6): the committed block must equal what the live
+    registry produces, so the header can never go stale again."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.gen_coverage import patched_survey, survey_status_block
+
+    committed = (REPO / "SURVEY.md").read_text()
+    assert patched_survey(committed, survey_status_block()) == committed, (
+        "SURVEY.md §2 status block drifted from the registry — run "
+        "`python tools/gen_coverage.py`"
+    )
