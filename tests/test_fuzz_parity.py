@@ -14,9 +14,13 @@ wall-clock, no Math.random — every CI run fuzzes the identical corpus):
    IN / NOT IN subqueries (three-valued logic with planted NULLs),
    DISTINCT over CASE projections, windows, ROLLUP, correlated
    EXISTS, explicit-NULLS-placement ordered LIMIT pages, FILTER-clause
-   aggregates, and (round-8 wave 2) bounded ROWS window frames +
+   aggregates, (round-8 wave 2) bounded ROWS window frames +
    ntile/first_value, correlated LATERAL top-k, multi-way USING
-   joins, and recursive-CTE zero-filled spines.
+   joins, recursive-CTE zero-filled spines, and (round-9 wave 3)
+   parenthesized three-branch set-op compositions with ALL variants
+   over grouped+HAVING branches, HAVING-vs-scalar-subquery, and
+   two-level IN/EXISTS nesting down FK chains with deepest-level
+   NOT IN NULL poisoning.
 2. **Ternary Logic Partitioning** (TLP, Rigger & Su 2020): for a random
    predicate p, `count(*)` must equal `count p` + `count NOT p` +
    `count p IS NULL` — evaluated per-engine (self-consistency catches
@@ -79,6 +83,20 @@ META = {
     "documents": (["doc_id", "n_chars"], ["lang", "source"], [], []),
     "events": (["event_id", "user_id"], ["event_type"], ["value"], ["ts"]),
 }
+
+#: Two-level FK chains for nested-subquery templates:
+#: (outer table, outer FK, middle table, middle key, middle FK,
+#:  inner table, inner key)
+FK_CHAINS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", "o_custkey",
+     "customer", "c_custkey"),
+    ("orders", "o_custkey", "customer", "c_custkey", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey", "n_regionkey",
+     "region", "r_regionkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", "s_nationkey",
+     "nation", "n_nationkey"),
+]
 
 #: FK join edges: (left table, left col, right table, right col)
 FK_EDGES = [
@@ -585,6 +603,101 @@ class Gen:
             f"FROM spine s LEFT JOIN bucketed b ON b.i = s.i"
         )
 
+    # -- round-9 wave-3 templates (verdict item #8) ----------------------
+
+    def q_setop_compound(self) -> str:
+        """Three-branch UNION/INTERSECT/EXCEPT (+ALL) composition over
+        grouped+HAVING subselects — the untemplated set-op area: ALL
+        variants exercise MULTISET semantics (multiplicity arithmetic,
+        not just membership), and the tree is explicitly parenthesized
+        so it is seed-determined rather than precedence-determined
+        (INTERSECT binds tighter than UNION/EXCEPT in the standard —
+        an easy silent-divergence trap when left bare).  Branches share
+        one (c0, c1) BIGINT shape with a common modulus so rows
+        actually collide across branches."""
+        k = self.r.randint(2, 7)
+        m = self.r.randint(2, 5)
+
+        def branch() -> str:
+            t = self.r.choice(FUZZ_TABLES)
+            col = self.r.choice(META[t][0])
+            having = (
+                f" HAVING count(*) > {self.r.randint(0, 4)}"
+                if self.r.random() < 0.6
+                else ""
+            )
+            return (
+                f"SELECT ({col} % {k}) AS c0, "
+                f"CAST(count(*) % {m} AS BIGINT) AS c1 "
+                f"FROM {PREFIX}{t} WHERE {self.predicate(t)} "
+                f"GROUP BY 1{having}"
+            )
+
+        ops = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+               "EXCEPT", "EXCEPT ALL"]
+        op1, op2 = self.r.choice(ops), self.r.choice(ops)
+        b1, b2, b3 = branch(), branch(), branch()
+        if self.r.random() < 0.5:
+            return f"(({b1}) {op1} ({b2})) {op2} ({b3})"
+        return f"({b1}) {op1} (({b2}) {op2} ({b3}))"
+
+    def q_having_subquery(self) -> str:
+        """HAVING compared against an uncorrelated scalar-aggregate
+        subquery — when the inner predicate matches nothing the scalar
+        is NULL and three-valued logic must drop EVERY group in both
+        engines; the grouped-outer/scalar-inner composition was
+        untemplated (q_scalar_subquery only fuzzed WHERE)."""
+        t = self.r.choice(FUZZ_TABLES)
+        t2 = self.r.choice(FUZZ_TABLES)
+        key = self._group_key(t)
+        icol = self.r.choice(META[t2][0])
+        agg = self.r.choice(["min", "max"])
+        k = self.r.randint(2, 13)
+        cmp_ = self.r.choice([">", "<=", "<>"])
+        return (
+            f"SELECT {key} AS k, count(*) AS cnt, "
+            f"CAST(sum({self.r.choice(META[t][0])} % {k}) AS BIGINT) AS s "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} GROUP BY {key} "
+            f"HAVING count(*) {cmp_} "
+            f"(SELECT {agg}({icol}) % {k} FROM {PREFIX}{t2} "
+            f"WHERE {self.predicate(t2)})"
+        )
+
+    def q_nested_in_exists(self) -> str:
+        """Two-level IN / EXISTS nesting down an FK chain (lineitem →
+        orders → customer, ...) — the subquery-inside-subquery
+        decorrelation path.  NOT IN poisoning is planted only at the
+        DEEPEST level (a NULL in the innermost set must three-valued-
+        empty the middle select, which then empties or fills the outer
+        per ANSI — in BOTH engines); outer/middle nesting polarity and
+        the IN-vs-correlated-EXISTS inner form all vary by seed."""
+        lt, lc, mt, mk, mfk, rt, rk = self.r.choice(FK_CHAINS)
+        neg1 = self.r.choice(["", "NOT "])
+        neg2 = self.r.choice(["", "NOT "])
+        inner_col = rk
+        if neg2 and self.r.random() < 0.5:
+            kk = self.r.randint(50, 200)
+            inner_col = (
+                f"nullif({rk}, {rk} - ({rk} % {kk}) + {self.r.randint(0, 9)})"
+            )
+        if self.r.random() < 0.5:
+            inner = (
+                f"m.{mfk} {neg2}IN (SELECT {inner_col} FROM {PREFIX}{rt} "
+                f"WHERE {self.predicate(rt)})"
+            )
+        else:
+            inner = (
+                f"{neg2}EXISTS (SELECT 1 FROM {PREFIX}{rt} c "
+                f"WHERE c.{rk} = m.{mfk} "
+                f"AND ({self.predicate(rt, 'c.', depth=2)}))"
+            )
+        return (
+            f"SELECT count(*) AS cnt FROM {PREFIX}{lt} "
+            f"WHERE ({self.predicate(lt)}) AND {lc} {neg1}IN ("
+            f"SELECT m.{mk} FROM {PREFIX}{mt} m "
+            f"WHERE ({self.predicate(mt, 'm.', depth=1)}) AND {inner})"
+        )
+
     def query(self) -> str:
         pick = self.r.choices(
             [
@@ -605,8 +718,11 @@ class Gen:
                 self.q_lateral_topk,
                 self.q_using_multiway,
                 self.q_recursive_spine,
+                self.q_setop_compound,
+                self.q_having_subquery,
+                self.q_nested_in_exists,
             ],
-            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
         )[0]
         return pick()
 
@@ -636,9 +752,10 @@ def fuzz_env(spark):
 
 # ----------------------------------------------------------------- tests
 
-#: 200 differential seeds, run in batches so one pytest node failure
-#: names its seed range; bump N_DIFF freely — runtime is ~0.2 s/query.
-N_DIFF = 600
+#: Differential seeds (wave 1: 200, wave 2: 600, wave 3: 800), run in
+#: batches so one pytest node failure names its seed range; bump N_DIFF
+#: freely — runtime is ~0.2 s/query.
+N_DIFF = 800
 BATCH = 25
 
 
