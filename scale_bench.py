@@ -125,8 +125,18 @@ WEAK_SCALE = {
 
 def build_replica(spark, factor: int) -> str:
     out = os.path.join(SCRATCH, f"x{factor}")
-    if os.path.isdir(out):
+    # Completeness check, not bare existence: an ABORTED prior run (the
+    # pre-round-9 TimeoutExpired crash skipped the end-of-run scratch
+    # cleanup) leaves a partial dir, and reusing it fails mid-arm with
+    # PATH_NOT_FOUND after minutes of measurement.  A dir only counts
+    # if every table's parquet is present (with its _SUCCESS marker, so
+    # a kill mid-write of the LAST table doesn't pass either).
+    if all(
+        os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+        for t in SHIFT_COLS
+    ):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     src = os.path.join(SF_BASE, "sf0.1")
     for table, keys in SHIFT_COLS.items():
@@ -185,49 +195,62 @@ def wait_for_calm() -> float:
     return load1
 
 
-def measure_point(measure, trend_hint: float | None = None) -> tuple[float, float]:
-    """Weather-supervised measurement: wait for calm, run `measure()`
-    (returns seconds), and retry once after the next calm window when
-    the point looks CONTAMINATED — the spike arrived mid-measurement
-    (exit loadavg at/past the calm line; the entry gate only sees the
-    start) or, when the caller supplies a calm-ladder trend, the
-    reading blew >1.6x past it (round-9 verdict item #1: q84b's
-    committed weak-scale arm had two points measured under a tenant
-    spike).  The KEPT reading is the lower one, and the recorded load
-    is the weather of THAT run (not the max across both) so the
-    per-point load1 audit trail says whether the kept number is clean.
-    One retry only: a point that is slow in two separate calm windows
-    is slow."""
+def measure_point(
+    measure, trend_hint: float | None = None
+) -> tuple[float, float, bool]:
+    """Weather-supervised measurement (round-9 verdict item #1):
+    wait for calm, run `measure()` (returns seconds), and retry once
+    after the next calm window when the point looks SUSPICIOUS — a hot
+    exit loadavg, or (when the caller supplies a calm-ladder trend) a
+    reading >1.6x past it, as q84b's committed round-8 weak-scale arm
+    had.  Returns (kept seconds, kept run's ENTRY loadavg, contaminated).
+
+    Evidence hierarchy, because exit loadavg alone cannot prove
+    contamination: our OWN measurement drives load1 toward the core
+    count inside its ~60 s EMA window (a 30 s fully-parallel point
+    reads ~13 from pure self-load), so a hot exit is only a RETRY
+    hint.  The decisive signals are (a) the ENTRY gate — sampled while
+    this process is idle, so anything it reads is external — and (b)
+    the trend: a reading that blows the ladder in two separate
+    calm-entry windows while exiting hot is recorded contaminated; one
+    that blows it with a quiet exit is genuinely slow and stays
+    un-excused."""
     load_start = wait_for_calm()
+    contaminated_start = load_start >= CALM_LOAD1  # wait budget exhausted
     t = measure()
-    load_seen = max(load_start, os.getloadavg()[0])
-    contaminated = load_seen >= CALM_LOAD1 or (
+    load_exit = os.getloadavg()[0]
+    suspicious = load_exit >= CALM_LOAD1 or (
         trend_hint is not None and t > 1.6 * trend_hint
     )
-    if contaminated and _WAIT_BUDGET_S[0] > 0:
+    if suspicious and not contaminated_start and _WAIT_BUDGET_S[0] > 0:
         load2 = wait_for_calm()
         t2 = measure()
-        load2 = max(load2, os.getloadavg()[0])
         if t2 <= t:
-            t, load_seen = t2, load2
-    return t, round(load_seen, 1)
+            t, load_start, load_exit = t2, load2, os.getloadavg()[0]
+    blown_twice = trend_hint is not None and t > 1.6 * trend_hint
+    contaminated = contaminated_start or (
+        blown_twice and load_exit >= CALM_LOAD1
+    )
+    return t, round(load_start, 1), contaminated
 
 
-def arm_record(scales, times, loads, exponent, flag) -> dict:
+def arm_record(scales, times, loads, contaminated, exponent, flag) -> dict:
     """Common arm-result shape, with the round-9 insufficient-calm
-    policy: a curve whose super-linear flag rests on points measured
-    at/past the calm line (after the retry budget was spent) is not
-    evidence of a scaling defect — record `insufficient_calm` instead
-    of committing a flagged curve.  A flag raised on all-calm points
-    stands."""
+    policy: a curve whose super-linear flag rests on CONTAMINATED
+    points (entry gate exhausted, or trend blown twice with hot exits
+    — see measure_point) is not evidence of a scaling defect — record
+    `insufficient_calm` instead of committing a flagged curve.  A flag
+    raised on clean points stands; an unflagged curve never carries
+    the marker."""
     rec = {
         "scales": scales,
         "times_sec": times,
         "load1": loads,
+        "contaminated": contaminated,
         "exponent": exponent,
         "flag": flag,
     }
-    if flag and any(l >= CALM_LOAD1 for l in loads):
+    if flag and any(contaminated):
         rec["flag"] = False
         rec["insufficient_calm"] = True
     return rec
@@ -257,9 +280,9 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     for name in FIXTURE_ARM:
-        times, scales, loads = [], [], []
+        times, scales, loads, cont = [], [], [], []
         for sf, rel in FIXTURE_SFS:
-            t, load_seen = measure_point(
+            t, load_seen, bad = measure_point(
                 lambda sf=sf: timed(
                     qs[name].fn, spark, os.path.join(SF_BASE, f"sf{sf}")
                 )
@@ -267,13 +290,14 @@ def main() -> None:
             times.append(round(t, 3))
             scales.append(float(rel))
             loads.append(load_seen)
-            print(f"[fixture] {name} sf{sf}: {t:.2f}s (load {loads[-1]})",
-                  flush=True)
+            cont.append(bad)
+            print(f"[fixture] {name} sf{sf}: {t:.2f}s (load {loads[-1]}"
+                  f"{' CONTAMINATED' if bad else ''})", flush=True)
         e = fit_exponent(scales, times)
         results[name] = {
             "arm": "fixture",
             **arm_record(
-                scales, times, loads,
+                scales, times, loads, cont,
                 round(e, 3) if e is not None else None,
                 bool(e is not None and e > 1.25 and max(times) > 2.0),
             ),
@@ -285,24 +309,25 @@ def main() -> None:
             factors = REPLICA_FACTORS + (
                 [10] if name in X10_QUERIES else []
             )
-            times, scales, loads = [], [], []
+            times, scales, loads, cont = [], [], [], []
             for f in factors:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
-                t, load_seen = measure_point(
+                t, load_seen, bad = measure_point(
                     lambda f=f: timed(qs[name].fn, spark, dirs[f])
                 )
                 times.append(round(t, 3))
                 scales.append(float(f))
                 loads.append(load_seen)
-                print(f"[replica] {name} x{f}: {t:.2f}s (load {loads[-1]})",
-                      flush=True)
+                cont.append(bad)
+                print(f"[replica] {name} x{f}: {t:.2f}s (load {loads[-1]}"
+                      f"{' CONTAMINATED' if bad else ''})", flush=True)
             e = fit_exponent(scales, times)
             key = f"{name}@replica"
             results[key] = {
                 "arm": "replica",
                 **arm_record(
-                    scales, times, loads,
+                    scales, times, loads, cont,
                     round(e, 3) if e is not None else None,
                     bool(e is not None and e > 1.25 and max(times) > 2.0),
                 ),
@@ -312,7 +337,7 @@ def main() -> None:
         import sys as _sys
 
         for name, ladder in WEAK_SCALE.items():
-            times, scales, cores_used, loads = [], [], [], []
+            times, scales, cores_used, loads, cont = [], [], [], [], []
             for f, cores in ladder:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
@@ -360,7 +385,7 @@ def main() -> None:
                 # weak scaling is FLAT when healthy, so the calm-ladder
                 # trend is simply the best point seen so far — a
                 # reading >1.6x past it triggers the one calm retry.
-                t, load_seen = measure_point(
+                t, load_seen, bad = measure_point(
                     _run_weak_point,
                     trend_hint=min(times) if times else None,
                 )
@@ -370,14 +395,16 @@ def main() -> None:
                 scales.append(float(f))
                 cores_used.append(cores)
                 loads.append(load_seen)
+                cont.append(bad)
                 print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s"
-                      f" (load {loads[-1]})", flush=True)
+                      f" (load {loads[-1]}"
+                      f"{' CONTAMINATED' if bad else ''})", flush=True)
             e = fit_exponent(scales, times)  # flat ladder -> e ~ 0
             results[f"{name}@weakscale"] = {
                 "arm": "weakscale (cores proportional to volume, fresh JVM per point)",
                 "cores": cores_used,
                 **arm_record(
-                    scales, times, loads,
+                    scales, times, loads, cont,
                     round(e, 3) if e is not None else None,
                     # weak scaling is FLAT when healthy; >1.6x spread
                     # between extremes = per-core cost grows with scale

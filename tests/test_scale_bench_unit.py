@@ -77,15 +77,25 @@ def test_round9_heavies_in_replica_arm():
 
 
 def test_arm_record_insufficient_calm_policy():
-    """Round-9 verdict item #1: a super-linear flag resting on points
-    measured at/past the calm line (retry budget spent) is recorded as
-    insufficient_calm, never committed as a flagged curve; an all-calm
-    flag stands; an unflagged curve never carries the marker."""
-    from scale_bench import CALM_LOAD1, arm_record
+    """Round-9 verdict item #1: a super-linear flag resting on a
+    CONTAMINATED point (entry gate exhausted, or trend blown twice
+    with hot exits — measure_point's verdict, not raw loadavg) is
+    recorded as insufficient_calm, never committed as a flagged curve;
+    a flag on clean points stands — even if the recorded entry loads
+    ran high, because a high ENTRY load after wait_for_calm already
+    means budget exhaustion and is what sets contaminated; an
+    unflagged curve never carries the marker."""
+    from scale_bench import arm_record
 
-    rec = arm_record([1.0, 2.0], [1.0, 5.0], [2.0, CALM_LOAD1 + 3.0], 2.3, True)
+    rec = arm_record(
+        [1.0, 2.0], [1.0, 5.0], [2.0, 11.0], [False, True], 2.3, True
+    )
     assert rec["flag"] is False and rec["insufficient_calm"] is True
-    rec = arm_record([1.0, 2.0], [1.0, 5.0], [2.0, 3.0], 2.3, True)
+    rec = arm_record(
+        [1.0, 2.0], [1.0, 5.0], [2.0, 3.0], [False, False], 2.3, True
+    )
     assert rec["flag"] is True and "insufficient_calm" not in rec
-    rec = arm_record([1.0, 2.0], [1.0, 2.0], [9.0, 9.0], 1.0, False)
+    rec = arm_record(
+        [1.0, 2.0], [1.0, 2.0], [9.0, 9.0], [True, True], 1.0, False
+    )
     assert rec["flag"] is False and "insufficient_calm" not in rec
