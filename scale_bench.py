@@ -27,6 +27,8 @@ super-linear gets flagged in SCALE_BENCH.json's "flag" field.
 
 Usage:  python scale_bench.py            # writes SCALE_BENCH.json
         SPARK_GRAFT_SCALE_REPLICAS=0 ... # fixture arm only (faster)
+        SPARK_GRAFT_SCALE_ARMS=weakscale # re-measure one arm, merge
+                                         # into existing SCALE_BENCH.json
 
 Wall-clock on this 32-core VM: ~6-8 min including replica builds.
 """
@@ -277,9 +279,23 @@ def main() -> None:
     # warm the JVM/codegen path once so the smallest point isn't all JIT
     spark.read.parquet(os.path.join(SF_BASE, "sf0.001", "lineitem.parquet")).count()
 
+    # SPARK_GRAFT_SCALE_ARMS: comma list of arms to (re)measure
+    # ("fixture,replica,weakscale", default all).  A partial run MERGES
+    # into the existing SCALE_BENCH.json so one arm can be re-measured
+    # (e.g. after a harness fix) without discarding the others' clean
+    # curves.
+    arms = set(
+        os.environ.get(
+            "SPARK_GRAFT_SCALE_ARMS", "fixture,replica,weakscale"
+        ).split(",")
+    )
+    out_path = os.path.join(os.path.dirname(__file__), "SCALE_BENCH.json")
     results: dict[str, dict] = {}
+    if arms != {"fixture", "replica", "weakscale"} and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh).get("results", {})
 
-    for name in FIXTURE_ARM:
+    for name in FIXTURE_ARM if "fixture" in arms else []:
         times, scales, loads, cont = [], [], [], []
         for sf, rel in FIXTURE_SFS:
             t, load_seen, bad = measure_point(
@@ -303,9 +319,15 @@ def main() -> None:
             ),
         }
 
-    if os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "1") != "0":
-        dirs = {f: build_replica(spark, f) for f in REPLICA_FACTORS}
-        for name in REPLICA_ARM:
+    if os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "1") != "0" and (
+        arms & {"replica", "weakscale"}
+    ):
+        dirs = (
+            {f: build_replica(spark, f) for f in REPLICA_FACTORS}
+            if "replica" in arms
+            else {}
+        )
+        for name in REPLICA_ARM if "replica" in arms else []:
             factors = REPLICA_FACTORS + (
                 [10] if name in X10_QUERIES else []
             )
@@ -336,11 +358,24 @@ def main() -> None:
         import subprocess
         import sys as _sys
 
-        for name, ladder in WEAK_SCALE.items():
-            times, scales, cores_used, loads, cont = [], [], [], [], []
+        for name, ladder in (WEAK_SCALE.items() if "weakscale" in arms else []):
+            times, scales, cores_used, heaps, loads, cont = [], [], [], [], [], []
             for f, cores in ladder:
                 if f not in dirs:
                     dirs[f] = build_replica(spark, f)
+                # One UNTIMED warm-up pass, then best-of-3: a fresh
+                # JVM's first runs are dominated by interpreter/C1
+                # execution of the codegen'd operators before C2 kicks
+                # in, and that warm-up cost GROWS with data size (the
+                # first pass chews 5-10x the rows pre-JIT) — measured
+                # per-repeat at x5@16c: 64.8 / 24.7 / 13.7 / 8.9 s,
+                # converging to the x1/x2 steady state.  Round 8-9's
+                # best-of-3-from-cold read that warm-up as super-linear
+                # weak scaling (43-53 s committed points).  Production
+                # executors are long-lived, and the fixture/replica
+                # arms measure memo-warm steady state too (their run 1
+                # builds the graph memo) — warm-up-then-time makes the
+                # weak-scale arm measure the same thing.
                 runner = (
                     "import sys, time\n"
                     f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
@@ -348,6 +383,7 @@ def main() -> None:
                     "from spark_ml_optimization_spark.registry import all_queries\n"
                     "spark = get_spark('weakscale')\n"
                     f"fn = all_queries()[{name!r}].fn\n"
+                    f"fn(spark, {dirs[f]!r}).collect()\n"
                     "best = float('inf')\n"
                     "for _ in range(3):\n"
                     "    t0 = time.time()\n"
@@ -355,7 +391,19 @@ def main() -> None:
                     "    best = min(best, time.time() - t0)\n"
                     "print('WEAK', round(best, 3))\n"
                 )
-                env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores)}
+                # Weak scaling means ALL resources grow with the data —
+                # cores AND memory.  A fixed 48g heap makes memory-per-
+                # data shrink 10x along the ladder, so the top point
+                # conflates GC pressure with per-core cost (measured:
+                # x10@32c read 11.9 s on the fixed heap vs a flat
+                # 5.9-6.4 s ladder below it).  ~4.8 GB per volume unit
+                # ends at the same 48g the fixed-resource arms use.
+                heap_gb = max(5, round(4.8 * f))
+                env = {
+                    **os.environ,
+                    "SPARK_GRAFT_CPUS": str(cores),
+                    "SPARK_DRIVER_MEMORY": f"{heap_gb}g",
+                }
 
                 def _run_weak_point():
                     try:
@@ -394,6 +442,7 @@ def main() -> None:
                 times.append(t)
                 scales.append(float(f))
                 cores_used.append(cores)
+                heaps.append(heap_gb)
                 loads.append(load_seen)
                 cont.append(bad)
                 print(f"[weakscale] {name} x{f}@{cores}c: {t:.2f}s"
@@ -403,6 +452,7 @@ def main() -> None:
             results[f"{name}@weakscale"] = {
                 "arm": "weakscale (cores proportional to volume, fresh JVM per point)",
                 "cores": cores_used,
+                "heap_gb": heaps,
                 **arm_record(
                     scales, times, loads, cont,
                     round(e, 3) if e is not None else None,
@@ -424,7 +474,7 @@ def main() -> None:
         ),
         "results": results,
     }
-    with open(os.path.join(os.path.dirname(__file__), "SCALE_BENCH.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v["exponent"] for k, v in results.items()}))
     spark.stop()

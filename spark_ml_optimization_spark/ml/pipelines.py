@@ -3152,3 +3152,145 @@ def ml46_imputer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat_median").cast("double").alias("feat_median"),
         F.col("feat").isNull().cast("int").alias("was_imputed"),
     )
+
+
+@register(
+    "ml47_glm_gaussian",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS DOUBLE) AS x,
+                   CAST(n_chars AS DOUBLE) AS y
+            FROM documents
+        ),
+        coef AS (
+            SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0,
+                   avg(y) AS ybar, CAST(count(*) AS BIGINT) AS n
+            FROM pts
+        ),
+        resid AS (
+            SELECT c.n, c.b0, c.b1, c.ybar,
+                   p.y - (c.b0 + c.b1 * p.x) AS r,
+                   p.y - c.ybar AS r0
+            FROM pts p CROSS JOIN coef c
+        )
+        SELECT max(n) AS n,
+               round(max(b0), 4) AS intercept,
+               round(max(b1), 4) AS slope,
+               round(sum(r * r), 2) AS deviance,
+               round(sum(r0 * r0), 2) AS null_deviance,
+               round(sum(r * r) / (max(n) - 2), 4) AS dispersion
+        FROM resid
+    """,
+    doc="GeneralizedLinearRegression, gaussian family / identity link "
+    "(round-9; the estimator the round-8 verdict listed behind "
+    "Imputer), HASH-VERIFIED: for gaussian+identity the IRLS weights "
+    "are constant, so the fit is the exact normal-equation least-"
+    "squares solution and the single-predictor coefficients equal "
+    "regr_slope/regr_intercept closed-form — the GLM summary surface "
+    "(deviance, null deviance, dispersion = deviance/(n-rank)) "
+    "reduces to residual aggregates the oracle computes relationally "
+    "(ml32's regr_* parity pattern extended from metrics to the "
+    "FITTED MODEL itself).  Rounding at 4/2 dp absorbs summation-"
+    "order noise in the O(1e8) residual sums.  Scale: each IRLS "
+    "iteration is one treeAggregate of a 3x3 normal-equation block — "
+    "constant-width shuffle regardless of row count; scoring is "
+    "map-side expression work.",
+)
+def ml47_glm_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("double")
+        .alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    data = VectorAssembler(inputCols=["x"], outputCol="features").transform(pts)
+    model = GeneralizedLinearRegression(
+        family="gaussian", link="identity", labelCol="y", regParam=0.0
+    ).fit(data)
+    s = model.summary
+    row = [
+        (
+            int(s.numInstances),
+            round(float(model.intercept), 4),
+            round(float(model.coefficients[0]), 4),
+            round(float(s.deviance), 2),
+            round(float(s.nullDeviance), 2),
+            round(float(s.dispersion), 4),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        schema="n bigint, intercept double, slope double, deviance double,"
+        " null_deviance double, dispersion double",
+    )
+
+
+@register(
+    "ml48_rformula_features",
+    oracle="""
+        WITH langs AS (
+            SELECT lang,
+                   row_number() OVER (ORDER BY count(*) DESC, lang ASC) - 1
+                       AS idx
+            FROM documents GROUP BY lang
+        ),
+        nl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM langs),
+        toks AS (
+            SELECT doc_id, lang, n_chars,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS tok
+            FROM documents
+        )
+        SELECT t.doc_id,
+               array_to_string(
+                   list_transform(range(0, CAST(nl.n_langs AS INT) - 1),
+                                  j -> CASE WHEN l.idx = j THEN '1'
+                                            ELSE '0' END),
+                   ',') || ',' || CAST(t.tok AS VARCHAR) AS features,
+               CAST(t.n_chars AS DOUBLE) AS label
+        FROM toks t JOIN langs l USING (lang) CROSS JOIN nl
+    """,
+    doc="RFormula feature stage ('n_chars ~ lang + tok'), HASH-VERIFIED "
+    "per row: the R-style formula compiles to StringIndexer(frequency"
+    "Desc, alphabetic tiebreak) -> OneHotEncoder(dropLast) -> "
+    "VectorAssembler + label passthrough, and every step of that "
+    "lowering is deterministic, so the oracle REBUILDS the exact "
+    "encoding relationally — lang index = rank by (count DESC, lang "
+    "ASC), one-hot width = n_langs - 1 (last dropped), then the "
+    "numeric term appended in formula order.  The emitted vector is "
+    "integer-valued by construction (indicators + a token count), so "
+    "the string wire format is exact, no rounding.  Scale: the fit is "
+    "one lang-frequency aggregate (bounded alphabet); transform is "
+    "map-side with the tiny index map broadcast — the standard way a "
+    "100 TB feature pipeline one-hots low-cardinality columns.",
+)
+def ml48_rformula_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import RFormula
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    rf = RFormula(
+        formula="n_chars ~ lang + tok",
+        featuresCol="features_vec",
+        labelCol="label",
+    ).fit(docs)
+    return rf.transform(docs).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                vector_to_array("features_vec"),
+                lambda v: v.cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+        "label",
+    )

@@ -37,6 +37,7 @@ _MODULES = (
     "spark_ml_optimization_spark.operators.scalar_funcs",
     "spark_ml_optimization_spark.operators.events",
     "spark_ml_optimization_spark.operators.dedup",
+    "spark_ml_optimization_spark.operators.motif",
     "spark_ml_optimization_spark.operators.text",
     "spark_ml_optimization_spark.operators.curation",
     "spark_ml_optimization_spark.operators.bpe",

@@ -49,3 +49,41 @@ def test_triangle_count_star_graph_is_zero_not_null(tmp_path, spark):
     assert r["n_triangles"] == 0  # was NULL before the coalesce
     assert r["n_nodes"] == 4 and r["n_edges"] == 3 and r["n_wedges"] == 3
     assert r["global_clustering"] == 0.0
+
+
+def _toy_edges(spark):
+    # 1->2, 2->3, 1->3 (closed triad) and 3->4 (dangling)
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+
+
+def test_motif_find_unification_and_negation(spark):
+    from spark_ml_optimization_spark.operators.motif import motif_find
+
+    e = _toy_edges(spark)
+    closed = motif_find(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    assert sorted(closed.columns) == ["a", "b", "c"]
+    assert [tuple(r) for r in closed.collect()] == [(1, 2, 3)]
+    open_t = motif_find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    got = sorted(tuple(r) for r in open_t.collect())
+    # wedges: (1,2,3) closed; (2,3,4) and (1,3,4) open
+    assert got == [(1, 3, 4), (2, 3, 4)]
+    # repeated variable unifies: self-loop pattern matches nothing here
+    assert motif_find(e, "(a)-[]->(a)").count() == 0
+
+
+def test_motif_find_rejects_bad_patterns(spark):
+    import pytest
+
+    from spark_ml_optimization_spark.operators.motif import motif_find
+
+    e = _toy_edges(spark)
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_find(e, "(a)-[]->(b); (c)-[]->(d)")
+    with pytest.raises(ValueError, match="unbound"):
+        motif_find(e, "(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="unparseable"):
+        motif_find(e, "(a)-[e]->(b")
+    with pytest.raises(ValueError, match="positive"):
+        motif_find(e, "!(a)-[]->(b)")

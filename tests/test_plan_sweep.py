@@ -62,6 +62,9 @@ _EAGER_NAMES = {
     "ml35b_lda_top_terms",  # same fit; describeTopics at construction
     "ml45_prefixspan_sequences",  # PrefixSpan mining job at construction
     "ml46_imputer_stage",  # two Imputer fits (agg + approxQuantile) at construction
+    "ml47_glm_gaussian",  # GLM IRLS fit + summary aggregates at construction
+    "ml48_rformula_features",  # RFormula (StringIndexer) fit at construction
+    "q84k_motif_triads",  # builds the strong co-purchase edge checkpoint
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
     "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions
     "q37e_write_audit_publish",  # stages/audits/publishes parquet at construction

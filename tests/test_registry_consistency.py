@@ -68,7 +68,7 @@ def test_registry_size_pinned():
     )
 
     expected = (
-        524
+        527
         + (1 if avro_connector_available() else 0)
         + (1 if transform_with_state_available() else 0)
     )
@@ -108,5 +108,12 @@ def test_survey_status_block_matches_registry():
     committed = (REPO / "SURVEY.md").read_text()
     assert patched_survey(committed, survey_status_block()) == committed, (
         "SURVEY.md §2 status block drifted from the registry — run "
+        "`python tools/gen_coverage.py`"
+    )
+    from tools.gen_coverage import patched_readme
+
+    readme = (REPO / "README.md").read_text()
+    assert patched_readme(readme) == readme, (
+        "README.md count header drifted from the registry — run "
         "`python tools/gen_coverage.py`"
     )
