@@ -187,6 +187,21 @@ SCALE_SENSITIVE = [
     # class boundaries (ABC shares, CV cutoffs) move with volume — the
     # X/Y/Z split is only meaningful under sf0.1 weekly demand density.
     "qa47_abc_xyz_matrix",
+    # round-9 additions: ml46's approxQuantile-median plateau margin is
+    # scale-coupled (plateau width ~100 rows at sf0.01 vs ~1000 at
+    # sf0.1 — the cross-engine-exactness claim must hold where n, and
+    # the GK rank-error window, are 10x); ml45's subsequence supports
+    # and the ceil-threshold row set shift with user/event density;
+    # q84k rides the strong-graph substrate like q84g/h/i (wedge and
+    # closing-edge density are co-purchase-coupled); ml47's rounding
+    # margins sit on 10x-larger residual sums; ml48's one-hot index
+    # order depends on the sf0.1 lang-frequency ranking (a tie at one
+    # scale and not another would surface here).
+    "ml45_prefixspan_sequences",
+    "ml46_imputer_stage",
+    "ml47_glm_gaussian",
+    "ml48_rformula_features",
+    "q84k_motif_triads",
 ]
 
 TABLES = (
