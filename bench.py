@@ -315,6 +315,16 @@ def main() -> int:
         "qc14_paragraph_dedup": 0.834,
         "qp1_training_data_pipeline": 0.419,
     }
+    # Test-only knob (tests/test_bench_gate.py): scaling the pinned
+    # reference values down forces the ratio past the alarm line so the
+    # alarm path (standalone basket re-measure + sidecar block) can be
+    # exercised end-to-end on a cheap subset run without waiting for a
+    # genuinely degraded round.  Defaults to 1 (no effect); recorded
+    # via the scaled headline_ref in the sidecar.
+    _ref_scale = float(os.environ.get("BENCH_RATIO_REF_SCALE", "1"))
+    if _ref_scale != 1.0:
+        HEADLINE_REF = {n: v * _ref_scale for n, v in HEADLINE_REF.items()}
+
     _hl_common = [n for n in HEADLINE_REF if n in timings]
     if _hl_common:
         headline_ratio = round(

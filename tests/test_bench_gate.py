@@ -175,3 +175,49 @@ def test_ratio_alarm_invariant_synthetic():
 def test_bench_recorded_no_failures():
     detail = _load()
     assert not detail["failures"], detail["failures"]
+
+
+def test_ratio_alarm_path_end_to_end(tmp_path):
+    """Execute the alarm path for real (round-9): a subset bench with
+    the pinned references scaled down 100x must cross the 1.4 line,
+    run the standalone best-of-3 basket re-measure, and land the full
+    ratio_alarm block in the subset sidecar with the capped gate
+    ratio.  Uses cheap non-streaming headline queries at sf0.001 so
+    the whole subprocess stays under ~2 min; the knob only rescales
+    the reference epoch, so every line of the alarm machinery that a
+    genuinely degraded round would hit runs here."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parent.parent
+    subset = "q01_pricing_summary,q40_topk_per_group,q70_exact_dedup,qc14_paragraph_dedup,qp1_training_data_pipeline"
+    env = {
+        **os.environ,
+        "BENCH_QUERIES": subset,
+        "BENCH_RATIO_REF_SCALE": "0.01",
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "8",
+    }
+    proc = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    sidecar = json.loads((repo / "BENCH_DETAIL_SUBSET.json").read_text())
+    budget = sidecar["budget"]
+    assert budget["headline_ratio"] > 1.4, budget["headline_ratio"]
+    alarm = budget["ratio_alarm"]
+    assert alarm and alarm["triggered_at"] > 1.4
+    assert set(alarm["headline_insuite"]) == set(alarm["headline_standalone"])
+    assert alarm["headline_standalone"], "standalone re-measure empty"
+    # min-substitution: final timings can never exceed the in-suite read
+    for n, t in alarm["headline_standalone"].items():
+        assert sidecar["queries"][n] <= alarm["headline_insuite"][n] + 1e-9
+    # the gate ratio is capped even though the raw ratio is huge
+    assert budget["gate_ratio"] == min(
+        budget["headline_ratio"], budget["ratio_cap"]
+    )
+    assert budget["gate_ratio"] <= 4.0
+    assert _alarm_invariant_ok(budget)
