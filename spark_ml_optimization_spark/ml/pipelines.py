@@ -3294,3 +3294,78 @@ def ml48_rformula_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
         "label",
     )
+
+
+@register(
+    "ml48b_rformula_interaction",
+    oracle="""
+        WITH langs AS (
+            SELECT lang,
+                   row_number() OVER (ORDER BY count(*) DESC, lang ASC) - 1
+                       AS idx
+            FROM documents GROUP BY lang
+        ),
+        nl AS (SELECT CAST(count(*) AS INT) AS n_langs FROM langs),
+        toks AS (
+            SELECT doc_id, lang, n_chars,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS tok
+            FROM documents
+        )
+        SELECT t.doc_id,
+               array_to_string(
+                   list_transform(range(0, nl.n_langs - 1),
+                                  j -> CASE WHEN l.idx = j THEN '1'
+                                            ELSE '0' END),
+                   ',')
+               || ',' || CAST(t.tok AS VARCHAR) || ','
+               || array_to_string(
+                   list_transform(range(0, nl.n_langs),
+                                  j -> CASE WHEN l.idx = j
+                                            THEN CAST(t.tok AS VARCHAR)
+                                            ELSE '0' END),
+                   ',') AS features,
+               CAST(t.n_chars AS DOUBLE) AS label
+        FROM toks t JOIN langs l USING (lang) CROSS JOIN nl
+    """,
+    doc="RFormula INTERACTION operator ('n_chars ~ lang + tok + "
+    "lang:tok'), HASH-VERIFIED per row — completes the formula DSL "
+    "beyond ml48's additive terms: the ':' interaction of a "
+    "categorical with a numeric compiles to the Interaction "
+    "transformer over the FULL k-level dummy coding (probed and "
+    "pinned: main effect keeps dropLast k-1 slots, interaction keeps "
+    "all k), so the layout is [onehot_{k-1}(lang), tok, "
+    "onehot_k(lang)*tok] in formula order.  The oracle rebuilds that "
+    "exact wire: frequency-desc/alphabetic lang rank, k-1 indicator "
+    "slots, the raw count, then k per-lang token-count products — "
+    "all integer-valued, exact, no rounding.  Scale: identical to "
+    "ml48 (one bounded-alphabet frequency aggregate, map-side "
+    "transform with the broadcast index map); the interaction adds "
+    "zero shuffles.",
+)
+def ml48b_rformula_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import RFormula
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    rf = RFormula(
+        formula="n_chars ~ lang + tok + lang:tok",
+        featuresCol="features_vec",
+        labelCol="label",
+    ).fit(docs)
+    return rf.transform(docs).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                vector_to_array("features_vec"),
+                lambda v: v.cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+        "label",
+    )

@@ -64,6 +64,7 @@ _EAGER_NAMES = {
     "ml46_imputer_stage",  # two Imputer fits (agg + approxQuantile) at construction
     "ml47_glm_gaussian",  # GLM IRLS fit + summary aggregates at construction
     "ml48_rformula_features",  # RFormula (StringIndexer) fit at construction
+    "ml48b_rformula_interaction",  # RFormula fit at construction
     "q84k_motif_triads",  # builds the strong co-purchase edge checkpoint
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
     "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions

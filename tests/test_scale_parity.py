@@ -201,6 +201,7 @@ SCALE_SENSITIVE = [
     "ml46_imputer_stage",
     "ml47_glm_gaussian",
     "ml48_rformula_features",
+    "ml48b_rformula_interaction",
     "q84k_motif_triads",
 ]
 
