@@ -78,6 +78,9 @@ FIXTURE_ARM = [
     "q72f_banding_tradeoff",
     "qc56_containment_dedup",
     "qp10_eval_set_pipeline",
+    # round-10: PPMI wedge join's cost tracks co-purchase graph density
+    # (capped-degree contexts), a content property — fixture arm.
+    "q84l_distributional_similarity",
 ]
 FIXTURE_SFS = [("0.001", 1), ("0.01", 10), ("0.1", 100)]
 
@@ -99,6 +102,13 @@ REPLICA_ARM = [
     "q22b_percentile_within_group",
     "ml34_bootstrap_auc_ci",
     "q65b_asof_tolerance",
+    # round-10 additions: the white-box quantile digest's only
+    # full-data pass is the 16-shard partitioned rank (volume-coupled;
+    # the merged summary is O(1)), and ml49's QuantileDiscretizer fit
+    # is one mergeable-GK approxQuantile pass — both must show the
+    # flat-overhead-plus-linear shape their docstrings claim.
+    "q28e_mergeable_quantile_digest",
+    "ml49_quantile_discretizer",
 ]
 REPLICA_FACTORS = [1, 2, 5]
 
@@ -224,26 +234,44 @@ def measure_point(
     suspicious = load_exit >= CALM_LOAD1 or (
         trend_hint is not None and t > 1.6 * trend_hint
     )
+    retried = False
     if suspicious and not contaminated_start and _WAIT_BUDGET_S[0] > 0:
+        retried = True
         load2 = wait_for_calm()
         t2 = measure()
         if t2 <= t:
             t, load_start, load_exit = t2, load2, os.getloadavg()[0]
-    blown_twice = trend_hint is not None and t > 1.6 * trend_hint
+    # "Blown twice" requires two calm-window measurements to BOTH exceed
+    # the trend (the kept value is the min, so if it still blows after a
+    # retry, both readings did).  When the retry never ran — wait budget
+    # exhausted mid-arm with a calm entry — one reading is not evidence
+    # of contamination under the documented two-window policy, so the
+    # point stays un-excused (round-9 advice #4).
+    blown_twice = retried and trend_hint is not None and t > 1.6 * trend_hint
     contaminated = contaminated_start or (
         blown_twice and load_exit >= CALM_LOAD1
     )
     return t, round(load_start, 1), contaminated
 
 
-def arm_record(scales, times, loads, contaminated, exponent, flag) -> dict:
+def arm_record(
+    scales, times, loads, contaminated, exponent, flag, flag_fn=None
+) -> dict:
     """Common arm-result shape, with the round-9 insufficient-calm
     policy: a curve whose super-linear flag rests on CONTAMINATED
     points (entry gate exhausted, or trend blown twice with hot exits
     — see measure_point) is not evidence of a scaling defect — record
     `insufficient_calm` instead of committing a flagged curve.  A flag
     raised on clean points stands; an unflagged curve never carries
-    the marker."""
+    the marker.
+
+    `flag_fn(scales, times) -> bool` recomputes the arm's flag on an
+    arbitrary subset.  When a flag fires on a mixed curve, it is
+    re-evaluated on the CLEAN points only (round-9 advice #1: a clean
+    slow extreme must not be excused by an unrelated contaminated
+    mid-curve point): if the clean subset alone still flags, the flag
+    stands and the record says so; only a flag that VANISHES without
+    the contaminated points is downgraded to insufficient_calm."""
     rec = {
         "scales": scales,
         "times_sec": times,
@@ -253,8 +281,19 @@ def arm_record(scales, times, loads, contaminated, exponent, flag) -> dict:
         "flag": flag,
     }
     if flag and any(contaminated):
-        rec["flag"] = False
-        rec["insufficient_calm"] = True
+        clean = [i for i, c in enumerate(contaminated) if not c]
+        clean_flag = None
+        if flag_fn is not None and len(clean) >= 2:
+            clean_flag = bool(
+                flag_fn(
+                    [scales[i] for i in clean], [times[i] for i in clean]
+                )
+            )
+        if clean_flag:
+            rec["flag_on_clean_points_only"] = True  # flag stands
+        else:
+            rec["flag"] = False
+            rec["insufficient_calm"] = True
     return rec
 
 
@@ -271,6 +310,19 @@ def fit_exponent(scales: list[float], times: list[float]) -> float | None:
     if den == 0:
         return None
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+
+
+def fitted_curve_flag(scales: list[float], times: list[float]) -> bool:
+    """Flag rule for the fixture/replica fitted-exponent arms, as a
+    subset-recomputable predicate (arm_record's clean-points check)."""
+    e = fit_exponent(scales, times)
+    return bool(e is not None and e > 1.25 and max(times) > 2.0)
+
+
+def weak_spread_flag(scales: list[float], times: list[float]) -> bool:
+    """Flag rule for the weak-scaling arms: flat when healthy, so a
+    >1.6x spread between the extremes means per-core cost grows."""
+    return bool(times and max(times) > 1.6 * max(min(times), 1e-3))
 
 
 def main() -> None:
@@ -315,7 +367,8 @@ def main() -> None:
             **arm_record(
                 scales, times, loads, cont,
                 round(e, 3) if e is not None else None,
-                bool(e is not None and e > 1.25 and max(times) > 2.0),
+                fitted_curve_flag(scales, times),
+                flag_fn=fitted_curve_flag,
             ),
         }
 
@@ -351,7 +404,8 @@ def main() -> None:
                 **arm_record(
                     scales, times, loads, cont,
                     round(e, 3) if e is not None else None,
-                    bool(e is not None and e > 1.25 and max(times) > 2.0),
+                    fitted_curve_flag(scales, times),
+                    flag_fn=fitted_curve_flag,
                 ),
             }
 
@@ -458,10 +512,8 @@ def main() -> None:
                     round(e, 3) if e is not None else None,
                     # weak scaling is FLAT when healthy; >1.6x spread
                     # between extremes = per-core cost grows with scale
-                    bool(
-                        times
-                        and max(times) > 1.6 * max(min(times), 1e-3)
-                    ),
+                    weak_spread_flag(scales, times),
+                    flag_fn=weak_spread_flag,
                 ),
             }
         shutil.rmtree(SCRATCH, ignore_errors=True)

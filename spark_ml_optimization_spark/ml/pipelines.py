@@ -1234,8 +1234,8 @@ def ml25_custom_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary semantics included) against SQL — the boundary-rule "
     "regression a version bump would silently introduce is exactly "
     "what the hash catches.  Fitted-split discretization "
-    "(QuantileDiscretizer) stays rows-only by design: Spark's exact-"
-    "rank and SQL interpolated quantiles differ at boundary elements.",
+    "(QuantileDiscretizer) is hash-verified separately in ml49 via "
+    "the plateau-interior rank argument.",
 )
 def ml26_bucketizer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import Bucketizer
@@ -3368,4 +3368,86 @@ def ml48b_rformula_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features"),
         "label",
+    )
+
+
+#: ml49: 7 buckets over the 50-plateau l_quantity column.  7 is chosen
+#: so no target quantile j/7 is a multiple of 1/50 — every fitted split
+#: rank lands DEEP INSIDE an integer plateau (>=170 ranks from the
+#: nearest edge at sf0.001), so Spark's exact-GK rank convention and
+#: the oracle's ceil-gate percentile_disc pick the SAME integer value
+#: regardless of their off-by-one conventions (the ml46 median trick,
+#: generalized to a full split vector).
+_QDISC_BUCKETS = 7
+
+
+@register(
+    "ml49_quantile_discretizer",
+    oracle=f"""
+        WITH q AS (SELECT l_quantity AS qty FROM lineitem),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        pv AS (SELECT qty, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY qty),
+        cum AS (SELECT qty, c, sum(c) OVER (ORDER BY qty) AS cum FROM pv),
+        js AS (SELECT unnest(generate_series(1, {_QDISC_BUCKETS - 1}))
+                   AS j),
+        th AS (
+            SELECT j.j,
+                   min(CASE WHEN {_QDISC_BUCKETS} * c.cum >= j.j * n.n
+                            THEN c.qty END) AS t
+            FROM js j CROSS JOIN n CROSS JOIN cum c
+            GROUP BY j.j
+        ),
+        bv AS (
+            SELECT pv.qty, pv.c,
+                   CAST((SELECT count(*) FROM th WHERE pv.qty >= th.t)
+                        AS INTEGER) AS bucket
+            FROM pv
+        )
+        SELECT bucket,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               round(min(qty), 1) AS min_qty,
+               round(max(qty), 1) AS max_qty
+        FROM bv GROUP BY bucket
+    """,
+    doc=f"MLlib QuantileDiscretizer, HASH-VERIFIED — the fitted-split "
+    "discretization stage ml26's note left rows-only ('Spark's exact-"
+    "rank and SQL interpolated quantiles differ at boundary "
+    "elements'), made cross-engine-exact the ml46 way: "
+    f"{_QDISC_BUCKETS} buckets over l_quantity, whose 50 integer "
+    f"plateaus never align with a j/{_QDISC_BUCKETS} target rank "
+    f"(j/{_QDISC_BUCKETS} = k/50 has no integer solution), so every "
+    "split rank falls plateau-INTERIOR and any off-by-one rank "
+    "convention — Spark's exact Greenwald-Khanna at relativeError=0 "
+    "vs the oracle's ceil-gate percentile_disc — returns the same "
+    "integer split value.  The hash then pins the full fitted-split "
+    "vector AND Bucketizer's left-closed right-open assignment "
+    "(bucket = #{{splits <= x}}) through per-bucket counts and "
+    "min/max.  Scale: the fit is one approxQuantile pass (mergeable "
+    "GK summaries per partition), the transform is pure codegen "
+    "expression work.",
+)
+def ml49_quantile_discretizer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.ml.feature import QuantileDiscretizer
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty")
+    )
+    qd = QuantileDiscretizer(
+        numBuckets=_QDISC_BUCKETS,
+        inputCol="qty",
+        outputCol="bucket",
+        relativeError=0.0,
+    )
+    model = qd.fit(li)
+    return (
+        model.transform(li)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("qty"), 1).alias("min_qty"),
+            F.round(F.max("qty"), 1).alias("max_qty"),
+        )
     )

@@ -2975,3 +2975,184 @@ def qc58_cluster_transitivity_audit(
         F.round(F.min(F.col("nc") * 1.0 / union), 6).alias("min_jaccard"),
         (F.max(weak) == 1).alias("false_merge"),
     )
+
+
+#: q84l geometry: PMI floored to whole BITS (a 40-step comparison
+#: ladder over milli-lift — integer-exact floor(log2 lift), no
+#: transcendental), hub contexts above this degree skipped (their
+#: near-uniform lift carries no signal and their wedge cost is deg^2).
+_PPMI_BITS = 40
+_PPMI_HUB = 64
+_PPMI_TOPK = 20
+
+
+def _pmi_bits_sql(lift_milli: str) -> str:
+    """floor(log2(lift)) for lift = lift_milli/1000, as a fixed integer
+    comparison ladder — m = #{{j in 1..40 : lift_milli >= 1000*2^j}}.
+    Pure BIGINT comparisons, so Spark and DuckDB agree bit-for-bit."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {lift_milli} >= {1000 * 2 ** j} THEN 1 ELSE 0 END)"
+        for j in range(1, _PPMI_BITS + 1)
+    ) + ")"
+
+
+@register(
+    "q84l_distributional_similarity",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        ),
+        ew AS (
+            SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+            FROM items a
+            JOIN items b ON a.k = b.k AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT pa AS node, pb AS ctx, c FROM ew
+            UNION ALL SELECT pb, pa, c FROM ew
+        ),
+        marg AS (
+            SELECT node, CAST(sum(c) AS BIGINT) AS r FROM sym GROUP BY node
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sym),
+        lifted AS (
+            SELECT s.node, s.ctx,
+                   (s.c * t.t * 1000) // (mn.r * mc.r) AS lift_milli
+            FROM sym s
+            JOIN marg mn ON mn.node = s.node
+            JOIN marg mc ON mc.node = s.ctx
+            CROSS JOIN tot t
+        ),
+        vec AS (
+            SELECT node, ctx, {_pmi_bits_sql('lift_milli')} AS m
+            FROM lifted
+            WHERE lift_milli >= 2000
+        ),
+        ctxdeg AS (
+            SELECT ctx FROM vec GROUP BY ctx
+            HAVING count(*) <= {_PPMI_HUB}
+        ),
+        v AS (SELECT vec.* FROM vec JOIN ctxdeg USING (ctx)),
+        nsq AS (
+            SELECT node, CAST(sum(m * m) AS BIGINT) AS nsq
+            FROM v GROUP BY node
+        ),
+        cand AS (
+            SELECT va.node AS pa, vb.node AS pb,
+                   CAST(count(*) AS BIGINT) AS n_shared_ctx,
+                   CAST(sum(va.m * vb.m) AS BIGINT) AS dot
+            FROM v va
+            JOIN v vb ON va.ctx = vb.ctx AND va.node < vb.node
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ew
+                WHERE ew.pa = va.node AND ew.pb = vb.node)
+            GROUP BY 1, 2
+        )
+        SELECT pa, pb, n_shared_ctx, dot,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.nsq AS DOUBLE))
+                        * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+        FROM cand
+        JOIN nsq na ON na.node = cand.pa
+        JOIN nsq nb ON nb.node = cand.pb
+        ORDER BY dot DESC, pa, pb
+        LIMIT {_PPMI_TOPK}
+    """,
+    doc="DISTRIBUTIONAL similarity over the strong co-purchase graph — "
+    "the graph-embedding-lite substitute finder (Levy & Goldberg 2014: "
+    "PPMI context vectors are the closed-form skip-gram): each part's "
+    "embedding is its positive-PMI context profile, with PMI floored "
+    "to whole BITS — lift = c*T/(r_a*r_c) in exact BIGINT milli-units, "
+    "then m = floor(log2 lift) via a fixed 40-step comparison ladder, "
+    "so no transcendental ever enters a comparison and both engines "
+    "agree bit-for-bit — and two parts are similar when their "
+    "context PROFILES agree even if they are never co-purchased — the "
+    "anti-join keeps only non-adjacent pairs, i.e. genuine substitute "
+    "candidates rather than complements.  Candidates enumerate via the "
+    "shared-context self-join (q84h's wedge shape) with a degree cap "
+    f"on hub contexts (> {_PPMI_HUB} skipped — their near-uniform lift "
+    "carries no signal and their wedge cost is deg^2); ranking is by "
+    "the exact BIGINT dot product (tie-broken pa, pb), with the double "
+    "cosine attached for interpretation only — sqrt and one division "
+    "are IEEE-correctly-rounded from exact integers, so the oracle "
+    "reproduces it bit-for-bit.  Scale: milli-lift weights shuffle "
+    "once keyed by context, wedge volume is capped-degree-bounded, "
+    "and the top-20 is a TakeOrdered — never a global sort.",
+)
+def q84l_distributional_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ew = _copurchase_counted(spark, sf_dir).filter(F.col("c") >= 2)
+    sym = ew.select(
+        F.col("pa").alias("node"), F.col("pb").alias("ctx"), "c"
+    ).unionAll(ew.select(F.col("pb"), F.col("pa"), "c"))
+    marg = sym.groupBy("node").agg(F.sum("c").cast("long").alias("r"))
+    tot = sym.agg(F.sum("c").cast("long").alias("t"))
+    lifted = (
+        sym.join(marg.withColumnRenamed("r", "r_node"), "node")
+        .join(
+            marg.select(
+                F.col("node").alias("ctx"), F.col("r").alias("r_ctx")
+            ),
+            "ctx",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "ctx",
+            F.expr("(c * t * 1000) div (r_node * r_ctx)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+    vec = lifted.filter(F.col("lift_milli") >= 2000).select(
+        "node", "ctx", F.expr(_pmi_bits_sql("lift_milli")).alias("m")
+    )
+    ctxdeg = vec.groupBy("ctx").count().filter(
+        F.col("count") <= _PPMI_HUB
+    ).select("ctx")
+    v = vec.join(ctxdeg, "ctx")
+    nsq = v.groupBy("node").agg(F.sum(F.col("m") * F.col("m")).cast("long").alias("nsq"))
+    va = v.select(F.col("ctx"), F.col("node").alias("pa"), F.col("m").alias("ma"))
+    vb = v.select(F.col("ctx"), F.col("node").alias("pb"), F.col("m").alias("mb"))
+    cand = (
+        va.join(vb, "ctx")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(
+            ew.select("pa", "pb"),
+            ["pa", "pb"],
+            "left_anti",
+        )
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_ctx"),
+            F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"),
+        )
+    )
+    return (
+        cand.join(
+            nsq.select(F.col("node").alias("pa"), F.col("nsq").alias("na")),
+            "pa",
+        )
+        .join(
+            nsq.select(F.col("node").alias("pb"), F.col("nsq").alias("nb")),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "n_shared_ctx",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("dot").desc(), "pa", "pb")
+        .limit(_PPMI_TOPK)
+    )

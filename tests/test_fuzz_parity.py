@@ -698,6 +698,84 @@ class Gen:
             f"WHERE ({self.predicate(mt, 'm.', depth=1)}) AND {inner})"
         )
 
+    # -- round-10 wave-4 templates ---------------------------------------
+
+    def q_cte_chain(self) -> str:
+        """Chained CTEs where each layer reads the previous and the
+        FINAL select references the first layer AGAIN (a join of a
+        against its own downstream) — exercises CTE dedup/inlining
+        decisions (Spark may inline or reuse-exchange; DuckDB
+        materializes) that were untemplated: every prior template
+        referenced each relation exactly once."""
+        t = self.r.choice(FUZZ_TABLES)
+        key = self._group_key(t)
+        k = self.r.randint(2, 9)
+        return (
+            f"WITH a AS ("
+            f"SELECT {key} AS g, count(*) AS cnt, "
+            f"CAST(sum({self.r.choice(META[t][0])} % {k}) AS BIGINT) AS s "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} GROUP BY 1"
+            f"), b AS ("
+            f"SELECT g, cnt, s FROM a WHERE cnt > {self.r.randint(0, 3)}"
+            f") "
+            f"SELECT a.g AS g, a.cnt AS cnt_all, "
+            f"coalesce(b.s, {self.r.randint(-5, 5)}) AS s_kept "
+            f"FROM a LEFT JOIN b ON b.g = a.g"
+        )
+
+    def q_expr_nest(self) -> str:
+        """Deeply nested scalar expressions — CASE inside COALESCE
+        inside GREATEST/LEAST with nullif-planted NULLs and a FOLDABLE
+        constant branch — summed to one BIGINT per group, so the
+        differential pins null-propagation and constant-folding
+        through the whole expression tree (dialect-shared subset: no
+        division, integer % only)."""
+        t = self.r.choice(FUZZ_TABLES)
+        ints = META[t][0]
+        c1, c2 = self.r.choice(ints), self.r.choice(ints)
+        k1, k2 = self.r.randint(2, 9), self.r.randint(2, 9)
+        fold = self.r.randint(1, 4) * self.r.randint(1, 4)  # constant
+        inner = (
+            f"CASE WHEN {self.predicate(t, depth=2)} "
+            f"THEN nullif({c1} % {k1}, {self.r.randint(0, k1 - 1)}) "
+            f"ELSE abs(({c2} % {k2}) - {self.r.randint(0, 3)}) END"
+        )
+        expr = (
+            f"{self.r.choice(['greatest', 'least'])}("
+            f"coalesce({inner}, {self.r.randint(-3, 3)}), "
+            f"({fold} % {self.r.randint(2, 5)}) - 1)"
+        )
+        key = self._group_key(t)
+        return (
+            f"SELECT {key} AS g, count(*) AS cnt, "
+            f"CAST(sum({expr}) AS BIGINT) AS s "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} GROUP BY 1"
+        )
+
+    def q_date_bucket(self) -> str:
+        """Calendar-bucket aggregation: GROUP BY a seed-chosen
+        composition of year/quarter/month/day parts with date
+        predicates and a conditionally-counted part — the
+        date-function parity area beyond the single year()/month()
+        predicate atom (both engines share these extractors on
+        DATE/TIMESTAMP)."""
+        t = self.r.choice([x for x in FUZZ_TABLES if META[x][3]])
+        col = self.r.choice(META[t][3])
+        parts = self.r.sample(["year", "quarter", "month", "day"],
+                              self.r.randint(1, 2))
+        keys = [f"{p}({col})" for p in parts]
+        key_sql = ", ".join(keys)
+        alias = ", ".join(f"{k} AS g{i}" for i, k in enumerate(keys))
+        m = self.r.randint(2, 11)
+        return (
+            f"SELECT {alias}, count(*) AS cnt, "
+            f"CAST(sum(CASE WHEN month({col}) >= {m} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS late, "
+            f"min(year({col})) AS y0 "
+            f"FROM {PREFIX}{t} WHERE {self.predicate(t)} "
+            f"GROUP BY {key_sql}"
+        )
+
     def query(self) -> str:
         pick = self.r.choices(
             [
@@ -721,8 +799,12 @@ class Gen:
                 self.q_setop_compound,
                 self.q_having_subquery,
                 self.q_nested_in_exists,
+                self.q_cte_chain,
+                self.q_expr_nest,
+                self.q_date_bucket,
             ],
-            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+            weights=[2, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+                     2, 2, 2, 2],
         )[0]
         return pick()
 
@@ -752,10 +834,10 @@ def fuzz_env(spark):
 
 # ----------------------------------------------------------------- tests
 
-#: Differential seeds (wave 1: 200, wave 2: 600, wave 3: 800), run in
-#: batches so one pytest node failure names its seed range; bump N_DIFF
-#: freely — runtime is ~0.2 s/query.
-N_DIFF = 800
+#: Differential seeds (wave 1: 200, wave 2: 600, wave 3: 800, wave 4:
+#: 1000), run in batches so one pytest node failure names its seed
+#: range; bump N_DIFF freely — runtime is ~0.2 s/query.
+N_DIFF = 1000
 BATCH = 25
 
 

@@ -66,6 +66,8 @@ _EAGER_NAMES = {
     "ml48_rformula_features",  # RFormula (StringIndexer) fit at construction
     "ml48b_rformula_interaction",  # RFormula fit at construction
     "q84k_motif_triads",  # builds the strong co-purchase edge checkpoint
+    "q84l_distributional_similarity",  # builds the co-purchase counted checkpoint
+    "ml49_quantile_discretizer",  # QuantileDiscretizer fit (approxQuantile job) at construction
     "q37b_merge_delete_compact",  # writes base/snapshot parquet at construction
     "q37c_time_travel",  # materializes q37b's lake dirs + two .count() actions
     "q37e_write_audit_publish",  # stages/audits/publishes parquet at construction
@@ -90,6 +92,7 @@ _GLOBAL_WINDOW_OK = {
     "qd14_ks_drift",  # fixed quantile-grid bins
     "qd20_anomaly_episodes",  # day spine: one row per calendar day
     "qa30_share_of_parent",  # 25-row NATION dimension rollup (bounded)
+    "q28e_mergeable_quantile_digest",  # <=16x65-row merged digest summary (bounded sketch)
     "qa47_abc_xyz_matrix",  # 25-row BRAND dimension revenue ranking (bounded)
     "ml36_rank_correlation",  # 100-row post-LIMIT relation (bounded by construction)
     "ml37_cost_optimal_threshold",  # fixed 1024-bin score spine
