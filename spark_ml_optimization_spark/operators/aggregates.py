@@ -1217,3 +1217,189 @@ def q28e_mergeable_quantile_digest(
             .alias("within_bound"),
         )
     )
+
+
+#: q28f geometry: 256 registers (8 bucket bits) x 40 value bits.  The
+#: harmonic-mean sum is EXACT in IEEE doubles by construction: each
+#: term 2^-reg is a dyadic rational with reg <= 41, so every partial
+#: sum is an integer multiple of 2^-41 bounded by 256 < 2^9 — numerator
+#: always < 2^50 < 2^53 — hence order-independent and bit-identical
+#: across engines.  alpha is precomputed HERE and embedded as the same
+#: literal in both engines so no float expression is ever re-derived.
+_HLL_M = 256
+_HLL_W = 40
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_SHARDS = 4
+
+
+def _hex_bigint_sql(hexpr: str, start: int, n: int) -> str:
+    """Engine-portable BIGINT from n hex chars of a digest expression
+    (the q28d instr digit-ladder, generalized to arbitrary spans)."""
+    parts = [
+        f"(instr('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _hll_rho_sql(v: str) -> str:
+    """rho = leading zeros of the 40-bit value + 1 (41 when v = 0), as
+    a fixed integer comparison ladder (the q84l discipline): rho =
+    40 - #{j in 1..39 : v >= 2^j} — no log2 ever evaluated."""
+    ladder = " + ".join(
+        f"(CASE WHEN {v} >= {2 ** j} THEN 1 ELSE 0 END)"
+        for j in range(1, _HLL_W)
+    )
+    return f"(CASE WHEN {v} = 0 THEN {_HLL_W + 1} ELSE {_HLL_W} - ({ladder}) END)"
+
+
+@register(
+    "q28f_hyperloglog_whitebox",
+    oracle=f"""
+        WITH base AS (
+            SELECT l_partkey AS item,
+                   md5(CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem
+        ),
+        hashed AS (
+            SELECT item,
+                   {_hex_bigint_sql('h', 1, 2)} AS bucket,
+                   {_hex_bigint_sql('h', 3, 10)} AS v
+            FROM base
+        ),
+        rho AS (
+            SELECT item, bucket, {_hll_rho_sql('v')} AS rho,
+                   item % {_HLL_SHARDS} AS shard
+            FROM hashed
+        ),
+        oneshot AS (
+            SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket
+        ),
+        pershard AS (
+            SELECT shard, bucket, max(rho) AS reg
+            FROM rho GROUP BY shard, bucket
+        ),
+        merged AS (
+            SELECT bucket, max(reg) AS reg FROM pershard GROUP BY bucket
+        ),
+        spine AS (
+            SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+        ),
+        regs AS (
+            SELECT s.bucket,
+                   coalesce(o.reg, 0) AS reg,
+                   coalesce(m.reg, 0) AS regm
+            FROM spine s
+            LEFT JOIN oneshot o ON o.bucket = s.bucket
+            LEFT JOIN merged m ON m.bucket = s.bucket
+        ),
+        agg AS (
+            SELECT sum(CAST(1 AS DOUBLE)
+                       / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE))
+                       AS s,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_zero,
+                   bool_and(reg = regm) AS merge_equals_oneshot
+            FROM regs
+        ),
+        ex AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+            FROM base
+        )
+        SELECT ex.n_rows, ex.exact_distinct, agg.v_zero,
+               agg.merge_equals_oneshot,
+               round(agg.s, 6) AS harmonic_sum,
+               round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                     / agg.s, 4) AS raw_estimate,
+               round(abs(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                         * {_HLL_M * _HLL_M} / agg.s
+                         / ex.exact_distinct - 1) * 100, 4)
+                   AS rel_err_pct
+        FROM ex CROSS JOIN agg
+    """,
+    doc=f"WHITE-BOX HyperLogLog (Flajolet et al. 2007) — completes the "
+    "sketch family's glass-box tier (q28d count-min for frequency, "
+    "q28e digest for quantiles, THIS for cardinality; q28c is the "
+    f"black-box DataSketches twin): {_HLL_M} registers keyed by the "
+    "first md5 byte, register = max rank of the first 1-bit in the "
+    f"next {_HLL_W} hash bits — rho computed as an integer comparison "
+    "ladder (the q84l discipline), never a log2.  Duplicates are free "
+    "by construction (same key -> same register/rho -> max absorbs), "
+    "so the input is the RAW lineitem scan, no distinct ever "
+    "shuffled.  Union-mergeability is exercised, not asserted: "
+    f"registers built on {_HLL_SHARDS} disjoint key shards and merged "
+    "by max must equal the one-shot registers bucket-for-bucket "
+    "(merge_equals_oneshot, hash-pinned TRUE) — the same max-merge "
+    "works hierarchically across 1000 executors on kilobytes of "
+    "state.  The harmonic estimate is hash-verified BIT-FOR-BIT, "
+    "which no float sketch normally allows: every term 2^-reg is "
+    "dyadic with reg <= 41, so all partial sums are exact multiples "
+    "of 2^-41 below 2^50 — order-independent, engine-independent — "
+    "and alpha*m^2/S is one correctly-rounded expression from "
+    "identical inputs (alpha embedded as the same Python-computed "
+    "literal in both engines).  Accuracy lands inside the theoretical "
+    f"1.04/sqrt({_HLL_M}) = 6.5% band (rel_err_pct, hash-pinned).  "
+    f"Scale: one map-side projection + a {_HLL_M}-row grouped max; "
+    "everything downstream is O(m).",
+)
+def q28f_hyperloglog_whitebox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item")
+    )
+    h = "md5(CAST(item AS STRING))"
+    rho = li.selectExpr(
+        "item",
+        f"CAST(conv(substr({h}, 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr({h}, 3, 10), 16, 10) AS BIGINT) AS v",
+    ).selectExpr(
+        "bucket",
+        _hll_rho_sql("v") + " AS rho",
+        f"item % {_HLL_SHARDS} AS shard",
+    )
+    oneshot = rho.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    merged = (
+        rho.groupBy("shard", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("regm"))
+    )
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = (
+        spine.join(F.broadcast(oneshot), "bucket", "left")
+        .join(F.broadcast(merged), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("reg", F.lit(0)).alias("reg"),
+            F.coalesce("regm", F.lit(0)).alias("regm"),
+        )
+    )
+    agg = regs.agg(
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT), reg) AS DOUBLE)"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+        F.expr("bool_and(reg = regm)").alias("merge_equals_oneshot"),
+    )
+    ex = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("item").cast("long").alias("exact_distinct"),
+    )
+    est = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
+    return ex.crossJoin(F.broadcast(agg)).select(
+        "n_rows",
+        "exact_distinct",
+        "v_zero",
+        "merge_equals_oneshot",
+        F.round(F.col("s"), 6).alias("harmonic_sum"),
+        F.round(est, 4).alias("raw_estimate"),
+        F.round(
+            F.abs(est / F.col("exact_distinct") - 1) * 100, 4
+        ).alias("rel_err_pct"),
+    )

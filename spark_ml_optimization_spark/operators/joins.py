@@ -474,3 +474,168 @@ def q48c_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
         )
     )
+
+
+#: q10d geometry: 16384-bit filter, 3 hash probes per key — sized for
+#: the BENCH-scale build set (sf0.1 plants ~3k BUILDING customers;
+#: k*n/ln2 ~ 13k bits is the textbook optimum, so 2^14 keeps the fill
+#: fraction ~40% and the measured FPR in the realistic few-percent
+#: band instead of saturating).  Every false positive is REPRODUCED
+#: exactly by the oracle because the hash family is the deterministic
+#: md5 ladder.
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def _bloom_u16(expr: str, row: str) -> str:
+    """Engine-portable uniform 16-bit from md5(row:val) — the q28d
+    instr digit-ladder convention (ml34's derandomization helper)."""
+    h = f"md5({row} || ':' || CAST({expr} AS STRING))"
+    parts = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "q10d_bloom_prefilter_whitebox",
+    oracle=f"""
+        WITH members AS (
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   {_bloom_u16('m.k', 'CAST(j.j AS VARCHAR)')}
+                       % {_BLOOM_M} AS bit
+            FROM members m
+            CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1}))
+                            AS j) j
+        ),
+        probes AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+        ),
+        probe_bits AS (
+            SELECT p.k, j.j,
+                   {_bloom_u16('p.k', 'CAST(j.j AS VARCHAR)')}
+                       % {_BLOOM_M} AS bit
+            FROM probes p
+            CROSS JOIN (SELECT unnest(generate_series(0, {_BLOOM_K - 1}))
+                            AS j) j
+        ),
+        verdict AS (
+            SELECT pb.k,
+                   CAST(sum(CASE WHEN b.bit IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS bits_hit
+            FROM probe_bits pb
+            LEFT JOIN bits b ON b.bit = pb.bit
+            GROUP BY pb.k
+        ),
+        labeled AS (
+            SELECT v.k,
+                   (v.bits_hit = {_BLOOM_K}) AS pass,
+                   (m.k IS NOT NULL) AS member
+            FROM verdict v LEFT JOIN members m ON m.k = v.k
+        )
+        SELECT CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+               CAST(count(*) AS BIGINT) AS n_probe_keys,
+               CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_member_keys,
+               CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(sum(CASE WHEN member AND NOT pass
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_neg,
+               CAST(sum(CASE WHEN pass AND NOT member
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               round(CAST(sum(CASE WHEN pass AND NOT member
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / nullif(sum(CASE WHEN NOT member
+                                       THEN 1 ELSE 0 END), 0) * 100, 4)
+                   AS fp_rate_pct
+        FROM labeled
+    """,
+    doc=f"WHITE-BOX Bloom-filter semi-join prefilter — the glass-box "
+    "twin of q10c's engine-injected runtime filter, built relationally "
+    "so its two laws are hash-verified instead of trusted: "
+    f"{_BLOOM_M} bits, {_BLOOM_K} md5-ladder hash probes per key "
+    "(q28d's derandomization convention).  The build side (BUILDING-"
+    "segment customer keys) collapses to a DISTINCT set-bit relation "
+    f"bounded by min(k*n, {_BLOOM_M}) rows — kilobytes, broadcast to "
+    "every probe task exactly like the engine ships bloom_filter_agg "
+    "state to executors at 100 TB.  Probes (distinct order customers) "
+    "pass only when ALL k bits hit (grouped LEFT-JOIN count = k).  "
+    "The audit pins: n_false_neg = 0 (the Bloom HARD law — a set bit "
+    "is never unset, so members always pass), the exact measured "
+    "false-positive count and rate (deterministic hash family -> the "
+    "oracle reproduces every individual false positive, not a bound), "
+    "and the fill level (bits_set).  Scale: the only full-relation "
+    "pass is the probe-side projection; the verdict join broadcasts "
+    "the bounded bit relation, and the same DISTINCT-union of bit "
+    "sets merges partial filters hierarchically across executors.",
+)
+def q10d_bloom_prefilter_whitebox(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    members = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    js = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        members.crossJoin(F.broadcast(js))
+        .selectExpr(
+            _bloom_u16("k", "CAST(j AS STRING)") + f" % {_BLOOM_M} AS bit"
+        )
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probe_bits = probes.crossJoin(F.broadcast(js)).selectExpr(
+        "k",
+        _bloom_u16("k", "CAST(j AS STRING)") + f" % {_BLOOM_M} AS bit",
+    )
+    verdict = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("k")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("bits_hit"))
+    )
+    labeled = verdict.join(
+        F.broadcast(members.withColumn("is_m", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("bits_hit") == _BLOOM_K).alias("pass"),
+        F.col("is_m").isNotNull().alias("member"),
+    )
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    fp = F.sum(
+        F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0)
+    ).cast("long")
+    non_member = F.sum(F.when(~F.col("member"), 1).otherwise(0))
+    agg = labeled.agg(
+        F.count("*").cast("long").alias("n_probe_keys"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_keys"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("member") & ~F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        fp.alias("n_false_pos"),
+        F.round(
+            fp.cast("double") / F.nullif(non_member, F.lit(0)) * 100, 4
+        ).alias("fp_rate_pct"),
+    )
+    return n_bits.crossJoin(agg)

@@ -203,6 +203,20 @@ SCALE_SENSITIVE = [
     "ml48_rformula_features",
     "ml48b_rformula_interaction",
     "q84k_motif_triads",
+    # round-10 additions: q84l rides the strong co-purchase graph
+    # (wedge/context density is corpus-coupled, like q84h/i); q28e's
+    # rank-error bound sum(step-1) and shard steps only grow teeth at
+    # sf0.1 row counts; q28f's register file is DENSE at 20k distinct
+    # parts vs 2k (same reason q28c is re-pinned); q10d's fill level
+    # and measured FPR are build-set-size-coupled (the 16384-bit
+    # sizing is FOR sf0.1 — the re-pin proves it holds there); ml49's
+    # plateau-interior rank argument must hold where plateaus are 10x
+    # wider.
+    "q84l_distributional_similarity",
+    "q28e_mergeable_quantile_digest",
+    "q28f_hyperloglog_whitebox",
+    "q10d_bloom_prefilter_whitebox",
+    "ml49_quantile_discretizer",
 ]
 
 TABLES = (
