@@ -748,25 +748,41 @@ def ml17_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LinearSVC, OneVsRest
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
-    data = _labeled_embeddings(spark, sf_dir)
-    # parallelism=10 fits all 10 binary models in ONE wave (local[32] has
-    # the task slots; 8 left a 2-fit straggler wave — measured 12.1 s →
-    # 6.4 s best-of-N with maxIter 8→5, accuracy unchanged ±0.01).
-    # Round-7 A/B on the remaining tail: maxIter 5→3 saves only ~0.6 s
-    # warm (6.5→5.9) and costs accuracy 0.2135→0.2005; maxIter 2
-    # halves accuracy.  The ~6.5 s is intrinsic 10-binary-fit cost —
-    # kept at 5.
+    # Task-wave geometry (round-10 A/B): parallelism=10 runs all 10
+    # binary fits concurrently, and each LinearSVC iteration schedules
+    # one task PER PARTITION per fit — at the inherited spread(8) that
+    # is 10 fits x 8 tasks x ~6 jobs of sub-millisecond tasks, pure
+    # scheduler thrash on a 20k-row input (measured 10.7 s).  Caching
+    # the featurized vectors once and coalescing to 2 partitions makes
+    # each iteration a 2-task job, 10 fits saturating ~20 cores in one
+    # wave: 5.2-5.8 s; 1 partition gives 4.2 s but one straggler core
+    # per fit — 2 keeps headroom.  Accuracy identical (0.2135) across
+    # all shapes.  At real scale the partition count follows data size
+    # (this is the small-N end of that rule, not a constant).  Earlier
+    # A/Bs retained: maxIter 5 (3 costs accuracy 0.2135->0.2005, 8 buys
+    # none back), parallelism 10 (8 leaves a straggler wave).
+    data = _labeled_embeddings(spark, sf_dir).repartition(2).cache()
+    data.count()
     ovr = OneVsRest(
         classifier=LinearSVC(maxIter=5, regParam=0.01), parallelism=10
     )
     model = _fit_retry(ovr, data)
     pred = model.transform(data)
     acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
-    return (
-        pred.groupBy(F.col("prediction").cast("int").alias("predicted_class"))
+    rows = sorted(
+        (int(r["predicted_class"]), int(r["n"]))
+        for r in pred.groupBy(
+            F.col("prediction").cast("int").alias("predicted_class")
+        )
         .agg(F.count("*").alias("n"))
-        .withColumn("accuracy", F.round(F.lit(acc), 4))
-        .orderBy("predicted_class")
+        .collect()
+    )
+    data.unpersist()
+    # <=10-row bounded driver-side materialization (the ml42/ml43
+    # convention) so the cache can be released before return.
+    return spark.createDataFrame(
+        [(c, n, round(acc, 4)) for c, n in rows],
+        schema="predicted_class int, n bigint, accuracy double",
     )
 
 

@@ -2358,3 +2358,121 @@ def st30_offset_replay_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_id").alias("n_distinct_ids"),
         )
     )
+
+
+from ..operators.aggregates import (  # noqa: E402  (q28f sketch helpers)
+    _HLL_ALPHA,
+    _HLL_M,
+    _hex_bigint_sql,
+    _hll_rho_sql,
+    _hll_sum_sql,
+)
+
+
+@register(
+    "st31_stream_hll_registers",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id AS item,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events
+        ),
+        hashed AS (
+            SELECT item,
+                   {_hex_bigint_sql('h', 1, 2)} AS bucket,
+                   {_hex_bigint_sql('h', 3, 10)} AS v
+            FROM base
+        ),
+        rho AS (
+            SELECT item, bucket, {_hll_rho_sql('v')} AS rho FROM hashed
+        ),
+        built AS (
+            SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket
+        ),
+        spine AS (
+            SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket
+        ),
+        regs AS (
+            SELECT s.bucket, coalesce(b.reg, 0) AS reg
+            FROM spine s LEFT JOIN built b ON b.bucket = s.bucket
+        ),
+        agg AS (
+            SELECT {_hll_sum_sql('reg')} AS s,
+                   CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_zero,
+                   CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS registers_hit
+            FROM regs
+        ),
+        ex AS (
+            SELECT CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+            FROM base
+        )
+        SELECT ex.exact_distinct, agg.registers_hit, agg.v_zero,
+               round(agg.s, 6) AS harmonic_sum,
+               round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                     / agg.s, 4) AS raw_estimate,
+               round(abs(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                         * {_HLL_M * _HLL_M} / agg.s
+                         / ex.exact_distinct - 1) * 100, 4)
+                   AS rel_err_pct
+        FROM ex CROSS JOIN agg
+    """,
+    doc=f"STREAMING HyperLogLog — q28f's register file maintained by "
+    "Structured Streaming: per-event rho projects map-side, the "
+    f"stateful groupBy(bucket).max(rho) carries EXACTLY {_HLL_M} "
+    "state rows regardless of stream length — the textbook bounded-"
+    "state streaming distinct-count (a streaming countDistinct's "
+    "state grows with cardinality; the sketch's never does), and the "
+    "same max-merge absorbs micro-batches incrementally exactly as "
+    "it merges executors in batch.  Because the register transition "
+    "is deterministic (max over a deterministic hash), the FINAL "
+    "register file is batch-equivalent, so — unusually for a "
+    "streaming op — the estimate is HASH-VERIFIED bit-for-bit "
+    "against the relational oracle via the q28f dyadic-rational "
+    "argument.  Post-stream arithmetic (spine join, harmonic sum, "
+    "alpha*m^2/S) runs batch-side on the 256-row memory-sink table.  "
+    "Scale: state is kilobytes at any stream length; complete-mode "
+    "re-emission cost is O(m), not O(cardinality).",
+)
+def st31_stream_hll_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = _read_events_stream(spark, sf_dir)
+    h = "md5(CAST(user_id AS STRING))"
+    rho = events.selectExpr(
+        "user_id",
+        f"CAST(conv(substr({h}, 1, 2), 16, 10) AS BIGINT) AS bucket",
+        f"CAST(conv(substr({h}, 3, 10), 16, 10) AS BIGINT) AS v",
+    ).selectExpr("user_id", "bucket", _hll_rho_sql("v") + " AS rho")
+    built = _run_to_memory(
+        rho.groupBy("bucket").agg(F.max("rho").alias("reg")), "complete"
+    )
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = spine.join(F.broadcast(built), "bucket", "left").select(
+        F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    agg = regs.agg(
+        F.expr(_hll_sum_sql("reg")).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+        F.sum(F.when(F.col("reg") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("registers_hit"),
+    )
+    ex = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    est = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
+    return ex.crossJoin(F.broadcast(agg)).select(
+        "exact_distinct",
+        "registers_hit",
+        "v_zero",
+        F.round(F.col("s"), 6).alias("harmonic_sum"),
+        F.round(est, 4).alias("raw_estimate"),
+        F.round(
+            F.abs(est / F.col("exact_distinct") - 1) * 100, 4
+        ).alias("rel_err_pct"),
+    )

@@ -68,7 +68,7 @@ def test_registry_size_pinned():
     )
 
     expected = (
-        533
+        535
         + (1 if avro_connector_available() else 0)
         + (1 if transform_with_state_available() else 0)
     )

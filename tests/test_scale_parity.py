@@ -217,6 +217,9 @@ SCALE_SENSITIVE = [
     "q28f_hyperloglog_whitebox",
     "q10d_bloom_prefilter_whitebox",
     "ml49_quantile_discretizer",
+    # q28g's register density and intersection/union ratio both shift
+    # with the 10x part catalog — same re-pin rationale as q28f/q28c.
+    "q28g_hll_set_algebra",
 ]
 
 TABLES = (
