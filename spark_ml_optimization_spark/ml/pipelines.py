@@ -1337,7 +1337,7 @@ def ml27_roc_auc_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the narrow distinct-score relation once: the range
     # exchange's boundary-sampling job would otherwise recompute the
     # full documents scan + hash agg (the qa24 lesson).
-    per_score = per_score.localCheckpoint(eager=False)
+    per_score = per_score.localCheckpoint(eager=True)
     ranked = distributed_cumsum(
         per_score, [F.col("s").asc()], [("n", "cum_before", False)]
     ).select("s", "n", "pos", "cum_before")
@@ -1510,7 +1510,7 @@ def ml29_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One materialization of the narrow distinct-score relation (the
     # qa24 lesson: range-sampling jobs recompute upstream otherwise).
-    per_score = per_score.localCheckpoint(eager=False).withColumn(
+    per_score = per_score.localCheckpoint(eager=True).withColumn(
         "neg", F.col("n") - F.col("pos")
     )
     tot = per_score.agg(F.sum("pos").alias("n1"))
@@ -2311,7 +2311,7 @@ def ml36_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.col("qty").desc(), "l_partkey"))
         .alias("rq"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sp = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum((F.col("rr") - F.col("rq")) * (F.col("rr") - F.col("rq")))

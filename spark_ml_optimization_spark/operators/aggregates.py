@@ -807,7 +807,7 @@ def q28d_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         li.groupBy("item")
         .agg(F.count("*").cast("bigint").alias("freq"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Spark parses the hash span with conv() (single JVM hex parse);
     # the oracle uses the instr() digit ladder — identical integers

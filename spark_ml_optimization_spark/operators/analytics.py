@@ -1107,7 +1107,7 @@ def qa24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint's storage is released by the ContextCleaner once
     # the RDD is GC'd — no per-query storage accumulation across a
     # 364-query suite run.
-    cust = cust.localCheckpoint(eager=False)
+    cust = cust.localCheckpoint(eager=True)
     r = distributed_ntile(
         cust.select("o_custkey", "last_order"),
         5,
@@ -1648,7 +1648,7 @@ def qa35_rfm_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cents"
                 )
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         return distributed_ntile(
             agg,

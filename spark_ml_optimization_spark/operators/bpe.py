@@ -330,7 +330,7 @@ def learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg = wf.withColumn(
         "seg", F.regexp_replace("word", "(.)", "|$1|")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     pair_arr = (
         "zip_with(slice(s, 1, greatest(size(s) - 1, 0)), "
         "slice(s, 2, greatest(size(s) - 1, 0)), "
@@ -350,7 +350,7 @@ def learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             pairs.orderBy(F.col("cnt").desc(), "l", "r2")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         bests.append(best.withColumn("round", F.lit(rnd)))
         seg = (
@@ -366,7 +366,7 @@ def learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .drop("l", "r2")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     out = bests[0]
     for b in bests[1:]:

@@ -2572,7 +2572,7 @@ def qc47_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").cast("string"),
             )
         ),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     ranked = distributed_row_number(
         spine, [F.col("epoch").asc(), F.col("k").asc(), F.col("doc_id").asc()], "g"
     ).withColumn("p", F.col("g") - (F.col("epoch") - 1) * F.lit(n_docs))
@@ -3039,7 +3039,7 @@ def qc52_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("i0", "g"),
     ).select(
         "doc_id", "source", (F.col("i0") + 1).alias("i"), "g"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     bench = (
         grams.filter(F.col("source") == "src0").select("g").distinct()
     )
@@ -3067,7 +3067,7 @@ def qc52_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     affected = covered.select("doc_id").distinct()
     kept = (

@@ -464,7 +464,7 @@ def _copurchase_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "lineitem")
             .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         a = items.select("k", F.col("p").alias("pa"))
         b = items.select("k", F.col("p").alias("pb"))
@@ -2199,7 +2199,7 @@ def _banding_oracle_sql() -> str:
 )
 def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh, sig, _banded = _pmh_sig_banded(spark, sf_dir)
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.localCheckpoint(eager=True)
     eq = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
     )
@@ -2343,7 +2343,7 @@ def q84f_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
             .select("pa", "pb")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         rows.append((r, keep.count(), edges.count()))
     return spark.createDataFrame(
@@ -2480,7 +2480,7 @@ def _lpa_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             counted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         sizes = labels.groupBy("label").agg(F.count("*").alias("c"))
         profiles.append(

@@ -1523,7 +1523,7 @@ def qp12_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(w, cidx + 1)").alias("t2"),
             F.expr("element_at(w, cidx + 2)").alias("t3"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = chunks.select(
         "doc_id", "lang", "cidx",
@@ -1875,7 +1875,7 @@ def qp16_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
         .cast("bigint")
         .alias("toks"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     core = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),

@@ -954,7 +954,7 @@ def qd15_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
     # One materialization of the narrow per-key relation (the qa24
     # lesson: the range-sampling job recomputes the fact scan otherwise).
-    per_key = per_key.localCheckpoint(eager=False)
+    per_key = per_key.localCheckpoint(eager=True)
     ranked = distributed_row_number(
         per_key, [F.col("n").asc(), F.col("l_suppkey").asc()], "i"
     ).select("n", "i")
@@ -2539,7 +2539,7 @@ def qd35_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders scan happens once, not three times.
     by_val = pop.groupBy("cents").agg(
         F.count("*").alias("n_v"), F.sum("is_a").alias("a_v")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     with_cum = distributed_cumsum(
         by_val, [F.col("cents")], [("n_v", "cum_excl", False)]
     )
@@ -2930,7 +2930,7 @@ def qd39_ks_exact_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_val = pop.groupBy("cents").agg(
         F.sum("is_a").cast("bigint").alias("a_v"),
         (F.count("*") - F.sum("is_a")).cast("bigint").alias("b_v"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     tot = by_val.agg(
         F.sum("a_v").cast("bigint").alias("n_a"),
         F.sum("b_v").cast("bigint").alias("n_b"),
@@ -3096,11 +3096,11 @@ def qd42_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("x")
         )
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     grp = spend.groupBy("nation").agg(
         F.count("*").cast("bigint").alias("n_g"),
         F.sum("x").cast("bigint").alias("x_g"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     tot = grp.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("x_g").cast("bigint").alias("x_t"),
@@ -3188,7 +3188,7 @@ def qd43_robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     pts = o.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     med = pts.agg(F.expr("percentile(cents, 0.5)").alias("m"))
     mad = (
         pts.crossJoin(F.broadcast(med))

@@ -2104,7 +2104,7 @@ def q85l_mrl_two_stage_retrieval(
                 F.slice(F.col("pvec"), 1, 16),
             ).alias("pre_s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     wf = W.partitionBy("pid").orderBy(
         F.col("full_s").desc(), F.col("vec_id").asc()
@@ -2118,7 +2118,7 @@ def q85l_mrl_two_stage_retrieval(
         "full_s",
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(wp).alias("rp"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     two_stage = (
         ranked.filter(F.col("rp") <= 50)
         .select(

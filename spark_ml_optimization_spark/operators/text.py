@@ -528,7 +528,7 @@ def q77c_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("f"))
         # Range-exchange boundary sampling re-executes the input plan;
         # pin the corpus-sized explode+agg once (lazy, repo policy).
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ranked = distributed_row_number(
         freq, [F.col("f").desc(), F.col("tok").asc()], "r"
@@ -992,7 +992,7 @@ def q80d_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_counts = grams.groupBy("doc_id", "lang", "g").agg(
         F.count("*").alias("c")
     )
-    doc_counts = doc_counts.localCheckpoint(eager=False)
+    doc_counts = doc_counts.localCheckpoint(eager=True)
     lang_prof = (
         doc_counts.groupBy("lang", "g")
         .agg(F.sum("c").alias("c"))
@@ -1038,7 +1038,7 @@ def q80d_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pred, "doc_id")
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     _CT_MATRIX_MEMO[key] = out
     return out

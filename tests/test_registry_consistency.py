@@ -117,3 +117,30 @@ def test_survey_status_block_matches_registry():
         "README.md count header drifted from the registry — run "
         "`python tools/gen_coverage.py`"
     )
+
+
+def test_no_lazy_local_checkpoint():
+    """localCheckpoint(eager=False) is banned package-wide (round-10):
+    the FIRST materialization of a lazily-checkpointed RDD can run on
+    an AQE shuffle-exchange thread concurrently with the DAG scheduler
+    submitting a sibling stage over the same RDD — an AB-BA deadlock
+    on the global RDDCheckpointData$ monitor vs the RDD's own lock
+    (observed once as a hard full-suite hang; jstack shows
+    dag-scheduler-event-loop in RDD.partitions -> checkpointRDD while
+    shuffle-exchange-* holds checkpoint() -> markCheckpointed).  The
+    self-join consumers these checkpoints feed are exactly the
+    two-concurrent-exchange shape that races.  eager=True performs the
+    one-time checkpoint on the single driving thread before any
+    sibling stage can reference the RDD; the materialization cost is
+    identical, only its timing moves."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "spark_ml_optimization_spark"
+    )
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "localCheckpoint(eager=False)" in p.read_text()
+    ]
+    assert not offenders, offenders
