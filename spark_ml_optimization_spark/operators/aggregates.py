@@ -804,10 +804,8 @@ def q28d_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("item")
     )
-    truth = (
-        li.groupBy("item")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .localCheckpoint(eager=True)
+    truth = li.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("freq")
     )
     # Spark parses the hash span with conv() (single JVM hex parse);
     # the oracle uses the instr() digit ladder — identical integers
@@ -816,36 +814,35 @@ def q28d_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substr(md5(CAST(j AS STRING) || ':'"
         " || CAST(item AS STRING)), 1, 4), 16, 10) AS BIGINT)"
     )
-    hashed = li.selectExpr(
-        "item", f"explode(sequence(0, {_CM_D - 1})) AS j"
-    ).selectExpr(
-        "item",
-        "j",
-        spark_u16 + f" % {_CM_W} AS bucket",
-    )
-    cells = hashed.groupBy("j", "bucket").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    # probe set = item-domain x d, derived from the (small) truth
-    # table rather than a corpus-sized distinct — buckets recompute
-    # map-side (same deterministic hash, domain-sized input).
-    probes = (
+    # Hash the ITEM DOMAIN once (domain x d rows), not the corpus: the
+    # bucket depends only on (j, item), so the sketch cell count
+    # count(*) over corpus occurrences == sum(freq) over the domain —
+    # identical integers, ~|corpus|/|domain| fewer md5 calls (30x at
+    # sf0.1: 2.4M -> 80k).  The oracle keeps the corpus-side count(*)
+    # formulation; both reduce to the same 1024-cell grid.  One
+    # domain-side relation feeds BOTH the cells aggregate and the
+    # probe join (eager localCheckpoint: tiny, read twice).
+    dom = (
         truth.selectExpr(
-            "item", f"explode(sequence(0, {_CM_D - 1})) AS j"
+            "item", "freq", f"explode(sequence(0, {_CM_D - 1})) AS j"
         )
         .selectExpr(
             "item",
+            "freq",
             "j",
             spark_u16 + f" % {_CM_W} AS bucket",
         )
+        .localCheckpoint(eager=True)
+    )
+    cells = dom.groupBy("j", "bucket").agg(
+        F.sum("freq").cast("bigint").alias("c")
     )
     est = (
-        probes.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("item")
+        dom.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("item", "freq")
         .agg(F.min("c").cast("bigint").alias("est"))
     )
-    j = est.join(truth, "item")
-    return j.agg(
+    return est.agg(
         F.count("*").cast("bigint").alias("n_items"),
         F.sum(F.when(F.col("est") < F.col("freq"), 1).otherwise(0))
         .cast("bigint")
@@ -1117,6 +1114,10 @@ def q28e_mergeable_quantile_digest(
 ) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # Eagerly checkpointed (optimization round 10): base feeds the
+    # ranked window, the total count, AND the audit pass — without the
+    # checkpoint the scan + per-row md5 shard assignment re-executes
+    # three times in one plan.
     base = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
@@ -1124,7 +1125,7 @@ def q28e_mergeable_quantile_digest(
         .alias("k"),
     ).withColumn(
         "shard", F.substring(F.md5(F.col("k").cast("string")), 1, 1)
-    )
+    ).localCheckpoint(eager=True)
     ranked = base.select(
         "shard",
         "cents",
@@ -1137,6 +1138,9 @@ def q28e_mergeable_quantile_digest(
         "step",
         F.greatest(F.lit(1).cast("long"), F.expr(f"(n_s + {_QD_K - 1}) div {_QD_K}")),
     )
+    # kept is the bounded sketch (<= shards * (K+1) rows); checkpoint it
+    # so the 600k-row rank window above runs ONCE — both the merged
+    # cumulative window and the step bound below read from it.
     kept = stepped.filter(
         (F.col("i") % F.col("step") == 0) | (F.col("i") == F.col("n_s"))
     ).select(
@@ -1151,7 +1155,7 @@ def q28e_mergeable_quantile_digest(
                 F.lit(0),
             )
         ).alias("wt"),
-    )
+    ).localCheckpoint(eager=True)
     # merged summary is <= _QD_SHARDS * (_QD_K + 1) rows — the global
     # cumulative-weight window runs over a BOUNDED sketch relation
     # (allowlisted in tests/test_plan_sweep.py).
@@ -1160,8 +1164,11 @@ def q28e_mergeable_quantile_digest(
         F.sum("wt").over(W.orderBy("cents", "shard", "i")).alias("cw"),
     )
     tot = base.agg(F.count("*").cast("long").alias("n"))
+    # step is constant per shard and every shard emits at least its
+    # last row into kept, so distinct (shard, step) over the tiny kept
+    # sketch equals the same distinct over the 600k-row stepped.
     bound = (
-        stepped.select("shard", "step")
+        kept.select("shard", "step")
         .distinct()
         .agg(F.sum(F.col("step") - 1).cast("long").alias("rank_bound"))
     )
@@ -1349,7 +1356,13 @@ def q28f_hyperloglog_whitebox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item")
     )
     h = "md5(CAST(item AS STRING))"
-    rho = li.selectExpr(
+    # Hash the DISTINCT item domain, not every corpus row (the q28d
+    # re-plan): bucket/rho/shard are functions of item alone and the
+    # register is a MAX, so max over occurrences == max over the
+    # domain — identical registers, ~30x fewer md5+conv evaluations,
+    # and the distinct is a cheap integer shuffle with map-side
+    # partial aggregation.
+    rho = li.distinct().selectExpr(
         "item",
         f"CAST(conv(substr({h}, 1, 2), 16, 10) AS BIGINT) AS bucket",
         f"CAST(conv(substr({h}, 3, 10), 16, 10) AS BIGINT) AS v",
@@ -1518,7 +1531,12 @@ def q28g_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("yr").isin(1994, 1995))
     )
     h = "md5(CAST(item AS STRING))"
-    rho = li.selectExpr(
+    # Hash the DISTINCT (item, yr) domain (the q28d/q28f re-plan):
+    # bucket/rho are functions of item alone and the per-year register
+    # is a conditional MAX, so the registers from distinct pairs are
+    # identical to those from every corpus occurrence — ~30x fewer
+    # md5+conv evaluations after a cheap two-int distinct.
+    rho = li.distinct().selectExpr(
         "item",
         "yr",
         f"CAST(conv(substr({h}, 1, 2), 16, 10) AS BIGINT) AS bucket",

@@ -1749,10 +1749,22 @@ def qa36_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("pb"), F.col("pb").alias("pc"),
         F.col("sup2").alias("s_bc"),
     )
-    pruned = cand.join(bc, ["pb", "pc"])
-    ia = items.select(F.col("basket"), F.col("item").alias("pa"))
-    ib = items.select(F.col("basket"), F.col("item").alias("pb"))
-    ic = items.select(F.col("basket"), F.col("item").alias("pc"))
+    pruned = cand.join(bc, ["pb", "pc"]).localCheckpoint(eager=True)
+    # Pre-filter the basket-item table to items that appear in ANY
+    # surviving candidate triple BEFORE the 3-way basket self-join
+    # (optimization round 10): the left_semi against `pruned` below
+    # already restricts the grouped output, but it ran after the full
+    # k^3-per-basket explosion; pushing the item filter into each leg
+    # prunes the explosion at the scan.  Counts are unchanged — every
+    # basket row contributing to a pruned triple has all three items
+    # in the candidate-item set by construction.
+    citems = pruned.select(
+        F.explode(F.array("pa", "pb", "pc")).alias("item")
+    ).distinct()
+    fitems = items.join(F.broadcast(citems), "item", "left_semi")
+    ia = fitems.select(F.col("basket"), F.col("item").alias("pa"))
+    ib = fitems.select(F.col("basket"), F.col("item").alias("pb"))
+    ic = fitems.select(F.col("basket"), F.col("item").alias("pc"))
     sup3 = (
         ia.join(ib, "basket")
         .join(ic, "basket")

@@ -716,28 +716,33 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loop-invariant: edge weights 1/deg(src) never change — join the
     # out-degree ONCE and checkpoint, so each round is exactly one join
     # + one groupBy instead of re-deriving degrees every iteration.
+    # A zero-weight self-edge per node (the oracle's own formulation)
+    # keeps no-in-edge nodes alive through the groupBy, fusing the old
+    # per-round nodes LEFT JOIN away: one join + one aggregate per
+    # round instead of two joins + one aggregate.  Bit-identical:
+    # the extra terms are +0.0 * rank added to strictly-positive
+    # partial sums, which IEEE addition leaves unchanged.
     weighted = (
         edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0.0).alias("w"),
+            )
+        )
         .localCheckpoint(eager=True)
     )
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(8):
-        contribs = (
+        ranks = (
             weighted.join(ranks, weighted.src == ranks.node)
             .select("dst", (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.lit(1 - d) + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+            .agg((F.lit(1 - d) + F.lit(d) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
             .localCheckpoint(eager=True)
         )
     is_supplier = F.col("node") < 0
@@ -947,11 +952,19 @@ def q72c_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pmh_sig_banded(spark: SparkSession, sf_dir: str):
+def _pmh_sig_banded(spark: SparkSession, sf_dir: str, checkpoint_sig: bool = False):
     """Shared portable-MinHash stages (q72c + the q72d audit): the
     per-doc shingle relation, the 16-hash signature relation, and the
     banded relation, all built from the memoized distinct-shingle
-    vocabulary (see q72c's doc for the scale rationale)."""
+    vocabulary (see q72c's doc for the scale rationale).
+
+    checkpoint_sig: opt-in eager materialization of the signature
+    table.  Measured per caller (optimization round 10, standalone
+    best-of-3 at sf0.1): it pays when sig feeds structurally DIFFERENT
+    subtrees that defeat exchange reuse (qc39's incoming-vs-corpus
+    split: 4.4 s -> 2.7 s) and costs when the caller's plan already
+    reuses the single aggregation exchange (q72d: 1.3 s -> 2.8 s with
+    a blanket checkpoint) — so the default stays lazy."""
     from ..api import shingles
 
     # spread(32): the sf0.1 parquet is a single split, which would serialize
@@ -986,6 +999,8 @@ def _pmh_sig_banded(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id")
         .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(_PMH_N)])
     )
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -2057,7 +2072,10 @@ def qc31_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qc39_incremental_neardup_admission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _sh, sig, banded = _pmh_sig_banded(spark, sf_dir)
+    # checkpoint_sig: the incoming/corpus filter split plus the sa/sb
+    # re-score joins reference sig through four different subtrees —
+    # measured 4.4 s -> 2.7 s (see _pmh_sig_banded doc).
+    _sh, sig, banded = _pmh_sig_banded(spark, sf_dir, checkpoint_sig=True)
     inc_banded = banded.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("in_id"), "band", "band_sig"
     )
@@ -2200,54 +2218,83 @@ def _banding_oracle_sql() -> str:
 def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh, sig, _banded = _pmh_sig_banded(spark, sf_dir)
     sig = sig.localCheckpoint(eager=True)
-    eq = sum(
-        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(_PMH_N)
+    # Single-pass re-plan (optimization round 10): the four configs'
+    # candidate sets are NESTED — a pair agreeing on an r-hash band
+    # agrees on every single hash of that band, so candidates(2x8) ⊆
+    # candidates(4x4) ⊆ candidates(8x2) ⊆ candidates(16x1).  Build the
+    # 16x1 SUPERSET with one banded self-join, attach both signatures
+    # once, and read every config's membership off the 16 per-hash
+    # agreement bits: a pair is a (b, r) candidate iff some band's r
+    # bits all agree.  Replaces 4 self-joins + 8 signature joins + 4
+    # aggregates with 1 + 2 + 1; every count is unchanged because the
+    # bit test and the band_sig join are the same predicate (fixed-
+    # width md5 over the h-columns is equality-faithful).
+    b16 = None
+    for j in range(_PMH_N):
+        one = sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws("|", F.col(f"h{j}"))).alias("band_sig"),
+        )
+        b16 = one if b16 is None else b16.unionByName(one)
+    a, bb = b16.alias("ba"), b16.alias("bb")
+    cand = (
+        a.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    n_agree = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+        for i in range(_PMH_N)
+    )
+    member_cols = []
+    for b, r in _BANDING_CONFIGS:
+        member = None
+        for j in range(b):
+            band_all = None
+            for k in range(r):
+                bit = F.col(f"a.h{j * r + k}") == F.col(f"b.h{j * r + k}")
+                band_all = bit if band_all is None else (band_all & bit)
+            member = band_all if member is None else (member | band_all)
+        member_cols.append(member.cast("int").alias(f"m_{b}x{r}"))
+    scored = (
+        cand.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
+        .select((n_agree >= 8).cast("int").alias("acc"), *member_cols)
+    )
+    one_row = scored.agg(
+        *[
+            F.coalesce(F.sum(f"m_{b}x{r}"), F.lit(0))
+            .cast("long")
+            .alias(f"cand_{b}x{r}")
+            for b, r in _BANDING_CONFIGS
+        ],
+        *[
+            F.coalesce(F.sum(F.col(f"m_{b}x{r}") * F.col("acc")), F.lit(0))
+            .cast("long")
+            .alias(f"acc_{b}x{r}")
+            for b, r in _BANDING_CONFIGS
+        ],
     )
     out = None
     for b, r in _BANDING_CONFIGS:
-        banded = None
-        for j in range(b):
-            one = sig.select(
-                "doc_id",
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"h{j * r + k}") for k in range(r)])
-                ).alias("band_sig"),
-            )
-            banded = one if banded is None else banded.unionByName(one)
-        a, bb = banded.alias("ba"), banded.alias("bb")
-        cand = (
-            a.join(
-                bb,
-                (F.col("ba.band") == F.col("bb.band"))
-                & (F.col("ba.band_sig") == F.col("bb.band_sig"))
-                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-            )
-            .select(
-                F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
-            )
-            .distinct()
-        )
-        scored = (
-            cand.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))
-            .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
-            .select(eq.alias("n_agree"))
-        )
-        stats = scored.agg(
+        stats = one_row.select(
             F.lit(b).alias("bands"),
             F.lit(r).alias("rows_per_band"),
-            F.count("*").cast("long").alias("n_candidates"),
-            F.coalesce(F.count_if(F.col("n_agree") >= 8), F.lit(0))
-            .cast("long")
-            .alias("n_accepted"),
-        ).select(
-            "bands",
-            "rows_per_band",
-            "n_candidates",
-            "n_accepted",
-            F.when(F.col("n_candidates") == 0, F.lit(None))
+            F.col(f"cand_{b}x{r}").alias("n_candidates"),
+            F.col(f"acc_{b}x{r}").alias("n_accepted"),
+            F.when(F.col(f"cand_{b}x{r}") == 0, F.lit(None))
             .otherwise(
-                F.round(F.col("n_accepted") * 1.0 / F.col("n_candidates"), 6)
+                F.round(
+                    F.col(f"acc_{b}x{r}") * 1.0 / F.col(f"cand_{b}x{r}"), 6
+                )
             )
             .alias("precision"),
         )

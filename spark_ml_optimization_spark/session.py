@@ -107,11 +107,37 @@ def get_spark(app_name: str = "spark_ml_optimization_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Scratch on tmpfs when available (optimization round 10, guide §6):
+    # shuffle files, block-manager spill, and Structured Streaming's
+    # temporary checkpoint/state directories are latency-bound local I/O
+    # — on this container /tmp is ext4 while /dev/shm is RAM-backed
+    # (measured best-of-3 at sf0.1: st24 5.5 -> 4.5 s, st22 4.6 -> 4.5 s,
+    # st09 6.6 -> 6.2 s; batch shuffles unchanged-to-slightly-better).
+    # The cluster-scale analogue is pointing spark.local.dir at local
+    # NVMe instead of a network mount — a deployment setting, so it is
+    # env-overridable and falls back to the JVM default when no tmpfs
+    # exists.  Scratch volume at bench scale is MBs, far below the
+    # 126 GB tmpfs.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        scratch = "/dev/shm/spark_ml_optimization_scratch"
+    extra_jvm = []
+    if scratch:
+        try:
+            os.makedirs(scratch, exist_ok=True)
+            builder = builder.config("spark.local.dir", scratch)
+            extra_jvm.append(f"-Djava.io.tmpdir={scratch}")
+        except OSError:
+            pass
     # JVM flags (GC choice etc.) — start-time only, so env-injected here;
     # an already-running session (driver-owned) is unaffected.
     java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
     if java_opts:
-        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+        extra_jvm.append(java_opts)
+    if extra_jvm:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", " ".join(extra_jvm)
+        )
     # Periodic ContextCleaner GC (default 30min) tightened to 2min: a
     # 280-query single-JVM suite accumulates dropped-RDD/shuffle/state
     # debt between the bench harness's explicit per-5-query System.gc()

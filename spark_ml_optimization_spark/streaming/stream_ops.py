@@ -532,27 +532,37 @@ def _watermarked_outer_stream_join(
     schema = raw.schema
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
+    # ONE bounds job + ONE template-row job up front (optimization
+    # round 10, the st24 re-plan): each _driver_frame call re-scanned
+    # the fixture for max(ts) and again for a template row — 4
+    # full-scan jobs for two 2-row sentinel writes.  The values are
+    # constants of the run; build each sentinel frame driver-side.
+    _mx = raw.agg(F.max("ts").alias("_mx")).collect()[0]["_mx"]
+    _template = raw.limit(1).collect()[0].asDict()
+
     def _driver_frame(uid: int, hours: int) -> DataFrame:
         """One matched purchase+click pair at max(ts)+hours, sentinel
         user/event ids, raw footer schema (so the stream reads it)."""
-        mx = raw.agg(F.max("ts").alias("_mx"))
-        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
         if ts_is_long:  # nanos-vintage fixtures
-            ts_col = (F.col("_mx") + F.lit(hours * 3600 * 10**9)).cast("long")
+            ts_val = int(_mx) + hours * 3600 * 10**9
         else:
-            ts_col = F.col("_mx") + F.expr(f"INTERVAL {hours} HOURS")
-        pur = tpl.withColumn("ts", ts_col).withColumn(
-            "event_id", F.lit(-uid * 2).cast(schema["event_id"].dataType)
-        )
-        clk = tpl.withColumn("ts", ts_col).withColumn(
-            "event_id", F.lit(-uid * 2 - 1).cast(schema["event_id"].dataType)
-        )
-        both = pur.withColumn("event_type", F.lit("purchase")).unionByName(
-            clk.withColumn("event_type", F.lit("click"))
-        )
-        return both.withColumn(
-            "user_id", F.lit(-uid).cast(schema["user_id"].dataType)
-        ).select(*schema.fieldNames())
+            import datetime as _dt
+
+            ts_val = _mx + _dt.timedelta(hours=hours)
+        rows = []
+        for ev_id, ev_type in (
+            (-uid * 2, "purchase"),
+            (-uid * 2 - 1, "click"),
+        ):
+            row = dict(_template)
+            row.update(
+                ts=ts_val,
+                event_id=ev_id,
+                user_id=-uid,
+                event_type=ev_type,
+            )
+            rows.append(tuple(row[f] for f in schema.fieldNames()))
+        return spark.createDataFrame(rows, schema)
 
     stream = normalize_events_ts(
         spark.readStream.schema(schema)
@@ -1776,22 +1786,32 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = raw.schema
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
+    # ONE bounds job + ONE template-row job up front (optimization round
+    # 10): the three sentinel plants below each re-scanned the fixture
+    # for min/max(ts) and again for a template row — 6 full-scan jobs
+    # for 3 single-row writes.  The values are constants of the run;
+    # compute them once and build each sentinel driver-side.
+    _bounds = raw.agg(
+        F.max("ts").alias("_mx"), F.min("ts").alias("_mn")
+    ).collect()[0]
+    _template = raw.limit(1).collect()[0].asDict()
+
     def _plant(agg_col: str, hours: int, event_type: str) -> DataFrame:
         """One event at min/max(ts)+hours with the given type; sentinel
         ids.  agg_col: 'max' advances the watermark, 'min' is LATE."""
-        fn = F.max("ts") if agg_col == "max" else F.min("ts")
-        mx = raw.agg(fn.alias("_t"))
-        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
+        t0 = _bounds["_mx"] if agg_col == "max" else _bounds["_mn"]
         if ts_is_long:
-            ts_col = (F.col("_t") + F.lit(hours * 3600 * 10**9)).cast("long")
+            ts_val = int(t0) + hours * 3600 * 10**9
         else:
-            ts_col = F.col("_t") + F.expr(f"INTERVAL {hours} HOURS")
-        return (
-            tpl.withColumn("ts", ts_col)
-            .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
-            .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
-            .withColumn("event_type", F.lit(event_type))
-            .select(*schema.fieldNames())
+            import datetime as _dt
+
+            ts_val = t0 + _dt.timedelta(hours=hours)
+        row = dict(_template)
+        row.update(
+            ts=ts_val, event_id=-1, user_id=-1, event_type=event_type
+        )
+        return spark.createDataFrame(
+            [tuple(row[f] for f in schema.fieldNames())], schema
         )
 
     stream = normalize_events_ts(
