@@ -2269,6 +2269,10 @@ def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
         .select((n_agree >= 8).cast("int").alias("acc"), *member_cols)
     )
+    # Eagerly checkpointed 1-row aggregate: the 4-row output below
+    # references it once per config, and without the checkpoint each
+    # branch of the union re-executes the whole candidate pipeline
+    # (plan showed 4x replicated join subtrees).
     one_row = scored.agg(
         *[
             F.coalesce(F.sum(f"m_{b}x{r}"), F.lit(0))
@@ -2282,7 +2286,7 @@ def q72f_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"acc_{b}x{r}")
             for b, r in _BANDING_CONFIGS
         ],
-    )
+    ).localCheckpoint(eager=True)
     out = None
     for b, r in _BANDING_CONFIGS:
         stats = one_row.select(
@@ -2383,7 +2387,14 @@ def q84f_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        # keep feeds BOTH semi-joins and the per-round count — without
+        # the eager checkpoint the union+groupBy degree aggregation
+        # re-executes three times per round (optimization round 10).
+        keep = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         edges = (
             edges.join(
                 keep.withColumnRenamed("node", "pa"), "pa", "left_semi"

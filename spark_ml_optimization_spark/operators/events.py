@@ -566,34 +566,71 @@ def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6-dp hash matches (verified 0 mismatches across all 150 users);
     # additionally pinned against pandas.Series.ewm in tests/test_udfs.py.
     doc="Exponentially-weighted moving average per user over event "
-    "values (alpha=0.2, pandas ewm(adjust=False) semantics) via "
-    "applyInPandas — the recurrence y_t = a*x_t + (1-a)*y_{t-1} is "
-    "inherently sequential per key, the textbook case for a grouped "
-    "Arrow kernel over built-ins.  One shuffle on user_id; each "
-    "group sorts locally by (ts, event_id) and runs the vectorized "
-    "pandas ewm.  Output: per-user last EWMA + event count (stable "
-    "small schema).",
+    "values (alpha=0.2, pandas ewm(adjust=False) semantics) via a "
+    "grouped Arrow kernel (mapInPandas over user-hash-partitioned, "
+    "user-sorted data) — the recurrence y_t = a*x_t + (1-a)*y_{t-1} "
+    "is inherently sequential per key, the textbook case for an "
+    "Arrow kernel over built-ins; the per-user recurrences run "
+    "vectorized via pandas groupby-ewm, one kernel call per batch "
+    "instead of one per user.  One shuffle on user_id.  Output: "
+    "per-user last EWMA + event count (stable small schema).",
 )
 def q68b_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
 
-    def ewma_group(pdf):
+    # Vectorized re-plan (optimization round 10, guide §4.2): the old
+    # groupBy().applyInPandas called the Python kernel once per user —
+    # ~15k interpreter calls and 15k single-row frame constructions per
+    # run.  Same shuffle (hash by user_id), same per-user float64
+    # recurrence (pandas groupby-ewm runs the identical adjust=False
+    # kernel per group, so last_ewma is bit-identical), but ONE kernel
+    # call per Arrow batch with the per-user work vectorized.  A user
+    # split across batch boundaries is carried over as raw rows
+    # (sortWithinPartitions makes each user's rows contiguous), so no
+    # recurrence ever restarts mid-user.  Measured 3.7 s -> ~1.5 s at
+    # sf0.1; pinned against pandas.Series.ewm in tests/test_udfs.py.
+    def ewma_stream(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ewma = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "last_ewma": [round(float(ewma.iloc[-1]), 6)],
-            }
-        )
+        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+            ew = (
+                pdf.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=0.2, adjust=False)
+                .mean()
+            )
+            last = ew.groupby(level="user_id", sort=False).last()
+            n = pdf.groupby("user_id", sort=False).size()
+            return pd.DataFrame(
+                {
+                    "user_id": n.index.to_numpy(),
+                    "n_events": n.to_numpy(),
+                    "last_ewma": [round(float(x), 6) for x in last.to_numpy()],
+                }
+            )
 
-    return e.groupBy("user_id").applyInPandas(
-        ewma_group, schema="user_id long, n_events long, last_ewma double"
+        left = None
+        for pdf in batches:
+            if left is not None:
+                pdf = pd.concat([left, pdf], ignore_index=True)
+                left = None
+            if len(pdf) == 0:
+                continue
+            last_uid = pdf["user_id"].iloc[-1]
+            done = pdf[pdf["user_id"] != last_uid]
+            left = pdf[pdf["user_id"] == last_uid]
+            if len(done):
+                yield summarize(done)
+        if left is not None and len(left):
+            yield summarize(left)
+
+    return (
+        e.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            ewma_stream, schema="user_id long, n_events long, last_ewma double"
+        )
     )
 
 

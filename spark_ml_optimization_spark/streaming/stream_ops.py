@@ -1618,21 +1618,27 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = raw.schema
     ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
+    # ONE bounds job + ONE template-row job up front (the st24 re-plan):
+    # each sentinel previously re-scanned the fixture for max(ts) and a
+    # template row; the values are constants of the run.
+    _mx = raw.agg(F.max("ts").alias("_mx")).collect()[0]["_mx"]
+    _template = raw.limit(1).collect()[0].asDict()
+
     def _driver_frame(hours: int) -> DataFrame:
         """One sentinel event at max(ts)+hours — advances the watermark;
         its own 10-min window never finalizes, so it never emits."""
-        mx = raw.agg(F.max("ts").alias("_mx"))
-        tpl = raw.limit(1).drop("ts").crossJoin(F.broadcast(mx))
         if ts_is_long:
-            ts_col = (F.col("_mx") + F.lit(hours * 3600 * 10**9)).cast("long")
+            ts_val = int(_mx) + hours * 3600 * 10**9
         else:
-            ts_col = F.col("_mx") + F.expr(f"INTERVAL {hours} HOURS")
-        return (
-            tpl.withColumn("ts", ts_col)
-            .withColumn("event_id", F.lit(-1).cast(schema["event_id"].dataType))
-            .withColumn("user_id", F.lit(-1).cast(schema["user_id"].dataType))
-            .withColumn("event_type", F.lit("wm_sentinel"))
-            .select(*schema.fieldNames())
+            import datetime as _dt
+
+            ts_val = _mx + _dt.timedelta(hours=hours)
+        row = dict(_template)
+        row.update(
+            ts=ts_val, event_id=-1, user_id=-1, event_type="wm_sentinel"
+        )
+        return spark.createDataFrame(
+            [tuple(row[f] for f in schema.fieldNames())], schema
         )
 
     stream = normalize_events_ts(
