@@ -238,10 +238,21 @@ def main() -> int:
     random.Random(order_seed).shuffle(rest)
     names = head_first + rest
 
+    # Graph-family memo audit (round-11, VERDICT item 8): annotate which
+    # queries CONSUMED a pre-built shared artifact (_GRAPH_MEMO survives
+    # clearCache between queries by design) so their per-query readings
+    # are explicitly marked as excluding the shared build cost the first
+    # consumer paid inside its own timed window.  Annotation only — the
+    # timing methodology is frozen this round.
+    from spark_ml_optimization_spark.operators.dedup import GRAPH_MEMO_EVENTS
+
+    memo_annotations: dict[str, list[str]] = {}
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for i, name in enumerate(names):
         q = queries[name]
+        _memo_mark = len(GRAPH_MEMO_EVENTS)
         best = None
         # Headline rows are the driver's cross-round comparison anchors;
         # best-of-1 carries 1.4-1.7x single-shot JIT/GC noise (measured
@@ -280,6 +291,11 @@ def main() -> int:
             run_i += 1
         if best is not None:
             timings[name] = round(best, 3)
+        _memo_ev = GRAPH_MEMO_EVENTS[_memo_mark:]
+        if _memo_ev:
+            memo_annotations[name] = sorted(
+                {f"{k}:{kind}" for k, kind in _memo_ev}
+            )
         # Hygiene between queries, outside the timed window: a 200-query
         # single-JVM suite accumulates GC debt (checkpoint blocks, shuffle
         # files, state stores, leaked persists) that otherwise lands as
@@ -659,6 +675,12 @@ def main() -> int:
         "normalized_per_query_s": normalized_per_query,
         "suite_remeasure": suite_remeasure,
         "second_chance": second_chance,
+        # Queries that touched the graph-family shared-artifact memo
+        # this run, with kind: "<artifact>:build" = the build ran inside
+        # this query's timed window; "<artifact>:hit" = the query reused
+        # an artifact built (and paid for) by an earlier query — its
+        # reading excludes that shared cost.  (VERDICT r10 item 8.)
+        "graph_memo": memo_annotations,
         "epoch_file": _EPOCH_FILE if not subset else None,
         "epoch_queries_known": len(epoch),
         "breach_raw": breach_raw,
@@ -742,6 +764,16 @@ def main() -> int:
         "detail_file": detail_name,
         "budget_ok": budget["ok"],
         "budget_breaches": len(budget["breaches"]),
+        # How many queries had ANY post-loop re-measure arm applied
+        # (breach / suite-suspects / second-chance) — the raw pre-
+        # re-measure readings live in the sidecar's budget block
+        # (breach_raw, suite_remeasure.raw, second_chance.raw) so PERF
+        # comparisons can be made on raws (VERDICT r10 item 9).
+        "n_remeasured": len(
+            set(breach_raw)
+            | set((suite_remeasure or {}).get("raw", {}))
+            | set((second_chance or {}).get("raw", {}))
+        ),
     }
     if failures and not detail_written:
         # Sidecar lost (read-only checkout / full disk): the printed line

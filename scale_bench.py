@@ -86,6 +86,7 @@ FIXTURE_SFS = [("0.001", 1), ("0.01", 10), ("0.1", 100)]
 
 #: volume-coupled cost centers -> measured on key-shifted replicas
 REPLICA_ARM = [
+    "q84_pagerank",  # round-11: VERDICT item 10 (disjoint graph copies)
     "q01_pricing_summary",
     "q10_star_join_revenue",
     "q48_salted_agg",
@@ -112,6 +113,17 @@ REPLICA_ARM = [
 ]
 REPLICA_FACTORS = [1, 2, 5]
 
+#: round-11 (VERDICT item 10): ground the q72f/q84 100TB-shape claims
+#: off-fixture.  q84 (pagerank over disjoint key-shifted graph copies)
+#: is volume-coupled -> replica arm, x10 = sf1-equivalent lineitem
+#: volume.  q72f is content-coupled and verbatim replicas would plant
+#: QUADRATIC cross-replica near-dups, so its arm mutates every token
+#: with a per-replica suffix: replicas become lexically disjoint,
+#: vocabulary and near-dup structure grow linearly — the organic
+#: "10x more independent content" growth model.
+CONTENT_ARM = ["q72f_banding_tradeoff"]
+CONTENT_FACTORS = [1, 2, 5, 10]
+
 #: round-8: queries whose x5 trend looked sub-linear but short get one
 #: more decade (x10) so the fitted exponent has a real lever arm —
 #: q84b included as the evidence for the chunked wedge join (verdict
@@ -120,6 +132,7 @@ X10_QUERIES = [
     "q10_star_join_revenue",
     "q92_ann_ivf",
     "q84b_triangle_count",
+    "q84_pagerank",  # round-11: the join-elimination scale claim
 ]
 
 #: round-8 WEAK-SCALING arm (the cluster claim, measured): data and
@@ -166,6 +179,43 @@ def build_replica(spark, factor: int) -> str:
         else:
             full = df
         full.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    return out
+
+
+def build_content_replica(spark, factor: int) -> str:
+    """Documents-only content replica (see CONTENT_ARM): doc_ids
+    key-shifted AND every token suffixed per replica, so replicas are
+    lexically disjoint — near-dup structure grows linearly, never
+    quadratically across replicas."""
+    out = os.path.join(SCRATCH, f"c{factor}")
+    if os.path.exists(os.path.join(out, "documents.parquet", "_SUCCESS")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    df = spark.read.parquet(
+        os.path.join(SF_BASE, "sf0.1", "documents.parquet")
+    )
+    parts = [df]
+    for r in range(1, factor):
+        parts.append(
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(r * OFFSET))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t, _r=r: F.concat(t, F.lit(f"r{_r}")),
+                    ),
+                    " ",
+                ),
+            )
+        )
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    full.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
     return out
 
 
@@ -338,16 +388,27 @@ def main() -> None:
     # curves.
     arms = set(
         os.environ.get(
-            "SPARK_GRAFT_SCALE_ARMS", "fixture,replica,weakscale"
+            "SPARK_GRAFT_SCALE_ARMS", "fixture,replica,weakscale,content"
         ).split(",")
     )
+    # SPARK_GRAFT_SCALE_QUERIES: optional comma list restricting every
+    # arm to the named queries (round-11: re-measure one query's curve
+    # after an optimization without re-running a whole arm; merges).
+    _only_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    only = set(_only_env.split(",")) if _only_env else None
     out_path = os.path.join(os.path.dirname(__file__), "SCALE_BENCH.json")
     results: dict[str, dict] = {}
-    if arms != {"fixture", "replica", "weakscale"} and os.path.exists(out_path):
+    _all_arms = {"fixture", "replica", "weakscale", "content"}
+    if (arms != _all_arms or only) and os.path.exists(out_path):
         with open(out_path) as fh:
             results = json.load(fh).get("results", {})
 
+    def _skip(name: str) -> bool:
+        return only is not None and name not in only
+
     for name in FIXTURE_ARM if "fixture" in arms else []:
+        if _skip(name):
+            continue
         times, scales, loads, cont = [], [], [], []
         for sf, rel in FIXTURE_SFS:
             t, load_seen, bad = measure_point(
@@ -381,6 +442,8 @@ def main() -> None:
             else {}
         )
         for name in REPLICA_ARM if "replica" in arms else []:
+            if _skip(name):
+                continue
             factors = REPLICA_FACTORS + (
                 [10] if name in X10_QUERIES else []
             )
@@ -413,6 +476,8 @@ def main() -> None:
         import sys as _sys
 
         for name, ladder in (WEAK_SCALE.items() if "weakscale" in arms else []):
+            if _skip(name):
+                continue
             times, scales, cores_used, heaps, loads, cont = [], [], [], [], [], []
             for f, cores in ladder:
                 if f not in dirs:
@@ -516,7 +581,38 @@ def main() -> None:
                     flag_fn=weak_spread_flag,
                 ),
             }
-        shutil.rmtree(SCRATCH, ignore_errors=True)
+
+    if "content" in arms:
+        cdirs: dict[int, str] = {}
+        for name in CONTENT_ARM:
+            if _skip(name):
+                continue
+            times, scales, loads, cont = [], [], [], []
+            for f in CONTENT_FACTORS:
+                if f not in cdirs:
+                    cdirs[f] = build_content_replica(spark, f)
+                t, load_seen, bad = measure_point(
+                    lambda f=f: timed(qs[name].fn, spark, cdirs[f])
+                )
+                times.append(round(t, 3))
+                scales.append(float(f))
+                loads.append(load_seen)
+                cont.append(bad)
+                print(f"[content] {name} c{f}: {t:.2f}s (load {loads[-1]}"
+                      f"{' CONTAMINATED' if bad else ''})", flush=True)
+            e = fit_exponent(scales, times)
+            results[f"{name}@content"] = {
+                "arm": "content (token-suffixed disjoint document replicas,"
+                " x10 ~= sf1 corpus volume)",
+                **arm_record(
+                    scales, times, loads, cont,
+                    round(e, 3) if e is not None else None,
+                    fitted_curve_flag(scales, times),
+                    flag_fn=fitted_curve_flag,
+                ),
+            }
+
+    shutil.rmtree(SCRATCH, ignore_errors=True)
 
     out = {
         "note": (

@@ -517,6 +517,12 @@ def qp5_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(16)
     )
+    # Emit-once first-agreeing-band predicate REJECTED here (round 11,
+    # measured): flat at sf0.1 and the same shape regressed 26% at 10x
+    # content scale on q72c — the predicate re-compares all 16
+    # h-columns per fanned row while the surviving .distinct() (which
+    # also dedups the SAME doc_b dropped via different partners) is
+    # already exchange-free on the doc_id-partitioned banded side.
     lex_dropped = (
         a.join(
             b,

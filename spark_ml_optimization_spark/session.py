@@ -120,7 +120,18 @@ def get_spark(app_name: str = "spark_ml_optimization_spark") -> SparkSession:
     # 126 GB tmpfs.
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
     if scratch is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        scratch = "/dev/shm/spark_ml_optimization_scratch"
+        # Capacity gate (round-11 advice): Docker's default /dev/shm is
+        # 64 MB — auto-defaulting shuffle/spill there would ENOSPC on a
+        # standard container, and spilling to RAM-backed tmpfs consumes
+        # the memory spill exists to relieve.  Require several GB free
+        # before electing tmpfs; SPARK_GRAFT_SCRATCH stays the explicit
+        # override in both directions.
+        try:
+            _vfs = os.statvfs("/dev/shm")
+            if _vfs.f_bavail * _vfs.f_frsize >= 8 * 1024**3:
+                scratch = "/dev/shm/spark_ml_optimization_scratch"
+        except OSError:
+            pass
     extra_jvm = []
     if scratch:
         try:

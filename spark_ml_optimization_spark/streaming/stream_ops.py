@@ -81,7 +81,12 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+_NO_DATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+def _run_to_memory(
+    df: DataFrame, output_mode: str, *, no_data_batches: bool = True
+) -> DataFrame:
     """Drive a streaming query over the static fixture to completion and
     return the memory-sink table.
 
@@ -94,13 +99,25 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     8 -> 4) purely by cutting state-store bring-up; a real deployment
     sizes this to state-bytes-per-partition and must keep it FIXED
     across restarts of the same checkpoint.
+
+    no_data_batches=False (round 11, guide §1/§5): skip the trailing
+    watermark-only micro-batches.  ONLY valid for queries whose every
+    output row is emitted in a DATA batch (e.g. st08's inner
+    stream-stream join — a pair emits in the batch where both rows are
+    present; no-data batches there only evict state that is about to be
+    thrown away with the stopped query).  Append-mode window aggregates
+    MUST keep the default: their final windows emit in exactly those
+    no-data batches.
     """
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_nd = spark.conf.get(_NO_DATA_KEY)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set(key, _STREAM_PARTS)  # bound at start(); restored below
+        if not no_data_batches:
+            spark.conf.set(_NO_DATA_KEY, "false")
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -113,10 +130,60 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(_NO_DATA_KEY, prev_nd)
     # Memory-sink tables are session-scoped (they outlive the stopped
     # query), so the table reference is stable as-is — no extra
     # snapshot/view indirection needed.
     return df.sparkSession.table(name)
+
+
+def _sentinel_scaffold(raw: DataFrame, schema: T.StructType):
+    """Bounds + template for the watermark-sentinel scaffolds
+    (st09/st21/st22/st24): ONE bounds job + ONE template-row job,
+    empty-fixture safe — returns ``(bounds, template)`` with
+    ``bounds['max']``/``bounds['min']``, or ``(None, None)`` on an
+    empty fixture so callers skip planting driver batches (the stream
+    result is empty either way) instead of raising IndexError.
+
+    For a tz-adjusted TimestampType vintage the bounds are collected as
+    ``unix_micros`` and shifted as INSTANTS in :func:`_sentinel_shift` —
+    ``collect()`` of TimestampType yields a naive local-timezone
+    datetime whose ``+ timedelta`` is wall-clock arithmetic across DST
+    transitions.  The timestamp_ntz vintage keeps naive datetimes: NTZ
+    plus INTERVAL is wall-clock by definition, so naive arithmetic IS
+    the in-plan semantics there.
+    """
+    rows = raw.limit(1).collect()
+    if not rows:
+        return None, None
+    if isinstance(schema["ts"].dataType, T.TimestampType):
+        b = raw.agg(
+            F.max(F.unix_micros("ts")).alias("_mx"),
+            F.min(F.unix_micros("ts")).alias("_mn"),
+        ).collect()[0]
+    else:
+        b = raw.agg(
+            F.max("ts").alias("_mx"), F.min("ts").alias("_mn")
+        ).collect()[0]
+    return {"max": b["_mx"], "min": b["_mn"]}, rows[0].asDict()
+
+
+def _sentinel_shift(t0, hours: int, schema: T.StructType):
+    """``t0 + hours`` in the fixture's ts representation — integer nanos
+    (long vintage), tz-aware UTC datetime from epoch micros (instant
+    vintage; createDataFrame converts aware datetimes via utctimetuple,
+    so the process timezone never enters), or naive + timedelta (ntz
+    vintage — wall-clock on both sides).  See :func:`_sentinel_scaffold`."""
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos vintage
+        return int(t0) + hours * 3600 * 10**9
+    import datetime as _dt
+
+    if isinstance(ts_type, T.TimestampType):  # tz-adjusted vintage
+        return _dt.datetime.fromtimestamp(
+            (int(t0) + hours * 3600 * 10**6) / 1e6, tz=_dt.timezone.utc
+        )
+    return t0 + _dt.timedelta(hours=hours)  # timestamp_ntz vintage
 
 
 @register(
@@ -376,7 +443,11 @@ def st08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id", "p_user")
-    return _run_to_memory(joined, "append")
+    # Inner-join emission happens in the data batch where both rows are
+    # present (the determinism note above); the trailing no-data
+    # eviction batches only scan-and-drop state the stopped query
+    # discards anyway — skip them (see _run_to_memory).
+    return _run_to_memory(joined, "append", no_data_batches=False)
 
 
 @register(
@@ -530,25 +601,19 @@ def _watermarked_outer_stream_join(
 
     raw = spark.read.parquet(src)
     schema = raw.schema
-    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
     # ONE bounds job + ONE template-row job up front (optimization
     # round 10, the st24 re-plan): each _driver_frame call re-scanned
     # the fixture for max(ts) and again for a template row — 4
     # full-scan jobs for two 2-row sentinel writes.  The values are
-    # constants of the run; build each sentinel frame driver-side.
-    _mx = raw.agg(F.max("ts").alias("_mx")).collect()[0]["_mx"]
-    _template = raw.limit(1).collect()[0].asDict()
+    # constants of the run; build each sentinel frame driver-side
+    # (empty-fixture-safe, instant-correct: _sentinel_scaffold).
+    _bounds, _template = _sentinel_scaffold(raw, schema)
 
     def _driver_frame(uid: int, hours: int) -> DataFrame:
         """One matched purchase+click pair at max(ts)+hours, sentinel
         user/event ids, raw footer schema (so the stream reads it)."""
-        if ts_is_long:  # nanos-vintage fixtures
-            ts_val = int(_mx) + hours * 3600 * 10**9
-        else:
-            import datetime as _dt
-
-            ts_val = _mx + _dt.timedelta(hours=hours)
+        ts_val = _sentinel_shift(_bounds["max"], hours, schema)
         rows = []
         for ev_id, ev_type in (
             (-uid * 2, "purchase"),
@@ -600,9 +665,18 @@ def _watermarked_outer_stream_join(
 
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_nd = spark.conf.get(_NO_DATA_KEY)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set(key, _STREAM_PARTS)
+        # No-data micro-batches off (round 11, guide §1/§5): every
+        # fixture row — matched AND NULL-side — emits by the drv2 DATA
+        # batch (it runs with drv1's +2h watermark, a 30-min margin
+        # over every fixture eviction bound; that is the scaffold's
+        # design), so the trailing watermark-only batches would only
+        # evict the sentinel pairs the final filter drops anyway.
+        # Profile r10: 3 of 6 micro-batches were no-data eviction scans.
+        spark.conf.set(_NO_DATA_KEY, "false")
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -611,15 +685,17 @@ def _watermarked_outer_stream_join(
         )
         try:
             q.processAllAvailable()  # batch 0: the fixture file
-            for step, (uid, hours) in enumerate(((1, 2), (2, 4)), start=1):
-                _driver_frame(uid, hours).repartition(1).write.parquet(
-                    os.path.join(base, f"drv{step}")
-                )
-                q.processAllAvailable()  # batch N applies batch N-1's watermark
+            if _bounds is not None:  # empty fixture: nothing to evict
+                for step, (uid, hours) in enumerate(((1, 2), (2, 4)), start=1):
+                    _driver_frame(uid, hours).repartition(1).write.parquet(
+                        os.path.join(base, f"drv{step}")
+                    )
+                    q.processAllAvailable()  # batch N applies batch N-1's watermark
         finally:
             q.stop()
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(_NO_DATA_KEY, prev_nd)
         # The result lives in the memory sink; the per-invocation
         # staging dir (fixture link + two driver batches) is dead
         # weight — remove it so suite/bench runs don't leak disk.
@@ -735,11 +811,17 @@ def st11_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = normalize_events_ts(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ).select("event_id", "event_type")
-    # Deterministic 2-file split; write with distinct prefixes so the
-    # phase-2 listing change is exactly one new file tree.
-    batch.filter(F.col("event_id") % 2 == 0).write.parquet(os.path.join(src_dir, "part1"))
-    part2_staging = os.path.join(base, "part2_staging")
-    batch.filter(F.col("event_id") % 2 == 1).write.parquet(part2_staging)
+    # Deterministic 2-way split written in ONE pass (round 11, guide
+    # §6: the two filtered writes re-scanned the fixture twice); the
+    # dynamic-partition write emits one file tree per parity, m=0 is
+    # renamed in as phase-1's only visible tree and m=1 staged for the
+    # phase-2 restart.
+    split_root = os.path.join(base, "split")
+    batch.withColumn("m", F.col("event_id") % 2).repartition(1).write.partitionBy(
+        "m"
+    ).parquet(split_root)
+    os.rename(os.path.join(split_root, "m=0"), os.path.join(src_dir, "part1"))
+    part2_staging = os.path.join(split_root, "m=1")
 
     schema = batch.schema
 
@@ -851,17 +933,23 @@ def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 3 == 1).write.parquet(os.path.join(src_dir, "b1"))
     ev.filter(F.col("event_id") % 3 == 2).write.parquet(os.path.join(src_dir, "b2"))
 
+    # Reference artifacts materialized ONCE (round 11, guide §5): edges
+    # (1 row) and ref_counts (≤10 rows) are lazy plans over the ref
+    # scan — each micro-batch's broadcast re-ran the percentile agg and
+    # the binning pass (2 batches × 2 rebuilt subtrees).  Eager
+    # checkpoints pin them; streaming re-evaluates static plans per
+    # batch otherwise (the st19 note).
     edges = ref.agg(
         F.percentile("value", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias(
             "e"
         )
-    )
+    ).localCheckpoint(eager=True)
     bin_of = lambda: (1 + F.size(F.filter("e", lambda x: F.col("value") > x))).alias(  # noqa: E731
         "bin"
     )
     ref_counts = (
         ref.crossJoin(F.broadcast(edges)).select(bin_of()).groupBy("bin").count()
-    )
+    ).localCheckpoint(eager=True)
     ref_total = ref.count()  # scalar, computed once outside the stream
 
     def monitor_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -872,6 +960,7 @@ def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur_counts.join(F.broadcast(ref_counts), "bin")
             .crossJoin(F.broadcast(tot))
             .select(
+                F.col("t_cur"),
                 F.greatest(
                     F.col("n_cur") * 1.0 / F.col("t_cur"), F.lit(1e-6)
                 ).alias("p_cur"),
@@ -880,8 +969,11 @@ def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p_ref"),
             )
         )
+        # n_events = sum over bins of n_cur (every batch row lands in
+        # exactly one bin — bin_of is total), read off the aggregate
+        # already in hand instead of a second batch_df.count() job.
         out = j.agg(
-            F.sum(F.lit(1)).alias("__nbins"),
+            F.max("t_cur").cast("long").alias("n_events"),
             F.round(
                 F.sum(
                     (F.col("p_cur") - F.col("p_ref"))
@@ -889,9 +981,7 @@ def st12_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("psi_total"),
-        ).select(
-            F.lit(batch_df.count()).cast("long").alias("n_events"), "psi_total"
-        )
+        ).select("n_events", "psi_total")
         out.write.mode("append").parquet(sink_dir)
 
     schema = ev.schema
@@ -1320,12 +1410,18 @@ def st18_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = normalize_events_ts(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ).select("event_id", "event_type")
-    # Six deterministic single-file splits (repartition(1) -> exactly
-    # one data file each), so maxFilesPerTrigger=2 must give 3 epochs.
-    for m in range(6):
-        batch.filter(F.col("event_id") % 6 == m).repartition(1).write.parquet(
-            os.path.join(src_dir, f"split{m}")
-        )
+    # Six deterministic single-file splits, written in ONE pass (round
+    # 11, guide §6): the per-split filter+write loop re-scanned the
+    # fixture six times.  A single-task dynamic-partition write emits
+    # exactly one data file per split value (one task holds all rows,
+    # the writer opens one file per distinct partition value), so
+    # maxFilesPerTrigger=2 must still give 3 epochs; the split column
+    # lives only in the directory name, so the streamed file schema is
+    # unchanged (recursiveFileLookup reads leaves, no partition
+    # discovery).
+    batch.withColumn("m", F.col("event_id") % 6).repartition(1).write.mode(
+        "overwrite"
+    ).partitionBy("m").parquet(src_dir)
 
     schema = batch.schema
 
@@ -1616,23 +1712,17 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(src)
     schema = raw.schema
-    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
     # ONE bounds job + ONE template-row job up front (the st24 re-plan):
     # each sentinel previously re-scanned the fixture for max(ts) and a
-    # template row; the values are constants of the run.
-    _mx = raw.agg(F.max("ts").alias("_mx")).collect()[0]["_mx"]
-    _template = raw.limit(1).collect()[0].asDict()
+    # template row; the values are constants of the run
+    # (empty-fixture-safe, instant-correct: _sentinel_scaffold).
+    _bounds, _template = _sentinel_scaffold(raw, schema)
 
     def _driver_frame(hours: int) -> DataFrame:
         """One sentinel event at max(ts)+hours — advances the watermark;
         its own 10-min window never finalizes, so it never emits."""
-        if ts_is_long:
-            ts_val = int(_mx) + hours * 3600 * 10**9
-        else:
-            import datetime as _dt
-
-            ts_val = _mx + _dt.timedelta(hours=hours)
+        ts_val = _sentinel_shift(_bounds["max"], hours, schema)
         row = dict(_template)
         row.update(
             ts=ts_val, event_id=-1, user_id=-1, event_type="wm_sentinel"
@@ -1672,9 +1762,17 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_nd = spark.conf.get(_NO_DATA_KEY)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set(key, _STREAM_PARTS)
+        # No-data micro-batches off (round 11): every fixture window —
+        # lvl1 10-min and lvl2 1-hour — finalizes by the drv2 DATA batch
+        # (wm = drv1's +2h with a ≥50-min margin over the last fixture
+        # hour window); the trailing watermark-only batches would only
+        # finalize the sentinel's own windows, which the event_type
+        # filter drops.
+        spark.conf.set(_NO_DATA_KEY, "false")
         q = (
             lvl2.writeStream.outputMode("append")
             .format("memory")
@@ -1683,15 +1781,17 @@ def st22_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()  # batch 0: the fixture file
-            for step, hours in enumerate((2, 4), start=1):
-                _driver_frame(hours).repartition(1).write.parquet(
-                    os.path.join(base, f"drv{step}")
-                )
-                q.processAllAvailable()  # batch N applies batch N-1's wm
+            if _bounds is not None:  # empty fixture: nothing to finalize
+                for step, hours in enumerate((2, 4), start=1):
+                    _driver_frame(hours).repartition(1).write.parquet(
+                        os.path.join(base, f"drv{step}")
+                    )
+                    q.processAllAvailable()  # batch N applies batch N-1's wm
         finally:
             q.stop()
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(_NO_DATA_KEY, prev_nd)
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
@@ -1790,28 +1890,19 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(src)
     schema = raw.schema
-    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
 
     # ONE bounds job + ONE template-row job up front (optimization round
     # 10): the three sentinel plants below each re-scanned the fixture
     # for min/max(ts) and again for a template row — 6 full-scan jobs
     # for 3 single-row writes.  The values are constants of the run;
-    # compute them once and build each sentinel driver-side.
-    _bounds = raw.agg(
-        F.max("ts").alias("_mx"), F.min("ts").alias("_mn")
-    ).collect()[0]
-    _template = raw.limit(1).collect()[0].asDict()
+    # compute them once and build each sentinel driver-side
+    # (empty-fixture-safe, instant-correct: _sentinel_scaffold).
+    _bounds, _template = _sentinel_scaffold(raw, schema)
 
     def _plant(agg_col: str, hours: int, event_type: str) -> DataFrame:
         """One event at min/max(ts)+hours with the given type; sentinel
         ids.  agg_col: 'max' advances the watermark, 'min' is LATE."""
-        t0 = _bounds["_mx"] if agg_col == "max" else _bounds["_mn"]
-        if ts_is_long:
-            ts_val = int(t0) + hours * 3600 * 10**9
-        else:
-            import datetime as _dt
-
-            ts_val = t0 + _dt.timedelta(hours=hours)
+        ts_val = _sentinel_shift(_bounds[agg_col], hours, schema)
         row = dict(_template)
         row.update(
             ts=ts_val, event_id=-1, user_id=-1, event_type=event_type
@@ -1839,9 +1930,16 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_nd = spark.conf.get(_NO_DATA_KEY)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set(key, _STREAM_PARTS)
+        # No-data micro-batches off (round 11): every fixture hour
+        # window emits by the drv2 DATA batch (wm = +2h - 10 min), and
+        # the late-row batch 3 drops its row against that same
+        # watermark; trailing watermark-only batches would only emit
+        # the filtered wm_sentinel windows.
+        spark.conf.set(_NO_DATA_KEY, "false")
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -1852,24 +1950,26 @@ def st24_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()  # batch 0: fixture (wm still 0)
             # batch 1+2: sentinels at max+2h/+4h — batch N applies batch
             # N-1's watermark, so every fixture window emits by batch 2.
-            for step, hours in enumerate((2, 4), start=1):
-                _plant("max", hours, "wm_sentinel").repartition(1).write.parquet(
-                    os.path.join(base, f"drv{step}")
+            if _bounds is not None:  # empty fixture: nothing to emit/drop
+                for step, hours in enumerate((2, 4), start=1):
+                    _plant("max", hours, "wm_sentinel").repartition(
+                        1
+                    ).write.parquet(os.path.join(base, f"drv{step}"))
+                    q.processAllAvailable()
+                # batch 3: the LATE row — a duplicate-shaped 'click' at
+                # the stream MINIMUM timestamp.  Its hour window closed
+                # (and was emitted) batches ago; the watermark drops it.
+                # If it were counted, that window's n_events would differ
+                # from the fixture-only oracle and the hash would fail.
+                _plant("min", 0, "click").repartition(1).write.parquet(
+                    os.path.join(base, "late")
                 )
                 q.processAllAvailable()
-            # batch 3: the LATE row — a duplicate-shaped 'click' at the
-            # stream MINIMUM timestamp.  Its hour window closed (and was
-            # emitted) batches ago; the watermark drops it.  If it were
-            # counted, that window's n_events would differ from the
-            # fixture-only oracle and the hash would fail.
-            _plant("min", 0, "click").repartition(1).write.parquet(
-                os.path.join(base, "late")
-            )
-            q.processAllAvailable()
         finally:
             q.stop()
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(_NO_DATA_KEY, prev_nd)
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
@@ -2304,11 +2404,13 @@ def st30_offset_replay_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = normalize_events_ts(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ).select("event_id", "event_type")
-    batch.filter(F.col("event_id") % 2 == 0).write.parquet(
-        os.path.join(src_dir, "part1")
-    )
-    part2_staging = os.path.join(base, "part2_staging")
-    batch.filter(F.col("event_id") % 2 == 1).write.parquet(part2_staging)
+    # One-pass 2-way split (round 11, guide §6) — the st11 pattern.
+    split_root = os.path.join(base, "split")
+    batch.withColumn("m", F.col("event_id") % 2).repartition(1).write.partitionBy(
+        "m"
+    ).parquet(split_root)
+    os.rename(os.path.join(split_root, "m=0"), os.path.join(src_dir, "part1"))
+    part2_staging = os.path.join(split_root, "m=1")
     schema = batch.schema
     manifest_path = os.path.join(out_dir, "_manifest.json")
 

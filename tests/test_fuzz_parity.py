@@ -841,6 +841,39 @@ N_DIFF = 1000
 BATCH = 25
 
 
+def test_fuzz_fastpath(fuzz_env):
+    """Default-run fast path (round 11, VERDICT item 1): a seeded
+    subsample — 50 differential seeds + 10 TLP seeds — so the fuzz
+    lanes still fire after every commit while the full 1120-seed matrix
+    lives behind the `slow` marker (`pytest -m "" tests/`).  The
+    optimizer-differential lane keeps its known-issue pin
+    (test_known_issue_unfolded_frame_bounds) in the default run."""
+    spark, con = fuzz_env
+    for seed in range(0, 50):
+        sql = Gen(seed).query()
+        sdf = spark.sql(sql).toPandas()
+        odf = con.execute(sql).fetchdf()
+        compare(sdf, odf, f"fuzz-seed-{seed}")
+    for seed in range(1000, 1010):
+        g = Gen(seed)
+        t = g.r.choice(FUZZ_TABLES)
+        p = g.predicate(t)
+        sql = (
+            f"SELECT count(*) AS total, "
+            f"sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS n_true, "
+            f"sum(CASE WHEN NOT ({p}) THEN 1 ELSE 0 END) AS n_false, "
+            f"sum(CASE WHEN ({p}) IS NULL THEN 1 ELSE 0 END) AS n_null "
+            f"FROM {PREFIX}{t}"
+        )
+        srow = spark.sql(sql).collect()[0]
+        orow = con.execute(sql).fetchone()
+        assert srow.total == srow.n_true + srow.n_false + srow.n_null
+        assert (srow.total, srow.n_true, srow.n_false, srow.n_null) == tuple(
+            int(v) for v in orow
+        )
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("batch_start", list(range(0, N_DIFF, BATCH)))
 def test_fuzz_differential(fuzz_env, batch_start):
     spark, con = fuzz_env
@@ -862,6 +895,7 @@ def test_fuzz_differential(fuzz_env, batch_start):
 N_TLP = 60
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("batch_start", [0, 20, 40])
 def test_fuzz_tlp_partition(fuzz_env, batch_start):
     spark, con = fuzz_env
@@ -921,6 +955,7 @@ _EXCLUDED_RULES = ",".join(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("batch_start", [0, 20, 40])
 def test_fuzz_optimizer_differential(fuzz_env, batch_start):
     spark, _ = fuzz_env

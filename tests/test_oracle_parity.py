@@ -1,9 +1,18 @@
 """Driver-gate rehearsal: every registered query with an oracle must
-hash-match DuckDB at sf0.01 (the driver's correctness scale)."""
+hash-match DuckDB at sf0.01 (the driver's correctness scale).
+
+Slow lane (round 11, VERDICT item 1): this parametrized matrix costs
+the bulk of the suite's wall clock and kept the verify driver's pytest
+arm from finishing its window.  The identical assertion surface stays
+in the DEFAULT run via the threaded fast lane
+(test_parity_fastlane_correct.py — same sf0.01 oracles, same compare);
+run this per-query-granular twin with `pytest -m "" tests/`."""
 
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from spark_ml_optimization_spark import registry
 
